@@ -3,36 +3,50 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in error_analysis_spark/plans/ (one module per operator
+family, SURVEY.md §2); this file only merges the registries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from error_analysis_spark.plans.queries_core import CORE_QUERIES  # noqa: E402
+from error_analysis_spark.plans.queries_ext import EXT_QUERIES  # noqa: E402
+from error_analysis_spark.plans.queries_vario import VARIO_QUERIES  # noqa: E402
+
+_ALL: dict[str, tuple] = {}
+_ALL.update(CORE_QUERIES)
+_ALL.update(VARIO_QUERIES)
+_ALL.update(EXT_QUERIES)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fn, _ = _ALL["q01_pricing_summary"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out = {}
+    for name, (fn, _sql) in _ALL.items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return _fn(spark, sf_dir)
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (same column aliases)."""
+    return {name: sql for name, (_fn, sql) in _ALL.items() if sql is not None}

@@ -1,0 +1,179 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard (inverted-index candidate join —
+never the O(N²) cross join), MinHash+LSH (shingle → k-perm minhash →
+banding → bucket join), SimHash. All hashing is md5-derived integer
+arithmetic, so signatures are deterministic across engines, partitionings
+and cluster sizes.
+
+Scale notes: the candidate-pair joins shuffle on token/band keys, which
+are high-cardinality and well-distributed; hot tokens (stopwords) are the
+skew risk, so `jaccard_candidates` drops tokens above a document-frequency
+cap before the join (standard posting-list pruning), and AQE skew-join
+covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from error_analysis_spark.extensions.text import tokens
+
+_MERSENNE31 = (1 << 31) - 1  # keeps every product below 2^62: no int64 overflow
+
+
+def _md5_long(col, hex_chars: int = 15):
+    """First `hex_chars` hex chars of md5 → non-negative long."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-hash groupBy, canonical = min id per group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"),
+             F.min(id_col).alias("canonical_id"))
+    )
+
+
+def doc_tokens(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """(id, token) long table; distinct token-set form for Jaccard."""
+    t = df.select(F.col(id_col).alias("id"),
+                  F.explode(tokens(text_col)).alias("token"))
+    return t.distinct() if distinct else t
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.5, max_df: int | None = None) -> DataFrame:
+    """N-gram/token Jaccard near-dup: inverted-index self-join on shared
+    tokens → |A∩B| per pair → J = inter/(|A|+|B|−inter) ≥ threshold.
+
+    `max_df` prunes tokens appearing in more than that many docs before
+    the join (skew + cost control; exactness caveat documented: a pair
+    sharing ONLY ultra-common tokens can be missed — at sensible
+    thresholds such pairs are below threshold anyway).
+    """
+    toks = doc_tokens(df, text_col, id_col).cache()
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    posting = toks
+    if max_df is not None:
+        tok_df = toks.groupBy("token").agg(F.count("*").alias("df"))
+        posting = toks.join(tok_df.where(F.col("df") <= max_df), "token")
+    a = posting.select(F.col("id").alias("id_a"), "token")
+    b = posting.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 32,
+                       seed: int = 42) -> DataFrame:
+    """K-permutation MinHash over token sets: h_i(t) = (a_i·md5(t)+b_i) mod M
+    (Mersenne 2³¹−1 — all products fit int64, portable to any SQL engine),
+    signature_i = min over tokens. Output: (id, perm, minhash)."""
+    toks = doc_tokens(df, text_col, id_col)
+    toks = toks.withColumn("th", _md5_long(F.col("token"), 7) % _MERSENNE31)
+    perms = df.sparkSession.range(num_perm).select(
+        F.col("id").alias("perm"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"a{seed}_"), F.col("id"))), 1, 7),
+                16, 10).cast("long") % F.lit(_MERSENNE31 - 1) + 1).alias("pa"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"b{seed}_"), F.col("id"))), 1, 7),
+                16, 10).cast("long") % F.lit(_MERSENNE31)).alias("pb"),
+    )
+    fanned = toks.crossJoin(F.broadcast(perms))
+    hv = (F.col("pa") * F.col("th") + F.col("pb")) % _MERSENNE31
+    return (
+        fanned.withColumn("hv", hv)
+        .groupBy("id", "perm")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 32,
+                        bands: int = 8) -> DataFrame:
+    """LSH banding: group the k minhashes into `bands` rows-per-band blocks,
+    hash each block, self-join on (band, block hash). Output unique
+    (id_a < id_b) candidate pairs."""
+    rows_per_band = num_perm // bands
+    banded = (
+        signatures
+        .withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(
+            F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("sig"))
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "sig")
+    b = banded.select(F.col("id").alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 32, bands: int = 8,
+                  threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup: signatures → banded candidates → exact
+    Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    toks = doc_tokens(df, text_col, id_col)
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col("id").alias("id_a"), "token")
+    tb = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cands.join(ta, "id_a").join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 48) -> DataFrame:
+    """SimHash: per token, md5-derived bit pattern; signature bit_j = 1 if
+    Σ_tokens (±1 for bit_j of hash) > 0. Near-dups share signatures within
+    small Hamming distance. Computed via explode over bit positions —
+    pure JVM expressions. `bits` ≤ 60 (md5-prefix hash width)."""
+    toks = doc_tokens(df, text_col, id_col, distinct=False)
+    toks = toks.withColumn("th", _md5_long(F.col("token")))
+    bit = df.sparkSession.range(bits).select(F.col("id").alias("bit"))
+    fanned = toks.crossJoin(F.broadcast(bit))
+    contrib = F.when(F.shiftright(F.col("th"), F.col("bit").cast("int"))
+                     .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    bitsum = (fanned.withColumn("c", contrib)
+              .groupBy("id", "bit").agg(F.sum("c").alias("s")))
+    return (
+        bitsum
+        .withColumn("bitval",
+                    F.when(F.col("s") > 0,
+                           F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int")))
+                    .otherwise(0))
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (JVM-side `aggregate`/
+`zip_with` dot products — no Python in the row path). The scale path is
+random-hyperplane LSH bucketing: deterministic md5-derived hyperplanes,
+sign-bit bucket keys, brute-force only within buckets (plus optional
+multi-probe via several independent tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (bit-stable across engines)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to a constant query
+    vector. One scan + one tiny global top-k (TakeOrderedAndProject —
+    no full sort at scale). Deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    emb = _as_double(F.col(vec_col))
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(emb, q), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pairwise_cosine_topk(embeddings: DataFrame, k: int = 5,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """All-pairs exact top-k neighbors (small/medium N): normalized
+    vectors, self cross join pruned by id ordering, per-id window top-k.
+    For 100TB-scale N use `lsh_topk`."""
+    from pyspark.sql import Window as W
+    normed = embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", l2_norm(F.col("v")))
+    a = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("n").alias("na"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    w = W.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k))
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Random-hyperplane LSH bucket key per vector: bit_j = sign(v·h_j),
+    h_j derived deterministically from md5(seed, j, dim) — reproducible on
+    any cluster, no stored model. Output: (id, bucket)."""
+    emb = _as_double(F.col(vec_col))
+    dim = F.size(emb)
+    idx = F.sequence(F.lit(0), dim - 1)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.transform(
+            idx,
+            lambda i, j=j: (
+                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.lit(j),
+                                                     i.cast("string"))), 1, 8),
+                       16, 10).cast("double") / F.lit(float(1 << 32)) - 0.5
+            ),
+        )
+        proj = dot(emb, plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 10,
+             n_tables: int = 4, seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate all-pairs top-k: candidates = pairs sharing a bucket in
+    any of `n_tables` independent hyperplane tables; exact cosine on
+    candidates only; per-id top-k. Recall grows with tables; cost stays
+    ~N·bucket_size instead of N²."""
+    from pyspark.sql import Window as W
+    cand = None
+    for t in range(n_tables):
+        bk = hyperplane_buckets(embeddings, n_planes, seed + 1000 * t,
+                                vec_col, id_col)
+        a = bk.select(F.col("id").alias("id_a"), "bucket")
+        b = bk.select(F.col("id").alias("id_b"), "bucket")
+        p = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")) \
+             .select("id_a", "id_b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    normed = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", l2_norm(F.col("v")))
+    va = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                       F.col("n").alias("na"))
+    vb = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                       F.col("n").alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = (cand.join(va, "id_a").join(vb, "id_b")
+              .select("id_a", "id_b", F.round(sim, 6).alias("sim")))
+    both = scored.unionByName(
+        scored.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
+                      "sim"))
+    w = W.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b").asc())
+    return both.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -1,0 +1,100 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are JVM built-ins (split/explode/aggregate);
+nothing drops to Python. Designed for the `documents` table
+(doc_id, text, lang, source, n_chars) but generic over any text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword profiles for the n-gram/stopword language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "ist", "mit", "von"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "que", "por", "en"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting + quality scoring signals per document:
+    token count, distinct tokens, type-token ratio, mean token length,
+    alpha ratio (quality-score inputs)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct.cast("double") / n_tok).alias("ttr"),
+        (total_len.cast("double") / n_tok).alias("mean_token_len"),
+        (n_alpha.cast("double") / F.length(text_col)).alias("alpha_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite heuristic quality score in [0,1]: favors mid-length docs,
+    lexical diversity, and high alpha ratio — the standard cheap pre-filter
+    before expensive dedup/training steps."""
+    s = token_stats(df, text_col, id_col)
+    len_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    return s.select(
+        id_col, "n_tokens",
+        F.round((F.lit(0.4) * len_score + F.lit(0.3) * F.col("ttr")
+                 + F.lit(0.3) * F.col("alpha_ratio")), 6).alias("quality"),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit-rate over tokens,
+    CJK-character rate for zh; predicted = argmax score."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    cols = [F.col(id_col)]
+    for lang, sw in STOPWORDS.items():
+        sw_arr = F.array(*[F.lit(w) for w in sw])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+        cols.append((hits.cast("double") / n_tok).alias(f"score_{lang}"))
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    cols.append((cjk.cast("double") / F.length(text_col)).alias("score_zh"))
+    scored = df.select(*cols)
+    langs = list(STOPWORDS.keys()) + ["zh"]
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in langs:
+        cond = F.col(f"score_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", n_shingles: int = 3) -> DataFrame:
+    """Document fingerprint: min over word-shingle hashes (a 1-permutation
+    minhash — stable under whitespace normalization). Hash = first 15 hex
+    chars of md5, arithmetic identical across engines."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n_shingles)
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n_shingles)))
+    hashes = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+    )

@@ -1,0 +1,429 @@
+"""Driver-contract queries: core relational + stats operators (SURVEY §2).
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+The oracle SQL runs on DuckDB against the same parquet views, so every
+query is written for *bit-stable cross-engine equality*:
+
+- big SUMs go through DECIMAL casts (exact arithmetic, order-insensitive)
+  instead of float sums whose low bits depend on partitioning;
+- skewness/kurtosis in the oracle use explicit population-moment formulas
+  (DuckDB's built-ins are sample-corrected; Spark's are population);
+- floats are rounded on both sides; counts/keys stay exact;
+- every computed column is aliased identically on both sides.
+
+These queries double as the operator regression suite over the driver's
+TPC-H-ish tables; the domain (raster/variogram) semantics are exercised
+on these tables too by mapping (event_id → grid coords), with the real
+geospatial fixtures covered in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from error_analysis_spark.functions import scalars as SC
+from error_analysis_spark.operators import stats as ST
+from error_analysis_spark.sources.tables import load_table
+
+
+def _dec(col, scale: int = 4):
+    """Exact-arithmetic cast for order-insensitive sums."""
+    return col.cast(f"decimal(30,{scale})")
+
+
+# --------------------------------------------------------------------------
+# Q01 — flagship pricing summary (A1-family grouped agg; TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec(F.col("l_extendedprice"), 4) * _dec(1 - F.col("l_discount"), 4)
+    charge = disc * _dec(1 + F.col("l_tax"), 4)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(1 - l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(1 - l_discount AS DECIMAL(30,4)) * CAST(1 + l_tax AS DECIMAL(30,4))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — full descriptive-stats block (stable_unstable_areas.py:549-584)
+# --------------------------------------------------------------------------
+
+def a1_describe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ST.describe(ev, "value")
+    rounded = [F.col("n")] + [
+        F.round(F.col(c), 6).alias(c) for c in d.columns if c != "n"
+    ]
+    return d.select(*rounded)
+
+
+A1_SQL = """
+WITH m AS (
+  SELECT count(value) AS n, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events
+)
+SELECT any_value(m.n) AS n,
+       round(any_value(m.mu), 6) AS mean,
+       round(median(value), 6) AS median,
+       round(any_value(m.sd), 6) AS std,
+       round(var_pop(value), 6) AS variance,
+       round(min(value), 6) AS min,
+       round(max(value), 6) AS max,
+       round(avg(pow(value - m.mu, 3)) / any_value(pow(m.sd, 3)), 6) AS skewness,
+       round(avg(pow(value - m.mu, 4)) / any_value(pow(m.sd, 4)) - 3, 6) AS kurtosis,
+       round(quantile_cont(value, 0.005), 6) AS p005,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(quantile_cont(value, 0.75), 6) AS q3,
+       round(quantile_cont(value, 0.995), 6) AS p995
+FROM events, m
+GROUP BY ()
+"""
+
+
+# --------------------------------------------------------------------------
+# A2 — zonal stats analog: per-nation stats over customer ⋈ orders
+# (zones ≙ nations; broadcast dim join + hash aggregate)
+# --------------------------------------------------------------------------
+
+def a2_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("zone"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean"),
+            F.round(F.median("o_totalprice"), 4).alias("median"),
+            F.round(F.stddev_pop("o_totalprice"), 4).alias("std"),
+            F.round(F.min("o_totalprice"), 4).alias("min"),
+            F.round(F.max("o_totalprice"), 4).alias("max"),
+        )
+    )
+
+
+A2_SQL = """
+SELECT n_name AS zone,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total,
+       round(avg(o_totalprice), 4) AS mean,
+       round(median(o_totalprice), 4) AS median,
+       round(stddev_pop(o_totalprice), 4) AS std,
+       round(min(o_totalprice), 4) AS min,
+       round(max(o_totalprice), 4) AS max
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 — median bias per group (notebook cell [74])
+# --------------------------------------------------------------------------
+
+def a6_median_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.median("value"), 6).alias("bias"),
+             F.count("value").alias("n"))
+    )
+
+
+A6_SQL = """
+SELECT event_type, round(median(value), 6) AS bias, count(value) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# A7 — bootstrap median std (variography_uncertainty.py:289-316),
+# deterministic splitmix-lite resampler expressible in both dialects
+# --------------------------------------------------------------------------
+
+_N_BOOT = 200
+
+
+def a7_bootstrap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = spark.range(_N_BOOT).withColumnRenamed("id", "rep")
+    u = ((F.col("event_id") * F.lit(2654435761) + F.col("rep") * F.lit(40503)
+          + F.lit(42)) % F.lit(1000003)).cast("double") / F.lit(1000003.0)
+    per_rep = (
+        ev.crossJoin(F.broadcast(reps))
+        .where(u < F.lit(0.1))
+        .groupBy("rep")
+        .agg(F.median("value").alias("med"))
+    )
+    return per_rep.agg(
+        F.round(F.stddev_samp("med"), 6).alias("median_std"),
+        F.round(F.avg("med"), 6).alias("median_mean"),
+        F.count("med").alias("n_reps"),
+    )
+
+
+A7_SQL = f"""
+WITH reps AS (SELECT range AS rep FROM range({_N_BOOT})),
+sampled AS (
+  SELECT rep, value
+  FROM events CROSS JOIN reps
+  WHERE CAST((event_id * 2654435761 + rep * 40503 + 42) % 1000003 AS DOUBLE)
+        / 1000003.0 < 0.1
+),
+per_rep AS (SELECT rep, median(value) AS med FROM sampled GROUP BY rep)
+SELECT round(stddev_samp(med), 6) AS median_std,
+       round(avg(med), 6) AS median_mean,
+       count(med) AS n_reps
+FROM per_rep
+"""
+
+
+# --------------------------------------------------------------------------
+# A8 — RMS (variography_uncertainty.py:1544-1552)
+# --------------------------------------------------------------------------
+
+def a8_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    r = ST.rms(ev, "value")
+    return r.select(F.round(F.col("rms"), 6).alias("rms"), "n")
+
+
+A8_SQL = """
+SELECT round(sqrt(avg(value * value)), 6) AS rms, count(value) AS n FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# A16 — symmetric bounds (differencing_functions.py:2432-2452)
+# --------------------------------------------------------------------------
+
+def a16_sym_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ST.sym_bounds(ev, "value")
+    return b.select(F.round(F.col("vmin"), 6).alias("vmin"),
+                    F.round(F.col("vmax"), 6).alias("vmax"))
+
+
+A16_SQL = """
+SELECT round(-max(abs(value)), 6) AS vmin, round(max(abs(value)), 6) AS vmax
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# W1/W2/J9 — sort + positional pick (differencing_functions.py:507-552)
+# --------------------------------------------------------------------------
+
+def w2_positional_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").isin(1, 100, 1000))
+        .select("rn", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+W2_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+         row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT rn, o_orderkey, o_orderdate, round(o_totalprice, 4) AS o_totalprice
+FROM ranked WHERE rn IN (1, 100, 1000)
+"""
+
+
+# --------------------------------------------------------------------------
+# SO2 — anti-join / EXCEPT (stable_unstable_areas.py:351-410 pixel form)
+# --------------------------------------------------------------------------
+
+def so2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SO2_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# SO3 — combined-mask full-outer coalesce (differencing_functions.py:2498-2552)
+# --------------------------------------------------------------------------
+
+def so3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    a = (ev.where(F.col("event_type") == "click")
+           .groupBy(day).agg(F.count("*").alias("clicks")))
+    b = (ev.where(F.col("event_type") == "error")
+           .groupBy(day).agg(F.count("*").alias("errors")))
+    return (
+        a.join(b, "day", "full_outer")
+        .select("day",
+                F.coalesce(F.col("clicks"), F.lit(0)).alias("clicks"),
+                F.coalesce(F.col("errors"), F.lit(0)).alias("errors"))
+    )
+
+
+SO3_SQL = """
+WITH a AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS clicks FROM events
+  WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS errors FROM events
+  WHERE event_type = 'error' GROUP BY 1
+)
+SELECT COALESCE(a.day, b.day) AS day,
+       COALESCE(clicks, 0) AS clicks,
+       COALESCE(errors, 0) AS errors
+FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+
+
+# --------------------------------------------------------------------------
+# SC pack — scalar function battery (SC1, SC5, SC7, SC8, SC12, SC14, SC16)
+# --------------------------------------------------------------------------
+
+def sc_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderkey") % 37 == 0)
+    start = F.col("o_orderdate").cast("date")
+    end = F.date_add(start, 90)
+    lon = (F.col("o_totalprice") % 360) - 180
+    return o.select(
+        "o_orderkey",
+        SC.sanitize_name(F.col("o_orderpriority")).alias("clean_name"),
+        SC.normalize_geoid_alias(F.col("o_orderstatus")).alias("norm_status"),
+        SC.midpoint_date(start, end).alias("mid_date"),
+        F.round(SC.decimal_year(start), 6).alias("dec_year"),
+        F.round(SC.dist2d(F.col("o_totalprice") / 1000, F.lit(3.0)), 6).alias("dist"),
+        F.round(SC.quadrature(F.col("o_totalprice") / 1000, F.lit(4.0)), 6).alias("quad"),
+        SC.utm_zone(lon).alias("utm_zone"),
+    )
+
+
+SC_SQL = """
+SELECT o_orderkey,
+       regexp_replace(o_orderpriority, '[^a-zA-Z0-9_]+', '_', 'g') AS clean_name,
+       replace(replace(replace(lower(o_orderstatus), ' ', ''), '_', ''), '-', '') AS norm_status,
+       CAST(o_orderdate AS DATE) + CAST(floor(90 / 2) AS INTEGER) AS mid_date,
+       round(year(o_orderdate)
+             + (dayofyear(o_orderdate) - 1) / 365.25, 6) AS dec_year,
+       round(sqrt((o_totalprice/1000)*(o_totalprice/1000) + 9.0), 6) AS dist,
+       round(sqrt((o_totalprice/1000)*(o_totalprice/1000) + 16.0), 6) AS quad,
+       CAST(floor(((o_totalprice % 360) - 180 + 180) / 6) + 1 AS INTEGER) AS utm_zone
+FROM orders WHERE o_orderkey % 37 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# SC4 — JSON extraction (differencing_functions.py:464-503 catalog parse)
+# --------------------------------------------------------------------------
+
+def sc4_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"),
+             F.count("k").alias("n_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+SC4_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# F5 — valid-value filter (variography_uncertainty.py:110-114)
+# --------------------------------------------------------------------------
+
+def f5_valid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    valid = ev.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+        & (F.col("value") != -9999.0))
+    return valid.groupBy("event_type").agg(
+        F.count("*").alias("n_valid"),
+        F.round(F.avg("value"), 6).alias("mean_valid"),
+    )
+
+
+F5_SQL = """
+SELECT event_type, count(*) AS n_valid, round(avg(value), 6) AS mean_valid
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value) AND value <> -9999.0
+GROUP BY event_type
+"""
+
+
+CORE_QUERIES: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "a1_describe_events": (a1_describe_events, A1_SQL),
+    "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
+    "a6_median_bias": (a6_median_bias, A6_SQL),
+    "a7_bootstrap_median": (a7_bootstrap_median, A7_SQL),
+    "a8_rms": (a8_rms, A8_SQL),
+    "a16_sym_bounds": (a16_sym_bounds, A16_SQL),
+    "w2_positional_pick": (w2_positional_pick, W2_SQL),
+    "so2_anti_join": (so2_anti_join, SO2_SQL),
+    "so3_full_outer": (so3_full_outer, SO3_SQL),
+    "sc_scalar_pack": (sc_scalar_pack, SC_SQL),
+    "sc4_json_extract": (sc4_json_extract, SC4_SQL),
+    "f5_valid_filter": (f5_valid_filter, F5_SQL),
+}

@@ -1,0 +1,255 @@
+"""Driver-contract queries: training-data extension operators over the
+`documents` and `embeddings` tables — dedup (exact / Jaccard / MinHash),
+similarity search, text analysis.
+
+Hash arithmetic is md5-derived (`conv(substr(md5(x),1,15),16,10)` ≡
+DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` — verified bit-equal), so
+even the MinHash signatures are oracle-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from error_analysis_spark.extensions import dedup as DD
+from error_analysis_spark.extensions import similarity as SIM
+from error_analysis_spark.extensions import text as TX
+from error_analysis_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-level Jaccard near-dup (inverted-index join, no cross join)
+# --------------------------------------------------------------------------
+
+_J_THRESH = 0.5
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, threshold=_J_THRESH)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+),
+sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_J_THRESH}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (deterministic md5 hashing — full oracle check)
+# --------------------------------------------------------------------------
+
+_NUM_PERM = 16
+_M31 = (1 << 31) - 1
+
+
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 10 == 0)
+    return DD.minhash_signatures(docs, num_perm=_NUM_PERM, seed=42)
+
+
+MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+  WHERE doc_id % 10 = 0
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(token), 1, 7))::BIGINT % {_M31} AS th FROM toks
+),
+perms AS (
+  SELECT range AS perm,
+         ('0x' || substr(md5('a42_' || range), 1, 7))::BIGINT
+             % ({_M31} - 1) + 1 AS pa,
+         ('0x' || substr(md5('b42_' || range), 1, 7))::BIGINT
+             % {_M31} AS pb
+  FROM range({_NUM_PERM})
+)
+SELECT id, perm, min((pa * th + pb) % {_M31}) AS minhash
+FROM hashed CROSS JOIN perms
+GROUP BY id, perm
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint (1-perm shingle minhash)
+# --------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs, n_shingles=3)
+
+
+FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, len(toks) - 2),
+         i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                              1, 15))::BIGINT)) AS fingerprint,
+       len(toks) AS n_tokens
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Text token/quality stats
+# --------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = TX.token_stats(docs)
+    return s.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+    )
+
+
+TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks), 6) AS mean_token_len,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (stopword hit rates + CJK char rate, argmax)
+# --------------------------------------------------------------------------
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.lang_scores(docs)
+    return (
+        scored.groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.sum("score_en"), 6).alias("sum_score_en"))
+    )
+
+
+_SW_SQL = {lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in TX.STOPWORDS.items()}
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+             AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ({_SW_SQL['en']}))) AS DOUBLE)
+             / len(toks) AS score_en,
+         CAST(len(list_filter(toks, x -> x IN ({_SW_SQL['fr']}))) AS DOUBLE)
+             / len(toks) AS score_fr,
+         CAST(len(list_filter(toks, x -> x IN ({_SW_SQL['de']}))) AS DOUBLE)
+             / len(toks) AS score_de,
+         CAST(len(list_filter(toks, x -> x IN ({_SW_SQL['es']}))) AS DOUBLE)
+             / len(toks) AS score_es,
+         CAST(length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+              AS DOUBLE) / length(text) AS score_zh
+  FROM t
+),
+pred AS (
+  SELECT doc_id, score_en,
+         CASE
+           WHEN score_en >= greatest(score_fr, score_de, score_es, score_zh) THEN 'en'
+           WHEN score_fr >= greatest(score_en, score_de, score_es, score_zh) THEN 'fr'
+           WHEN score_de >= greatest(score_en, score_fr, score_es, score_zh) THEN 'de'
+           WHEN score_es >= greatest(score_en, score_fr, score_de, score_zh) THEN 'es'
+           ELSE 'zh'
+         END AS pred_lang
+  FROM scored
+)
+SELECT pred_lang, count(*) AS n_docs, round(sum(score_en), 6) AS sum_score_en
+FROM pred GROUP BY pred_lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search: exact cosine top-k against a fixed query vector
+# --------------------------------------------------------------------------
+
+_TOP_K = 20
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(v) for v in qrow["embedding"]]
+    return SIM.cosine_topk(emb.where(F.col("vec_id") > 0), qvec, k=_TOP_K)
+
+
+SIM_TOPK_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM embeddings, q WHERE vec_id > 0
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {_TOP_K}
+"""
+
+
+EXT_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_sigs": (dedup_minhash_sigs, MINHASH_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
+    "text_lang_id": (text_lang_id, LANG_ID_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+}

@@ -1,0 +1,85 @@
+"""Driver-contract queries: variography operators (J4/A3/A4/F7, R6).
+
+The driver's synthetic tables have no spatial grid, so the variogram
+pipeline is exercised by mapping `events` onto a deterministic 2-D field:
+x = (event_id % 97)·3, y = ⌊event_id/97⌋·3, value = value. The Spark side
+runs the engine's *bucketed self-range-join* (operators.variogram.pair_bins
+— the scale path); the oracle is the naive O(M²) self-join the reference
+implements in numba (variography_uncertainty.py:364-431). Equality of the
+two proves the bucket decomposition exact.
+
+Bit-stability: `value` is cast to DECIMAL(18,2) before pairing so the
+Σ(Δv)² accumulator is exact integer-scaled arithmetic on both engines —
+the float sum-order problem cannot appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from error_analysis_spark.operators.variogram import pair_bins
+from error_analysis_spark.sources.tables import load_table
+
+_BIN_W = 10.0
+_MAX_LAG = 60.0
+_MIN_PAIRS = 10
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    return ev.select(
+        F.col("event_id").alias("sample_id"),
+        (F.col("event_id") % 97).cast("double") * 3.0,
+        F.floor(F.col("event_id") / 97).cast("double") * 3.0,
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.lit(0).alias("run"),
+    ).toDF("sample_id", "x", "y", "value", "run")
+
+
+def j4_variogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _event_points(spark, sf_dir)
+    binned = pair_bins(pts, max_lag=_MAX_LAG, bin_width=_BIN_W)
+    ssd_d = F.col("ssd").cast("double")
+    return binned.select(
+        F.col("bin"),
+        F.col("pair_count"),
+        F.round(ssd_d, 4).alias("ssd"),
+        F.when(F.col("pair_count") >= _MIN_PAIRS,
+               F.round(ssd_d / (2.0 * F.col("pair_count")), 6)).alias("gamma"),
+    )
+
+
+J4_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS sid,
+         CAST(event_id % 97 AS DOUBLE) * 3.0 AS x,
+         CAST(event_id // 97 AS DOUBLE) * 3.0 AS y,
+         CAST(value AS DECIMAL(18,2)) AS value
+  FROM events WHERE event_id % 5 = 0
+),
+pairs AS (
+  SELECT sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist,
+         (a.value - b.value) * (a.value - b.value) AS sq
+  FROM pts a JOIN pts b ON a.sid < b.sid
+),
+binned AS (
+  SELECT CAST(floor(dist / {_BIN_W}) AS INTEGER) AS bin,
+         count(*) AS pair_count,
+         sum(sq) AS ssd_dec
+  FROM pairs
+  WHERE dist <= {_MAX_LAG}
+  GROUP BY 1
+)
+SELECT bin, pair_count,
+       round(CAST(ssd_dec AS DOUBLE), 4) AS ssd,
+       CASE WHEN pair_count >= {_MIN_PAIRS}
+            THEN round(CAST(ssd_dec AS DOUBLE) / (2.0 * pair_count), 6)
+       END AS gamma
+FROM binned
+"""
+
+
+VARIO_QUERIES: dict[str, tuple] = {
+    "j4_variogram_bins": (j4_variogram_bins, J4_SQL),
+}
