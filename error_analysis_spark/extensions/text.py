@@ -62,17 +62,34 @@ def quality_score(df: DataFrame, text_col: str = "text",
 def lang_scores(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Language-ID heuristic: per-language stopword hit-rate over tokens,
-    CJK-character rate for zh; predicted = argmax score."""
-    toks = tokens(F.lower(F.col(text_col)))
-    n_tok = F.size(toks)
-    cols = [F.col(id_col)]
-    for lang, sw in STOPWORDS.items():
-        sw_arr = F.array(*[F.lit(w) for w in sw])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
-        cols.append((hits.cast("double") / n_tok).alias(f"score_{lang}"))
-    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
-    cols.append((cjk.cast("double") / F.length(text_col)).alias("score_zh"))
-    scored = df.select(*cols)
+    CJK-character rate for zh; predicted = argmax score.
+
+    Shape: explode tokens → broadcast join against the (token, lang)
+    stopword table → pivot counts per language. One shuffle on doc id;
+    the stopword dim stays broadcast — scales to any corpus size (vs.
+    per-row array-filter expressions, which blow up codegen and
+    re-scan the token array once per language)."""
+    spark = df.sparkSession
+    sw_rows = [(w, lg) for lg, ws in STOPWORDS.items() for w in ws]
+    sw_tbl = spark.createDataFrame(sw_rows, ["token", "lang"])
+    base = df.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+        (F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+         .cast("double") / F.length(text_col)).alias("score_zh"),
+    ).withColumn("n_tok", F.size("toks"))
+    hits = (
+        base.select(id_col, F.explode("toks").alias("token"))
+        .join(F.broadcast(sw_tbl), "token")
+        .groupBy(id_col).pivot("lang", list(STOPWORDS)).count()
+    )
+    scored = base.drop("toks").join(hits, id_col, "left")
+    for lg in STOPWORDS:
+        scored = scored.withColumn(
+            f"score_{lg}",
+            F.coalesce(F.col(lg), F.lit(0)).cast("double") / F.col("n_tok"),
+        ).drop(lg)
+    scored = scored.drop("n_tok")
     langs = list(STOPWORDS.keys()) + ["zh"]
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = None
