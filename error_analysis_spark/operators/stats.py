@@ -22,9 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Large prime multipliers for the deterministic splitmix-style resampler (A7).
-_MIX1 = 0x9E3779B97F4A7C15
-_MASK = (1 << 63) - 1
 
 
 def describe_exprs(value: str = "value", prefix: str = "") -> list[Column]:
@@ -111,11 +108,8 @@ def bootstrap_median_std(df: DataFrame, value: str = "value",
     materializing n_boot× the data.
     """
     reps = df.sparkSession.range(n_boot).withColumnRenamed("id", "rep")
-    mixed = (
-        (F.col(id_col).cast("long") * F.lit(_MIX1) + F.col("rep") * F.lit(0x2545F491)
-         + F.lit(seed)).bitwiseAND(F.lit(_MASK))
-    )
-    u = (mixed % F.lit(1_000_000_007)).cast("double") / F.lit(1_000_000_007.0)
+    u = (F.pmod(F.xxhash64(F.col(id_col).cast("long"), F.col("rep"), F.lit(seed)),
+                F.lit(1_000_000_007)).cast("double") / F.lit(1_000_000_007.0))
     fanned = df.crossJoin(F.broadcast(reps)).where(u < F.lit(fraction))
     per_rep = fanned.groupBy("rep").agg(F.median(F.col(value)).alias("med"))
     return per_rep.agg(

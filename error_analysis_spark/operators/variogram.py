@@ -33,19 +33,18 @@ from pyspark.sql import functions as F
 
 MIN_PAIRS = 10  # variography_uncertainty.py:325
 
-_MIX1 = 0x9E3779B97F4A7C15
-_MIX2 = 0xBF58476D1CE4E5B9
-_MASK = (1 << 63) - 1
 _PRIME = 2_305_843_009_213_693_951  # 2^61 - 1
 
 
 def _uniform_hash(id_col, seed: int, run_col=None):
-    """Deterministic u ∈ [0,1) from (id, run, seed) — partitioning-independent."""
-    z = id_col.cast("long") * F.lit(_MIX1) + F.lit(int(seed) * 0x632BE5AB)
+    """Deterministic u ∈ [0,1) from (id, run, seed) via xxhash64 —
+    partitioning- and cluster-size-independent (ANSI-safe: no arithmetic
+    that can overflow), the distributed restatement of the reference's
+    single-seed `np.random` thread (SURVEY §7 hard part #2)."""
+    cols = [id_col.cast("long"), F.lit(int(seed))]
     if run_col is not None:
-        z = z + run_col.cast("long") * F.lit(_MIX2)
-    z = z.bitwiseAND(F.lit(_MASK))
-    return (z % F.lit(_PRIME)).cast("double") / F.lit(float(_PRIME))
+        cols.append(run_col.cast("long"))
+    return F.pmod(F.xxhash64(*cols), F.lit(_PRIME)).cast("double") / F.lit(float(_PRIME))
 
 
 @dataclass
