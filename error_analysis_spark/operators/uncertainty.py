@@ -1,0 +1,283 @@
+"""Uncertainty propagation — SURVEY.md §2 A8/A14 (closed form), SC15
+(analytical disk integral), J5+A9 (Monte Carlo), J6+A12 (Hugonnet),
+J7+A11 (brute force), A10 (FFT footprint), A15 percentile rollups.
+
+All estimate σ_A — the standard error of the spatial mean of a field
+with variogram γ over an area A — plus the uncorrelated term rms/√n and
+quadrature totals (variography_uncertainty.py:989-1582).
+
+The five correlated-term estimators form the reference's own
+accuracy/cost ladder (:989-1001): brute O(N²) validates analytical
+O(steps), MC O(n_pairs), FFT O(n log n), Hugonnet O(kN). We keep all
+five as user-selectable methods and, like the reference, use
+cross-method agreement as the correctness oracle (SURVEY §5.1).
+
+Scale shapes: MC pair generation is a zip-join on pair id (no shuffle:
+ids are assigned within partitions); Hugonnet broadcasts k centers
+against the pixel table (map-side cross join + two-level agg); brute
+force stays a bounded validation path (grid_points caps N).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from error_analysis_spark.functions.geometry import (
+    parse_wkt_polygon, pip_mask, polygon_area, polygon_bounds,
+)
+
+
+# --------------------------------------------------------------------------
+# covariance helpers (SC10/SC11 in numpy + Column forms)
+# --------------------------------------------------------------------------
+
+def gamma_np(h, sills, ranges, nugget=0.0):
+    out = np.full_like(np.asarray(h, dtype=np.float64), float(nugget))
+    for c, a in zip(sills, ranges):
+        u = np.minimum(np.asarray(h) / a, 1.0)
+        out = out + c * (1.5 * u - 0.5 * u ** 3)
+    return out
+
+
+def total_sill(sills, nugget=0.0) -> float:
+    return float(sum(sills) + nugget)
+
+
+def cov_expr(dist_col, sills, ranges, nugget=0.0):
+    """C(h) = σ² − γ(h) as a Column expression."""
+    from error_analysis_spark.functions.scalars import spherical_gamma
+    sill = total_sill(sills, nugget)
+    return F.lit(sill) - spherical_gamma(dist_col, list(sills), list(ranges),
+                                         float(nugget))
+
+
+# --------------------------------------------------------------------------
+# A8/A14 — uncorrelated term + closed-form correlated terms + quadrature
+# --------------------------------------------------------------------------
+
+def mean_random_uncorrelated(rms: float, n: int) -> float:
+    """σ_uncorr = rms/√n (variography_uncertainty.py:1544-1552)."""
+    return rms / math.sqrt(n)
+
+
+def closed_form_correlated(sills, ranges, n: int, res: float) -> list[float]:
+    """A14 — per component i: √(2Cᵢ)/√n · √(π aᵢ²/(5 res²))
+    (variography_uncertainty.py:1670-1737)."""
+    return [
+        math.sqrt(2.0 * c) / math.sqrt(n) * math.sqrt(math.pi * a * a
+                                                      / (5.0 * res * res))
+        for c, a in zip(sills, ranges)
+    ]
+
+
+def quadrature_total(components: list[float]) -> float:
+    """SC14 — √(Σ σᵢ²) (variography_uncertainty.py:1554-1573)."""
+    return math.sqrt(sum(c * c for c in components))
+
+
+# --------------------------------------------------------------------------
+# SC15 — analytical equivalent-disk integral
+# --------------------------------------------------------------------------
+
+def estimate_analytical(area: float, sills, ranges, nugget=0.0,
+                        num_steps: int = 1000) -> float:
+    """σ_A² = (2π/A)·Σ r·C(r)·dr over a midpoint grid to R = √(A/π)
+    (variography_uncertainty.py:1184-1195). Driver-scalar: 1000 steps of
+    closed-form math needs no cluster."""
+    radius = math.sqrt(area / math.pi)
+    dr = radius / num_steps
+    r = (np.arange(num_steps) + 0.5) * dr
+    cov = total_sill(sills, nugget) - gamma_np(r, sills, ranges, nugget)
+    var = (2.0 * math.pi / area) * float(np.sum(r * cov)) * dr
+    return math.sqrt(max(var, 0.0))
+
+
+# --------------------------------------------------------------------------
+# J5 + A9 — Monte Carlo pair sampling inside a polygon
+# --------------------------------------------------------------------------
+
+def uniform_points_in_polygon(spark: SparkSession, wkt: str, n: int,
+                              seed: int = 42) -> DataFrame:
+    """U5 — rejection-sample n uniform points inside the polygon
+    (variography_uncertainty.py:1011-1047). `mapInPandas` generator with
+    per-partition seeds (seed + partition_id): deterministic at fixed
+    partitioning, embarrassingly parallel, no driver data."""
+    rings = parse_wkt_polygon(wkt)
+    minx, miny, maxx, maxy = polygon_bounds(wkt)
+    n_parts = max(1, min(32, n // 50_000 + 1))
+    per_part = n // n_parts + 1
+
+    def gen(iterator):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rng = np.random.RandomState(seed + 7919 * pid)
+        for pdf in iterator:
+            want = int(pdf["want"].iloc[0])
+            xs, ys = [], []
+            got = 0
+            while got < want:
+                m = max(1024, int((want - got) * 2.2))
+                cx = rng.uniform(minx, maxx, m)
+                cy = rng.uniform(miny, maxy, m)
+                keep = pip_mask(cx, cy, rings)
+                xs.append(cx[keep])
+                ys.append(cy[keep])
+                got += int(keep.sum())
+            x = np.concatenate(xs)[:want]
+            y = np.concatenate(ys)[:want]
+            yield pd.DataFrame({"x": x, "y": y})
+
+    base = spark.range(n_parts).select(F.lit(per_part).alias("want"))
+    base = base.repartition(n_parts)
+    pts = base.mapInPandas(gen, "x double, y double")
+    return (pts.limit(n)
+            .withColumn("pair_id", F.monotonically_increasing_id()))
+
+
+def estimate_monte_carlo(spark: SparkSession, wkt: str, sills, ranges,
+                         nugget=0.0, n_pairs: int = 100_000,
+                         seed: int = 42) -> float:
+    """J5+A9 homoscedastic — σ_A² ≈ E over random point pairs (X,Y in A)
+    of C(|X−Y|) (variography_uncertainty.py:1236-1274). Pairing is a
+    zip-join of two independent point sets on pair index."""
+    a = uniform_points_in_polygon(spark, wkt, n_pairs, seed)
+    b = uniform_points_in_polygon(spark, wkt, n_pairs, seed + 1)
+    a = a.select(F.col("pair_id"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = b.select(F.col("pair_id"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "pair_id")
+    dist = F.hypot(F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb"))
+    var = pairs.agg(F.avg(cov_expr(dist, sills, ranges, nugget)).alias("v")) \
+               .first()["v"]
+    return math.sqrt(max(var, 0.0))
+
+
+# --------------------------------------------------------------------------
+# J6 + A12 — Hugonnet k-center shortcut
+# --------------------------------------------------------------------------
+
+def estimate_hugonnet(pixels: DataFrame, sills, ranges, nugget=0.0,
+                      k_centers: int = 100, seed: int = 42,
+                      sigma2_col: str | None = None) -> float:
+    """J6+A12 — σ²_A = mean(σ²_px) · (mean over k random centers of
+    Σ_pixels ρ(d))/N (Hugonnet et al. Eqs. 18-19;
+    variography_uncertainty.py:1322-1378).
+
+    `pixels`: (x, y[, σ²]) in-polygon pixel centers. k centers are drawn
+    from the pixels themselves (deterministic hash order) and broadcast —
+    the big table never shuffles; two-level aggregate reduces."""
+    sill = total_sill(sills, nugget)
+    n = pixels.count()
+    centers = (pixels
+               .withColumn("_u", F.pmod(F.xxhash64("x", "y", F.lit(seed)),
+                                        F.lit(1_000_003)))
+               .orderBy("_u").limit(k_centers)
+               .select(F.col("x").alias("cx"), F.col("y").alias("cy"),
+                       F.col("_u").alias("center_id")))
+    joined = pixels.crossJoin(F.broadcast(centers))
+    dist = F.hypot(F.col("x") - F.col("cx"), F.col("y") - F.col("cy"))
+    # ρ(d) = C(d)/σ², clipped to [-1, 1] (variography_uncertainty.py:1359)
+    rho = F.greatest(F.lit(-1.0), F.least(
+        F.lit(1.0), cov_expr(dist, sills, ranges, nugget) / F.lit(sill)))
+    if sigma2_col is None:
+        mean_sigma2 = sill
+    else:
+        mean_sigma2 = pixels.agg(F.avg(sigma2_col)).first()[0]
+    per_center = joined.groupBy("center_id").agg(F.sum(rho).alias("sum_rho"))
+    mean_sum_rho = per_center.agg(F.avg("sum_rho")).first()[0]
+    var = mean_sigma2 * mean_sum_rho / n
+    return math.sqrt(max(var, 0.0))
+
+
+# --------------------------------------------------------------------------
+# J7 + A11 — brute-force double sum (validation path)
+# --------------------------------------------------------------------------
+
+def estimate_brute_force(spark: SparkSession, wkt: str, sills, ranges,
+                         nugget=0.0, grid_points: int = 100) -> float:
+    """J7+A11 — regular grid inside the polygon, full double sum
+    σ_A² = ΣᵢΣⱼ C(dᵢⱼ)/N² (variography_uncertainty.py:1197-1234).
+    Bounded by grid_points² cells — the validation oracle, kept exact."""
+    minx, miny, maxx, maxy = polygon_bounds(wkt)
+    rings = parse_wkt_polygon(wkt)
+    gx = np.linspace(minx, maxx, grid_points)
+    gy = np.linspace(miny, maxy, grid_points)
+    xx, yy = np.meshgrid(gx, gy)
+    keep = pip_mask(xx.ravel(), yy.ravel(), rings)
+    pts = pd.DataFrame({"x": xx.ravel()[keep], "y": yy.ravel()[keep]})
+    pts["id"] = np.arange(len(pts), dtype=np.int64)
+    sdf = spark.createDataFrame(pts)
+    a = sdf.select(F.col("id").alias("ia"), F.col("x").alias("xa"),
+                   F.col("y").alias("ya"))
+    b = sdf.select(F.col("id").alias("ib"), F.col("x").alias("xb"),
+                   F.col("y").alias("yb"))
+    pairs = a.crossJoin(b)
+    dist = F.hypot(F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb"))
+    total = pairs.agg(F.sum(cov_expr(dist, sills, ranges, nugget))).first()[0]
+    n = len(pts)
+    return math.sqrt(max(total / (n * n), 0.0))
+
+
+# --------------------------------------------------------------------------
+# A10 — FFT footprint estimator (per-zone numpy kernel)
+# --------------------------------------------------------------------------
+
+def estimate_fft(wkt: str, sills, ranges, nugget=0.0,
+                 grid_points: int = 200) -> float:
+    """A10 — autocorrelation of the polygon mask via rFFT × covariance map
+    (variography_uncertainty.py:1276-1320). Grids are bounded
+    (grid_points default 200) so this is a per-zone numpy kernel — in
+    pipelines it runs inside applyInPandas per zone."""
+    minx, miny, maxx, maxy = polygon_bounds(wkt)
+    rings = parse_wkt_polygon(wkt)
+    nx = ny = grid_points
+    dx = (maxx - minx) / nx
+    dy = (maxy - miny) / ny
+    cx = minx + (np.arange(nx) + 0.5) * dx
+    cy = miny + (np.arange(ny) + 0.5) * dy
+    xx, yy = np.meshgrid(cx, cy)
+    mask = pip_mask(xx.ravel(), yy.ravel(), rings).reshape(ny, nx).astype(float)
+    n_in = mask.sum()
+    if n_in == 0:
+        return 0.0
+    # autocorrelation of the mask via zero-padded rFFT
+    py, px = 2 * ny, 2 * nx
+    fm = np.fft.rfft2(mask, s=(py, px))
+    corr = np.fft.irfft2(fm * np.conj(fm), s=(py, px))
+    corr = np.fft.fftshift(corr)
+    iy = np.arange(py) - py // 2
+    ix = np.arange(px) - px // 2
+    hy = iy[:, None] * dy
+    hx = ix[None, :] * dx
+    cov = total_sill(sills, nugget) - gamma_np(np.hypot(hy, hx), sills, ranges,
+                                               nugget)
+    cell_area = dx * dy
+    area = n_in * cell_area
+    var = float(np.sum(corr * cov)) * cell_area ** 2 / (area ** 2)
+    return math.sqrt(max(var, 0.0))
+
+
+# --------------------------------------------------------------------------
+# dispatch (mirrors the reference's method= ladder, :989-1001)
+# --------------------------------------------------------------------------
+
+def estimate_sigma_a(spark: SparkSession, wkt: str, sills, ranges, nugget=0.0,
+                     method: str = "analytical", **kw) -> float:
+    if method == "analytical":
+        return estimate_analytical(polygon_area(wkt), sills, ranges, nugget,
+                                   kw.get("num_steps", 1000))
+    if method == "monte_carlo":
+        return estimate_monte_carlo(spark, wkt, sills, ranges, nugget,
+                                    kw.get("n_pairs", 100_000),
+                                    kw.get("seed", 42))
+    if method == "brute_force":
+        return estimate_brute_force(spark, wkt, sills, ranges, nugget,
+                                    kw.get("grid_points", 100))
+    if method == "fft":
+        return estimate_fft(wkt, sills, ranges, nugget,
+                            kw.get("grid_points", 200))
+    raise ValueError(f"unknown method: {method}")
