@@ -1,0 +1,211 @@
+"""Point-cloud → DEM pipeline — SURVEY.md §2 S8 (gridding), R3 (gap-fill),
+F1-F4 (class filters), SC6 (GPS time → date), plus the E1 entry chain
+(differencing_functions.py:1547-1841, 1650-1764).
+
+Reference semantics:
+- noise filter: drop Classification ∈ {7, 18} (differencing_functions.py:794-798)
+- ground filter: keep Classification == 2 for DTM (:903-908)
+- gridding: PDAL writers.gdal bins points into cells, aggregating by
+  `max` (DSM) or `idw` over a radius of 2×res (DTM) (:666-705, 889-921)
+- gap-fill: gdal.FillNodata inverse-distance within max_dist (:588-661)
+- GPS time: epoch 1980-01-06, +1e9 s LAS-1.4 adjustment (:1559-1567)
+
+Spark-first design
+------------------
+Gridding is ONE hash aggregate: `groupBy(floor cell)` with `max(z)` for
+DSM.  The IDW variant (points within radius 2·res of each cell center)
+is a bounded neighbor-cell fan-out: each point contributes to the ≤ 9
+cells whose center lies within the radius (radius 2·res ⇒ 5×5 cell
+window bound, enumerated statically), then one aggregate computes
+Σ(w·z)/Σ(w).  Shuffle volume is O(points × windowcells), never a
+crossJoin — and partial aggregation combines map-side.
+
+Gap-fill is a bounded range join: candidate donor pixels fan out to the
+tile neighborhood within `max_dist` cells, missing cells take
+Σ(w·v)/Σ(w) over donors with w = 1/d².  Donor fan-out uses the same
+static cell-window enumeration, so the join is an equi-join on the
+window cell key — Catalyst plans a plain shuffle join, no theta join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from error_analysis_spark.fixtures import GridSpec
+
+NOISE_CLASSES = (7, 18)   # differencing_functions.py:794-798
+GROUND_CLASS = 2          # :903-908
+
+
+def drop_noise(points: DataFrame) -> DataFrame:
+    """F1 — Classification![7:7], Classification![18:18]."""
+    return points.where(~F.col("classification").isin(*NOISE_CLASSES))
+
+
+def keep_ground(points: DataFrame) -> DataFrame:
+    """F2 — DTM path keeps ground returns only."""
+    return points.where(F.col("classification") == GROUND_CLASS)
+
+
+def gps_time_to_date(gps_s: Column) -> Column:
+    """SC6 — GPS seconds → date; LAS-1.4 stores adjusted GPS time
+    (t − 1e9); values < 1e9 are assumed already-adjusted and shifted
+    back (differencing_functions.py:1559-1567)."""
+    adj = F.when(gps_s < 1e9, gps_s + 1e9).otherwise(gps_s)
+    return F.date_add(F.to_date(F.lit("1980-01-06")),
+                      F.floor(adj / 86400.0).cast("int"))
+
+
+def _cell(points: DataFrame, grid: GridSpec) -> DataFrame:
+    """Assign each point to its home cell (SC13 inverse transform)."""
+    return (
+        points
+        .withColumn("row", F.floor((F.lit(grid.y0) - F.col("y")) / F.lit(grid.res))
+                    .cast("int"))
+        .withColumn("col", F.floor((F.col("x") - F.lit(grid.x0)) / F.lit(grid.res))
+                    .cast("int"))
+        .where((F.col("row") >= 0) & (F.col("row") < grid.height)
+               & (F.col("col") >= 0) & (F.col("col") < grid.width))
+    )
+
+
+def grid_max(points: DataFrame, grid: GridSpec) -> DataFrame:
+    """S8 DSM — max-z per cell (writers.gdal output_type=max,
+    differencing_functions.py:889-901). One hash aggregate."""
+    return (
+        _cell(points, grid)
+        .groupBy("row", "col")
+        .agg(F.max("z").alias("value"))
+    )
+
+
+def grid_idw(points: DataFrame, grid: GridSpec,
+             radius_factor: float = 2.0) -> DataFrame:
+    """S8 DTM — inverse-distance-weighted z over points within
+    radius = radius_factor·res of each cell center (writers.gdal
+    idw defaults, differencing_functions.py:666-705).
+
+    Each point fans out only to cells whose center can be within the
+    radius — a static (2·ceil(rf)+1)² window — then one aggregate per
+    cell computes Σ(w·z)/Σ(w), w = 1/d² (exact-center hits take the
+    point value). Map-side partial aggregation keeps the shuffle at
+    one row per (cell, partition).
+    """
+    import math
+    r = int(math.ceil(radius_factor))
+    radius = radius_factor * grid.res
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+    ])
+    pts = _cell(points, grid).select("row", "col", "x", "y", "z")
+    fanned = (
+        pts.withColumn("o", F.explode(offsets))
+        .select((F.col("row") + F.col("o.dy")).alias("row"),
+                (F.col("col") + F.col("o.dx")).alias("col"),
+                "x", "y", "z")
+        .where((F.col("row") >= 0) & (F.col("row") < grid.height)
+               & (F.col("col") >= 0) & (F.col("col") < grid.width))
+    )
+    cx = F.lit(grid.x0) + (F.col("col") + 0.5) * F.lit(grid.res)
+    cy = F.lit(grid.y0) - (F.col("row") + 0.5) * F.lit(grid.res)
+    d = F.hypot(F.col("x") - cx, F.col("y") - cy)
+    w = 1.0 / (d * d)
+    hit = d < F.lit(grid.res) * 1e-9
+    return (
+        fanned.where(d <= F.lit(radius))
+        .groupBy("row", "col")
+        .agg(
+            F.max(F.when(hit, F.col("z"))).alias("_exact"),
+            (F.sum(F.when(~hit, w * F.col("z"))) /
+             F.sum(F.when(~hit, w))).alias("_idw"),
+        )
+        .select("row", "col",
+                F.coalesce("_exact", "_idw").alias("value"))
+    )
+
+
+def fill_nodata_idw(pixels: DataFrame, grid: GridSpec,
+                    max_dist: float = 100.0) -> DataFrame:
+    """R3 — fill NULL cells by inverse-distance weighting of valid
+    pixels within `max_dist` cells (gdal.FillNodata semantics,
+    differencing_functions.py:588-661).
+
+    Scale path: donors fan out to coarse buckets of side `max_dist`
+    cells; each missing cell joins its own bucket + 8 neighbors (the
+    J4 trick), so donor candidates are distance-bounded before the
+    weight computation. For typical gap fractions (~3%) the missing
+    side is small; the donor fan-out is ≤ 9×valid but filtered by the
+    bucket equi-join key, and AQE splits any hot bucket.
+
+    Output: the full pixel set with filled values (filled flag marks
+    synthesized cells).
+    """
+    valid = pixels.where(F.col("value").isNotNull())
+    missing = pixels.where(F.col("value").isNull()).select("row", "col")
+    b = int(max(1, max_dist))
+    donors = (
+        valid.select("row", "col", "value")
+        .withColumn("o", F.explode(F.array(*[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])))
+        .select(
+            ((F.col("row") / b).cast("int") + F.col("o.dy")).alias("by"),
+            ((F.col("col") / b).cast("int") + F.col("o.dx")).alias("bx"),
+            F.col("row").alias("s_row"), F.col("col").alias("s_col"), "value",
+        )
+    )
+    targets = missing.select(
+        (F.col("row") / b).cast("int").alias("by"),
+        (F.col("col") / b).cast("int").alias("bx"),
+        "row", "col",
+    )
+    d2 = ((F.col("row") - F.col("s_row")) ** 2
+          + (F.col("col") - F.col("s_col")) ** 2)
+    w = 1.0 / d2
+    filled = (
+        targets.join(donors, ["by", "bx"])
+        .where(d2 <= F.lit(float(max_dist) ** 2))
+        .groupBy("row", "col")
+        .agg((F.sum(w * F.col("value")) / F.sum(w)).alias("value"))
+        .withColumn("filled", F.lit(True))
+    )
+    keep = valid.select("row", "col", "value").withColumn("filled", F.lit(False))
+    return keep.unionByName(filled)
+
+
+def dem_pipeline(points: DataFrame, grid: GridSpec, kind: str = "dtm",
+                 fill_max_dist: float = 100.0,
+                 with_coords: bool = True) -> DataFrame:
+    """E1 — the full LAS→DEM chain as one lazy DAG: noise filter →
+    [ground filter if DTM] → grid (idw for DTM / max for DSM) →
+    gap-fill (differencing_functions.py:1650-1764; no intermediate
+    materializations)."""
+    pts = drop_noise(points)
+    if kind == "dtm":
+        dem = grid_idw(keep_ground(pts), grid)
+    elif kind == "dsm":
+        dem = grid_max(pts, grid)
+    else:
+        raise ValueError(f"unknown DEM kind: {kind}")
+    full = _dense_grid(dem, grid)
+    out = fill_nodata_idw(full, grid, fill_max_dist)
+    if with_coords:
+        out = out.withColumn(
+            "x", F.lit(grid.x0) + (F.col("col") + 0.5) * F.lit(grid.res)
+        ).withColumn(
+            "y", F.lit(grid.y0) - (F.col("row") + 0.5) * F.lit(grid.res))
+    return out
+
+
+def _dense_grid(sparse: DataFrame, grid: GridSpec) -> DataFrame:
+    """Outer-join the computed cells onto the full dense grid so
+    gap-fill sees explicit NULL cells (the long-table restatement of a
+    raster's implicit nodata)."""
+    spark = sparse.sparkSession
+    rows = spark.range(grid.height).select(F.col("id").cast("int").alias("row"))
+    cols = spark.range(grid.width).select(F.col("id").cast("int").alias("col"))
+    dense = rows.crossJoin(cols)
+    return dense.join(sparse, ["row", "col"], "left")

@@ -1,0 +1,149 @@
+"""Point-cloud → DEM pipeline tests (S8 gridding, R3 gap-fill, F1/F2,
+SC6) against independent numpy oracles on the LAS-like fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from error_analysis_spark.fixtures import GridSpec, make_pointcloud
+from error_analysis_spark.operators import pointcloud as PC
+
+X0, Y0, EXT, RES = 500_000.0, 4_000_000.0, 200.0, 4.0
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    return make_pointcloud(n_points=30_000, seed=21, x0=X0, y0=Y0, extent=EXT)
+
+
+@pytest.fixture(scope="module")
+def points(spark, cloud):
+    return spark.createDataFrame(cloud).cache()
+
+
+@pytest.fixture(scope="module")
+def grid():
+    n = int(EXT / RES)
+    return GridSpec("dem", width=n, height=n, x0=X0, y0=Y0, res=RES)
+
+
+def _cells(pdf):
+    r = np.floor((Y0 - pdf["y"].to_numpy()) / RES).astype(int)
+    c = np.floor((pdf["x"].to_numpy() - X0) / RES).astype(int)
+    return r, c
+
+
+def test_grid_max_matches_numpy(points, cloud, grid):
+    got = PC.grid_max(points, grid).toPandas()
+    r, c = _cells(cloud)
+    n = grid.height
+    want = np.full((n, n), -np.inf)
+    keep = (r >= 0) & (r < n) & (c >= 0) & (c < n)
+    np.maximum.at(want, (r[keep], c[keep]), cloud["z"].to_numpy()[keep])
+    arr = np.full((n, n), -np.inf)
+    arr[got["row"], got["col"]] = got["value"]
+    np.testing.assert_allclose(arr, want, rtol=1e-12)
+
+
+def test_grid_idw_matches_numpy(points, cloud, grid):
+    got = PC.grid_idw(points, grid).toPandas()
+    xs = cloud["x"].to_numpy(); ys = cloud["y"].to_numpy()
+    zs = cloud["z"].to_numpy()
+    n = grid.height
+    radius = 2.0 * RES
+    # oracle: brute-force per cell over all points (small fixture)
+    want = {}
+    cx = X0 + (np.arange(n) + 0.5) * RES
+    cy = Y0 - (np.arange(n) + 0.5) * RES
+    # restrict oracle to a random subset of cells for runtime
+    rs = np.random.RandomState(3)
+    cells = [(int(a), int(b)) for a, b in
+             zip(rs.randint(0, n, 40), rs.randint(0, n, 40))]
+    gmap = {(int(r), int(c)): v for r, c, v in
+            zip(got["row"], got["col"], got["value"])}
+    for (ri, ci) in cells:
+        d = np.hypot(xs - cx[ci], ys - cy[ri])
+        sel = d <= radius
+        if not sel.any():
+            assert (ri, ci) not in gmap
+            continue
+        w = 1.0 / d[sel] ** 2
+        expect = np.sum(w * zs[sel]) / np.sum(w)
+        assert (ri, ci) in gmap, (ri, ci)
+        np.testing.assert_allclose(gmap[(ri, ci)], expect, rtol=1e-10)
+
+
+def test_fill_nodata_idw(spark, grid):
+    """Known smooth field with punched holes: filled values match a
+    brute-force numpy IDW oracle exactly and sit near the truth."""
+    n = 40
+    g = GridSpec("f", width=n, height=n, x0=0.0, y0=float(n), res=1.0)
+    rr, cc = np.mgrid[0:n, 0:n].astype(float)
+    z = np.sin(cc / 6.0) + np.cos(rr / 5.0)
+    rs = np.random.RandomState(9)
+    holes = rs.uniform(size=(n, n)) < 0.05
+    vals = z.copy(); vals[holes] = np.nan
+    pdf = pd.DataFrame({
+        "row": np.mgrid[0:n, 0:n][0].ravel().astype(np.int32),
+        "col": np.mgrid[0:n, 0:n][1].ravel().astype(np.int32),
+        "value": vals.ravel(),
+    })
+    px = spark.createDataFrame(pdf)
+    out = PC.fill_nodata_idw(px, g, max_dist=6.0).toPandas()
+    assert len(out) == n * n - 0  # every cell present
+    filled = out[out["filled"]]
+    assert len(filled) == int(holes.sum())
+    # oracle
+    vr, vc = np.where(~holes)
+    for _, row in filled.iterrows():
+        d2 = (vr - row["row"]) ** 2 + (vc - row["col"]) ** 2
+        sel = d2 <= 36.0
+        w = 1.0 / d2[sel]
+        expect = np.sum(w * z[vr[sel], vc[sel]]) / np.sum(w)
+        np.testing.assert_allclose(row["value"], expect, rtol=1e-10)
+        assert abs(row["value"] - z[int(row["row"]), int(row["col"])]) < 0.25
+
+
+def test_dem_pipeline_recovers_ground(spark, points, grid):
+    """E1 chain: DTM from ground returns ≈ the generating ground plane."""
+    dem = PC.dem_pipeline(points, grid, kind="dtm").toPandas()
+    assert len(dem) == grid.width * grid.height
+    sub = dem.dropna(subset=["value"])
+    truth = (30.0 + 0.01 * (sub["x"] - X0) + 0.02 * (Y0 - sub["y"]))
+    err = (sub["value"] - truth).abs()
+    # idw of ground returns (σ=5 cm) should track the plane closely
+    assert err.median() < 0.05
+    assert (err < 0.5).mean() > 0.99
+
+
+def test_dsm_above_dtm(spark, points, grid):
+    """DSM (max of all returns incl. vegetation) ≥ DTM everywhere both
+    are defined — a structural invariant of the reference pair."""
+    dtm = PC.dem_pipeline(points, grid, "dtm", with_coords=False) \
+        .select("row", "col", F.col("value").alias("dtm"))
+    dsm = PC.dem_pipeline(points, grid, "dsm", with_coords=False) \
+        .select("row", "col", F.col("value").alias("dsm"))
+    both = dtm.join(dsm, ["row", "col"]).where(
+        F.col("dtm").isNotNull() & F.col("dsm").isNotNull())
+    bad = both.where(F.col("dsm") < F.col("dtm") - 0.3).count()
+    assert bad == 0
+
+
+def test_gps_time_to_date(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (86400.0 * 10,), (1.1e9,)], ["gps"])
+    got = [r[0].isoformat() for r in
+           df.select(PC.gps_time_to_date(F.col("gps"))).collect()]
+    # 0 and 864000 are pre-adjustment (< 1e9): +1e9 s ≈ 11574.07 days
+    assert got[0] == (pd.Timestamp("1980-01-06")
+                      + pd.Timedelta(seconds=1e9)).date().isoformat()
+    assert got[2] == (pd.Timestamp("1980-01-06")
+                      + pd.Timedelta(seconds=1.1e9)).floor("D").date().isoformat()
+
+
+def test_noise_filter(points, cloud):
+    kept = PC.drop_noise(points).count()
+    assert kept == int((~np.isin(cloud["classification"], (7, 18))).sum())
