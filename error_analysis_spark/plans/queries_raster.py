@@ -1,0 +1,224 @@
+"""Driver-contract queries: raster/grid operators (SURVEY §2.8, §2.1 S8).
+
+The driver's tables have no grid, so events are mapped onto deterministic
+grids/point sets (pure integer arithmetic on event_id → identical on both
+engines). Each query drives the REAL engine operator (focal stencil join,
+gridding aggregate, gap-fill range-join); the oracle re-states the
+semantics in portable SQL.
+
+Bit-stability notes:
+- roughness (max of |Δz|) involves no transcendentals → exact equality;
+- IDW sums are floats → rounded to 3 dp on both sides (weights hit the
+  same binary-exact coordinates, so only sum ORDER differs: last-ulp);
+- counts/keys stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from error_analysis_spark.fixtures import GridSpec
+from error_analysis_spark.operators import focal as FO
+from error_analysis_spark.operators import pointcloud as PC
+from error_analysis_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# shared deterministic mappings (event_id → grid / points)
+# --------------------------------------------------------------------------
+
+def _event_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100×100 grid: row = id % 100, col = id // 100; ~2.7% nodata holes
+    (id % 37 = 0) to exercise the incomplete-stencil path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 37 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    ).where(F.col("value").isNotNull())
+
+
+_EVENT_PX_SQL = """
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col,
+         round(value, 3) AS value
+  FROM events WHERE event_id % 37 <> 0
+"""
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic point cloud: binary-exact fractional coordinates so
+    point→cell-center distances are identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 313).cast("double") * 0.75,
+        (F.col("event_id") / 313).cast("int").cast("double") * 0.5,
+        F.round(F.col("value"), 3).alias("z"),
+    ).toDF("x", "y", "z")
+
+
+_EVENT_PT_SQL = """
+  SELECT CAST(event_id % 313 AS DOUBLE) * 0.75 AS x,
+         CAST(event_id // 313 AS DOUBLE) * 0.5 AS y,
+         round(value, 3) AS z
+  FROM events
+"""
+
+_PT_GRID = GridSpec("pts", width=48, height=48, x0=0.0, y0=16.0, res=5.0)
+
+
+# --------------------------------------------------------------------------
+# R2 — focal roughness via the 8-offset stencil join
+# --------------------------------------------------------------------------
+
+def r2_focal_roughness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _event_pixels(spark, sf_dir)
+    out = FO.derive_join(px, res=1.0, which="roughness")
+    return (out.where(F.col("value").isNotNull())
+            .select("row", "col", F.round("value", 3).alias("rough")))
+
+
+R2_SQL = f"""
+WITH px AS ({_EVENT_PX_SQL}),
+nb AS (
+  SELECT a.row, a.col, a.value AS z,
+         count(*) AS n_nb,
+         max(abs(b.value - a.value)) AS rough
+  FROM px a JOIN px b
+    ON b.row BETWEEN a.row - 1 AND a.row + 1
+   AND b.col BETWEEN a.col - 1 AND a.col + 1
+   AND NOT (b.row = a.row AND b.col = a.col)
+  GROUP BY a.row, a.col, a.value
+)
+SELECT row, col, round(rough, 3) AS rough
+FROM nb WHERE n_nb = 8
+"""
+
+
+# --------------------------------------------------------------------------
+# S8 — point gridding: max (DSM) and IDW (DTM)
+# --------------------------------------------------------------------------
+
+def s8_grid_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _event_points(spark, sf_dir)
+    return (PC.grid_max(pts, _PT_GRID)
+            .select("row", "col", F.col("value").alias("z_max")))
+
+
+S8MAX_SQL = f"""
+WITH pts AS ({_EVENT_PT_SQL}),
+cells AS (
+  SELECT CAST(floor(({_PT_GRID.y0} - y) / {_PT_GRID.res}) AS INTEGER) AS row,
+         CAST(floor((x - {_PT_GRID.x0}) / {_PT_GRID.res}) AS INTEGER) AS col,
+         z
+  FROM pts
+)
+SELECT row, col, max(z) AS z_max
+FROM cells
+WHERE row >= 0 AND row < {_PT_GRID.height}
+  AND col >= 0 AND col < {_PT_GRID.width}
+GROUP BY row, col
+"""
+
+
+def s8_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _event_points(spark, sf_dir)
+    return (PC.grid_idw(pts, _PT_GRID)
+            .select("row", "col", F.round("value", 3).alias("z_idw")))
+
+
+S8IDW_SQL = f"""
+WITH pts AS ({_EVENT_PT_SQL}),
+-- every point fans out to its 5x5 cell window (a cell's center can be
+-- within radius 2·res only of points at most 2 cells away) — the same
+-- enumeration the engine's fan-out join performs
+pairs AS (
+  SELECT CAST(floor(({_PT_GRID.y0} - p.y) / {_PT_GRID.res}) AS INTEGER)
+           + dy.dy AS row,
+         CAST(floor((p.x - {_PT_GRID.x0}) / {_PT_GRID.res}) AS INTEGER)
+           + dx.dx AS col,
+         p.z, p.x, p.y
+  FROM pts p
+  CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) dy(dy)
+  CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) dx(dx)
+),
+dists AS (
+  SELECT row, col, z,
+         sqrt(power(x - ({_PT_GRID.x0} + (col + 0.5) * {_PT_GRID.res}), 2)
+            + power(y - ({_PT_GRID.y0} - (row + 0.5) * {_PT_GRID.res}), 2))
+         AS d
+  FROM pairs
+  WHERE row >= 0 AND row < {_PT_GRID.height}
+    AND col >= 0 AND col < {_PT_GRID.width}
+),
+idw AS (
+  SELECT row, col,
+         max(CASE WHEN d < {_PT_GRID.res} * 1e-9 THEN z END) AS z_exact,
+         sum(CASE WHEN d >= {_PT_GRID.res} * 1e-9 THEN z / (d * d) END)
+           / sum(CASE WHEN d >= {_PT_GRID.res} * 1e-9 THEN 1.0 / (d * d) END)
+           AS z_w
+  FROM dists
+  WHERE d <= 2.0 * {_PT_GRID.res}
+  GROUP BY row, col
+)
+SELECT row, col, round(coalesce(z_exact, z_w), 3) AS z_idw
+FROM idw
+"""
+
+
+# --------------------------------------------------------------------------
+# R3 — gap-fill: missing cells take IDW of donors within max_dist
+# --------------------------------------------------------------------------
+
+_FILL_DIST = 5.0
+
+
+def r3_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 100×100 grid; holes (id % 37 = 0) filled by the engine's
+    bucketed donor range-join."""
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 37 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    )
+    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
+    out = PC.fill_nodata_idw(px, grid, max_dist=_FILL_DIST)
+    return (out.where(F.col("filled"))
+            .select("row", "col", F.round("value", 3).alias("z_fill")))
+
+
+R3_SQL = f"""
+WITH px AS (
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col,
+         CASE WHEN event_id % 37 <> 0 THEN round(value, 3) END AS value
+  FROM events
+),
+valid AS (SELECT * FROM px WHERE value IS NOT NULL),
+missing AS (SELECT row, col FROM px WHERE value IS NULL),
+fill AS (
+  SELECT m.row, m.col,
+         sum(v.value / (power(m.row - v.row, 2) + power(m.col - v.col, 2)))
+           / sum(1.0 / (power(m.row - v.row, 2) + power(m.col - v.col, 2)))
+           AS value
+  FROM missing m JOIN valid v
+    ON v.row BETWEEN m.row - {int(_FILL_DIST)} AND m.row + {int(_FILL_DIST)}
+   AND v.col BETWEEN m.col - {int(_FILL_DIST)} AND m.col + {int(_FILL_DIST)}
+  WHERE power(m.row - v.row, 2) + power(m.col - v.col, 2)
+          <= {_FILL_DIST} * {_FILL_DIST}
+  GROUP BY m.row, m.col
+)
+SELECT row, col, round(value, 3) AS z_fill FROM fill
+"""
+
+
+RASTER_QUERIES: dict[str, tuple] = {
+    "r2_focal_roughness": (r2_focal_roughness, R2_SQL),
+    "s8_grid_max": (s8_grid_max, S8MAX_SQL),
+    "s8_grid_idw": (s8_grid_idw, S8IDW_SQL),
+    "r3_fill_nodata": (r3_fill_nodata, R3_SQL),
+}
