@@ -164,16 +164,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = toks.withColumn("th", _md5_long(F.col("token")))
     bit = df.sparkSession.range(bits).select(F.col("id").alias("bit"))
     fanned = toks.crossJoin(F.broadcast(bit))
-    contrib = F.when(F.shiftright(F.col("th"), F.col("bit").cast("int"))
-                     .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    # SQL shiftright/shiftleft accept a column shift amount (the Python
+    # wrappers require a literal int)
+    contrib = F.when(
+        F.expr("shiftright(th, cast(bit as int))").bitwiseAND(F.lit(1)) == 1,
+        1).otherwise(-1)
     bitsum = (fanned.withColumn("c", contrib)
               .groupBy("id", "bit").agg(F.sum("c").alias("s")))
     return (
         bitsum
         .withColumn("bitval",
                     F.when(F.col("s") > 0,
-                           F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int")))
-                    .otherwise(0))
+                           F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+                    .otherwise(F.lit(0).cast("long")))
         .groupBy("id")
-        .agg(F.sum("bitval").alias("simhash"))
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
     )

@@ -244,6 +244,207 @@ SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# SimHash signatures (md5 bit arithmetic — full oracle check)
+# --------------------------------------------------------------------------
+
+_SH_BITS = 48
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return DD.simhash(docs, bits=_SH_BITS)
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+  WHERE doc_id % 5 = 0
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th FROM toks
+),
+bitsum AS (
+  SELECT id, b.bit,
+         sum(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {_SH_BITS - 1})) AS bit) b
+  GROUP BY id, b.bit
+)
+SELECT id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bitsum GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# Full MinHash-LSH near-dup: signatures → banding → candidates → exact
+# Jaccard verification. The oracle restates the banding single-node, so a
+# MATCH proves the distributed band join finds exactly the same pairs.
+# --------------------------------------------------------------------------
+
+_LSH_PERM, _LSH_BANDS, _LSH_THRESH = 16, 4, 0.35
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    return DD.minhash_dedup(docs, num_perm=_LSH_PERM, bands=_LSH_BANDS,
+                            threshold=_LSH_THRESH)
+
+
+MINHASH_LSH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+  WHERE doc_id % 2 = 0
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(token), 1, 7))::BIGINT % {_M31} AS th FROM toks
+),
+perms AS (
+  SELECT range AS perm,
+         ('0x' || substr(md5('a42_' || range), 1, 7))::BIGINT
+             % ({_M31} - 1) + 1 AS pa,
+         ('0x' || substr(md5('b42_' || range), 1, 7))::BIGINT
+             % {_M31} AS pb
+  FROM range({_LSH_PERM})
+),
+sigs AS (
+  SELECT id, perm, min((pa * th + pb) % {_M31}) AS minhash
+  FROM hashed CROSS JOIN perms GROUP BY id, perm
+),
+banded AS (
+  SELECT id, perm // {_LSH_PERM // _LSH_BANDS} AS band,
+         md5(string_agg(perm || ':' || minhash, ','
+             ORDER BY perm || ':' || minhash)) AS sig
+  FROM sigs GROUP BY id, perm // {_LSH_PERM // _LSH_BANDS}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cands c
+  JOIN toks ta ON ta.id = c.id_a
+  JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_LSH_THRESH}
+"""
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_score(docs)
+
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(0.4 * least(len(toks) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / length(text)), 6) AS quality
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact pairwise k-NN (brute-force baseline for ANN)
+# --------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    return SIM.pairwise_cosine_topk(emb, k=_KNN_K)
+
+
+PAIRWISE_KNN_SQL = f"""
+WITH n AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS sim
+  FROM n a JOIN n b ON a.id <> b.id
+),
+ranked AS (
+  SELECT id_a, id_b, sim,
+         row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b ASC) AS rk
+  FROM scored
+)
+SELECT id_a, id_b, sim, rk FROM ranked WHERE rk <= {_KNN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (dedup over the vector space)
+# --------------------------------------------------------------------------
+
+_EMB_THRESH = 0.35
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup = cosine above threshold; inner plan normalizes once and
+    prunes by id ordering. At scale the same verdict runs on LSH-bucketed
+    candidates (extensions.similarity.lsh_topk); here the exact form is
+    the oracle-checkable contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("vec_id").alias("id"),
+        SIM._as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nn", SIM.l2_norm(F.col("v")))
+    a = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("nn").alias("na"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("nn").alias("nb"))
+    sim = SIM.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= _EMB_THRESH)
+    )
+
+
+EMB_DEDUP_SQL = f"""
+WITH n AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS sim
+FROM n a JOIN n b ON a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) >= {_EMB_THRESH}
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
@@ -252,4 +453,9 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
     "text_lang_id": (text_lang_id, LANG_ID_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "sim_pairwise_topk": (sim_pairwise_topk, PAIRWISE_KNN_SQL),
+    "dedup_embedding": (dedup_embedding, EMB_DEDUP_SQL),
 }
