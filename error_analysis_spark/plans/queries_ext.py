@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from error_analysis_spark.extensions import dedup as DD
+from error_analysis_spark.extensions import multimodal as MM
 from error_analysis_spark.extensions import similarity as SIM
 from error_analysis_spark.extensions import text as TX
 from error_analysis_spark.sources.tables import load_table
@@ -445,6 +446,61 @@ WHERE round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) >= {_EMB_THRESH}
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal asset columns (documents → binary payloads)
+# --------------------------------------------------------------------------
+
+def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic asset table derived from documents: payload =
+    utf-8 bytes of text; kind/dims from doc_id arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(kind != "audio", (16 + (F.col("doc_id") % 13) * 8).cast("int"))
+         .alias("width"),
+        F.when(kind != "audio", (16 + (F.col("doc_id") % 7) * 8).cast("int"))
+         .alias("height"),
+        F.when(kind == "audio", F.lit(1600)).cast("int").alias("sample_rate"),
+        F.when(kind == "video", (4 + F.col("doc_id") % 8).cast("int"))
+         .alias("n_frames"),
+        F.lit("stub").alias("codec"),
+    )
+
+
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.payload_stats(_doc_assets(spark, sf_dir))
+
+
+MM_STATS_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(text) AS payload, text,
+         CASE WHEN doc_id % 3 <> 1
+              THEN CAST(16 + (doc_id % 13) * 8 AS INTEGER) END AS width
+  FROM documents
+)
+SELECT kind, count(*) AS n_assets,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS n_distinct_payloads,
+       round(avg(coalesce(width, 0)), 4) AS avg_width
+FROM assets GROUP BY kind
+"""
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stub) + feature stats — mapInPandas plumbing; rows-only
+    driver check (codec decode has no SQL restatement)."""
+    feats = MM.extract_features(_doc_assets(spark, sf_dir), batch_rows=32)
+    return feats.select("asset_id", "kind", "n_bytes", "shape",
+                        F.round("mean_value", 6).alias("mean_value"))
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
@@ -458,4 +514,6 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, QUALITY_SQL),
     "sim_pairwise_topk": (sim_pairwise_topk, PAIRWISE_KNN_SQL),
     "dedup_embedding": (dedup_embedding, EMB_DEDUP_SQL),
+    "mm_payload_stats": (mm_payload_stats, MM_STATS_SQL),
+    "mm_features": (mm_features, None),
 }
