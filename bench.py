@@ -36,6 +36,15 @@ HEADLINE = [
     "sim_cosine_topk",
     "sc4_json_extract",
     "w2_positional_pick",
+    "r2_focal_roughness",
+    "s8_grid_max",
+    "s8_grid_idw",
+    "r3_fill_nodata",
+    "dedup_simhash",
+    "dedup_embedding",
+    "sim_pairwise_topk",
+    "text_quality",
+    "mm_features",
 ]
 
 

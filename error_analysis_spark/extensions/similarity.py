@@ -69,6 +69,70 @@ def pairwise_cosine_topk(embeddings: DataFrame, k: int = 5,
             .where(F.col("rk") <= k))
 
 
+def block_cosine_pairs(embeddings: DataFrame, threshold: float,
+                       n_blocks: int = 8, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """All-pairs cosine above `threshold` via blocked GEMM — the scale
+    path for exact near-dup over vectors.
+
+    Row-at-a-time pair joins materialize O(N²) rows each carrying two
+    full vectors; instead, vectors are hashed into `n_blocks` groups,
+    each unordered block PAIR (ba ≤ bb) gets both blocks' vectors via a
+    bounded fan-out (each vector ships to n_blocks block-pairs), and one
+    `applyInPandas` call per block pair computes the full similarity
+    matrix with a single numpy matmul — ~100× less shuffle volume and
+    BLAS instead of per-row expression evaluation. Output matches the
+    expression form after round(·, 6) (float sum order differs only in
+    the last ulp).
+
+    Choose n_blocks ≈ √(N·dim·8 / executor_mem_target) so two blocks fit
+    comfortably per task; for billion-vector corpora prune candidates
+    with `hyperplane_buckets` first and run this within buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    normed = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    pairs_of = F.array(*[
+        F.struct(
+            F.least(F.col("b"), F.lit(j)).alias("ba"),
+            F.greatest(F.col("b"), F.lit(j)).alias("bb"),
+        ) for j in range(n_blocks)
+    ])
+    fanned = (normed.withColumn("p", F.explode(F.array_distinct(pairs_of)))
+              .select(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"),
+                      "id", "v", "b"))
+
+    def gemm(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        a = pdf[pdf["b"] == ba]
+        ids_a = a["id"].to_numpy()
+        ma = np.stack(a["v"].to_numpy())
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        if ba == bb:
+            sims = ma @ ma.T
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+            id_a, id_b, s = ids_a[iu], ids_a[ju], sims[iu, ju]
+        else:
+            bdf = pdf[pdf["b"] == bb]
+            ids_b = bdf["id"].to_numpy()
+            mb = np.stack(bdf["v"].to_numpy())
+            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+            sims = ma @ mb.T
+            ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+            id_a, id_b, s = ids_a[ii], ids_b[jj], sims[ii, jj]
+        s = np.round(s, 6)
+        keep = s >= threshold
+        lo = np.minimum(id_a[keep], id_b[keep])
+        hi = np.maximum(id_a[keep], id_b[keep])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": s[keep]})
+
+    return (fanned.groupBy("ba", "bb")
+            .applyInPandas(gemm, "id_a long, id_b long, sim double"))
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id") -> DataFrame:

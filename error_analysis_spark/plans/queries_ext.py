@@ -412,25 +412,13 @@ _EMB_THRESH = 0.35
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup = cosine above threshold; inner plan normalizes once and
-    prunes by id ordering. At scale the same verdict runs on LSH-bucketed
-    candidates (extensions.similarity.lsh_topk); here the exact form is
-    the oracle-checkable contract."""
+    """Near-dup = cosine above threshold, via the blocked-GEMM path
+    (extensions.similarity.block_cosine_pairs): one numpy matmul per
+    block pair instead of O(N²) materialized pair rows. The oracle is
+    the naive all-pairs SQL — a MATCH proves the block decomposition
+    exact (same pairs, same rounded sims)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        F.col("vec_id").alias("id"),
-        SIM._as_double(F.col("embedding")).alias("v"),
-    ).withColumn("nn", SIM.l2_norm(F.col("v")))
-    a = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                      F.col("nn").alias("na"))
-    b = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                      F.col("nn").alias("nb"))
-    sim = SIM.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
-        .where(F.col("sim") >= _EMB_THRESH)
-    )
+    return SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH, n_blocks=4)
 
 
 EMB_DEDUP_SQL = f"""
