@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from error_analysis_spark.plans.queries_core import CORE_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_ext import EXT_QUERIES  # noqa: E402
+from error_analysis_spark.plans.queries_misc import MISC_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_raster import RASTER_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_vario import VARIO_QUERIES  # noqa: E402
 
@@ -28,6 +29,7 @@ _ALL: dict[str, tuple] = {}
 _ALL.update(CORE_QUERIES)
 _ALL.update(VARIO_QUERIES)
 _ALL.update(RASTER_QUERIES)
+_ALL.update(MISC_QUERIES)
 _ALL.update(EXT_QUERIES)
 
 

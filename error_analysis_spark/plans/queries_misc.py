@@ -1,0 +1,217 @@
+"""Driver-contract queries: remaining SURVEY §2 coverage — SC2 (temporal
+coverage parse), SC3 (source classification), SC6 (GPS time → date),
+F6 (percentile clip), A14 (closed-form uncertainty), A15 (bootstrap
+parameter percentiles), W1 (catalog sort) — each oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from error_analysis_spark.functions import scalars as SC
+from error_analysis_spark.operators import pointcloud as PC
+from error_analysis_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# SC6 — GPS seconds → date, both LAS-1.4 adjustment branches
+# (differencing_functions.py:1559-1567)
+# --------------------------------------------------------------------------
+
+def sc6_gps_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gps = (F.abs(F.col("value")) * 5e8)  # spans both <1e9 and >=1e9
+    return (
+        ev.select(PC.gps_time_to_date(gps).alias("acq_date"))
+        .groupBy("acq_date").agg(F.count("*").alias("n"))
+    )
+
+
+SC6_SQL = """
+WITH g AS (
+  SELECT abs(value) * 5e8 AS gps FROM events
+),
+adj AS (
+  SELECT CASE WHEN gps < 1e9 THEN gps + 1e9 ELSE gps END AS gps FROM g
+)
+SELECT DATE '1980-01-06' + CAST(floor(gps / 86400) AS INTEGER) AS acq_date,
+       count(*) AS n
+FROM adj GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# SC2 + SC3 + W1 — catalog parse: temporalCoverage "a / b" split, source
+# classification by substring, sort by start date
+# (differencing_functions.py:467-510)
+# --------------------------------------------------------------------------
+
+def sc2_catalog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 53 == 0)
+    cov = F.concat(F.col("o_orderdate").cast("date").cast("string"),
+                   F.lit(" / "),
+                   F.date_add(F.col("o_orderdate").cast("date"), 365)
+                   .cast("string"))
+    start, end = SC.parse_temporal_coverage(cov)
+    prop = F.concat(
+        F.lit("DS_"),
+        F.element_at(F.array(F.lit("USGS_LPC"), F.lit("noaa-dem"),
+                             F.lit("OT.prop")),
+                     (F.col("o_orderkey") % 3 + 1).cast("int")),
+        F.col("o_orderkey").cast("string"))
+    src = SC.classify_source(prop)
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("dataset_key"),
+            start.alias("start_date"), end.alias("end_date"),
+            SC.midpoint_date(start, end).alias("mid_date"),
+            src.alias("source"),
+        )
+        .orderBy("start_date", "dataset_key")
+    )
+
+
+SC2_SQL = """
+WITH cat AS (
+  SELECT o_orderkey AS dataset_key,
+         CAST(o_orderdate AS DATE) AS start_date,
+         CAST(o_orderdate AS DATE) + 365 AS end_date,
+         'DS_' || (['USGS_LPC', 'noaa-dem', 'OT.prop'])[(o_orderkey % 3) + 1]
+               || o_orderkey AS prop
+  FROM orders WHERE o_orderkey % 53 = 0
+)
+SELECT dataset_key, start_date, end_date,
+       start_date + CAST(floor(date_diff('day', start_date, end_date) / 2)
+                         AS INTEGER) AS mid_date,
+       CASE WHEN lower(prop) LIKE '%usgs%' THEN 'usgs'
+            WHEN lower(prop) LIKE '%noaa%' THEN 'noaa'
+            ELSE 'ot' END AS source
+FROM cat
+ORDER BY start_date, dataset_key
+"""
+
+
+# --------------------------------------------------------------------------
+# F6 — percentile clip (variography_uncertainty.py:259-260)
+# --------------------------------------------------------------------------
+
+def f6_percentile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.percentile("value", 0.01).alias("p1"),
+               F.percentile("value", 0.99).alias("p99")).first()
+    clipped = ev.where(F.col("value").between(b["p1"], b["p99"]))
+    return clipped.agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("value"), 6).alias("mean_clipped"),
+        F.round(F.stddev_pop("value"), 6).alias("std_clipped"),
+    )
+
+
+F6_SQL = """
+WITH b AS (
+  SELECT quantile_cont(value, 0.01) AS p1, quantile_cont(value, 0.99) AS p99
+  FROM events
+)
+SELECT count(*) AS n_kept,
+       round(avg(value), 6) AS mean_clipped,
+       round(stddev_pop(value), 6) AS std_clipped
+FROM events, b
+WHERE value BETWEEN b.p1 AND b.p99
+"""
+
+
+# --------------------------------------------------------------------------
+# A14 — closed-form uncertainty from fitted params
+# (variography_uncertainty.py:1670-1737): uncorr = rms/√n;
+# corr_i = √(2·C_i)/√n · √(π·a_i²/(5·res²)); total = quadrature
+# --------------------------------------------------------------------------
+
+_RES = 1.0
+
+
+def a14_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Params table synthesized from nation (25 model configs)."""
+    nat = load_table(spark, sf_dir, "nation")
+    p = nat.select(
+        F.col("n_nationkey").alias("cfg"),
+        (0.01 + (F.col("n_nationkey") % 5) * 0.02).alias("sill"),
+        (30.0 + (F.col("n_nationkey") % 7) * 15.0).alias("range_m"),
+        (0.1 + (F.col("n_nationkey") % 3) * 0.05).alias("rms"),
+        (10000 + F.col("n_nationkey") * 500).cast("long").alias("n_px"),
+    )
+    uncorr = F.col("rms") / F.sqrt(F.col("n_px"))
+    corr = (F.sqrt(2.0 * F.col("sill")) / F.sqrt(F.col("n_px"))
+            * F.sqrt(F.lit(3.141592653589793) * F.col("range_m") ** 2
+                     / (5.0 * _RES * _RES)))
+    return p.select(
+        "cfg",
+        F.round(uncorr, 8).alias("uncorr"),
+        F.round(corr, 8).alias("corr1"),
+        F.round(F.sqrt(uncorr ** 2 + corr ** 2), 8).alias("total"),
+    )
+
+
+A14_SQL = f"""
+WITH p AS (
+  SELECT n_nationkey AS cfg,
+         CAST(0.01 + (n_nationkey % 5) * 0.02 AS DOUBLE) AS sill,
+         CAST(30.0 + (n_nationkey % 7) * 15.0 AS DOUBLE) AS range_m,
+         CAST(0.1 + (n_nationkey % 3) * 0.05 AS DOUBLE) AS rms,
+         10000 + n_nationkey * 500 AS n_px
+  FROM nation
+),
+c AS (
+  SELECT cfg,
+         rms / sqrt(n_px) AS uncorr,
+         sqrt(2.0 * sill) / sqrt(n_px)
+           * sqrt(CAST(3.141592653589793 AS DOUBLE) * range_m * range_m
+                  / (5.0 * {_RES} * {_RES})) AS corr1
+  FROM p
+)
+SELECT cfg, round(uncorr, 8) AS uncorr, round(corr1, 8) AS corr1,
+       round(sqrt(uncorr * uncorr + corr1 * corr1), 8) AS total
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# A15 — bootstrap parameter percentiles (16/50/84)
+# (variography_uncertainty.py:891-928)
+# --------------------------------------------------------------------------
+
+def a15_param_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    boot = ev.select(
+        F.element_at(F.array(F.lit("sill"), F.lit("range"), F.lit("nugget")),
+                     (F.col("event_id") % 3 + 1).cast("int")).alias("param"),
+        F.col("value"),
+    )
+    return boot.groupBy("param").agg(
+        F.round(F.percentile("value", 0.16), 6).alias("p16"),
+        F.round(F.percentile("value", 0.50), 6).alias("p50"),
+        F.round(F.percentile("value", 0.84), 6).alias("p84"),
+    )
+
+
+A15_SQL = """
+WITH boot AS (
+  SELECT CASE event_id % 3 WHEN 0 THEN 'sill' WHEN 1 THEN 'range'
+              ELSE 'nugget' END AS param,
+         value
+  FROM events
+)
+SELECT param,
+       round(quantile_cont(value, 0.16), 6) AS p16,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.84), 6) AS p84
+FROM boot GROUP BY param
+"""
+
+
+MISC_QUERIES: dict[str, tuple] = {
+    "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
+    "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
+    "f6_percentile_clip": (f6_percentile_clip, F6_SQL),
+    "a14_closed_form": (a14_closed_form, A14_SQL),
+    "a15_param_percentiles": (a15_param_percentiles, A15_SQL),
+}
