@@ -1,0 +1,72 @@
+"""Scale-path similarity tests: LSH ANN recall vs exact k-NN; variogram
+sampling determinism under repartitioning (SURVEY §7 hard part #2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from error_analysis_spark.extensions import similarity as SIM
+from error_analysis_spark.operators.variogram import (
+    VariogramParams, sample_pixels,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Clustered vectors (10 centers × 30 members) — ANN-friendly data."""
+    rs = np.random.RandomState(11)
+    centers = rs.standard_normal((10, 32)) * 3.0
+    rows = []
+    for i in range(300):
+        v = centers[i % 10] + rs.standard_normal(32) * 0.5
+        rows.append((i, [float(x) for x in v], i % 10))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])).cache()
+
+
+def test_lsh_recall_vs_exact(vectors):
+    k = 5
+    exact = SIM.pairwise_cosine_topk(vectors, k=k).toPandas()
+    approx = SIM.lsh_topk(vectors, k=k, n_planes=8, n_tables=6,
+                          seed=7).toPandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    a = {(r.id_a, r.id_b) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    # clustered data + 6 tables: most true neighbors share a bucket
+    assert recall > 0.8, recall
+    # approximate sims are exact cosines (only the candidate set differs)
+    merged = exact.merge(approx, on=["id_a", "id_b"], suffixes=("_e", "_a"))
+    np.testing.assert_allclose(merged["sim_e"], merged["sim_a"], atol=1e-9)
+
+
+def test_lsh_deterministic(vectors):
+    a = SIM.lsh_topk(vectors, k=3, n_planes=8, n_tables=2, seed=7).toPandas()
+    b = SIM.lsh_topk(vectors.repartition(13), k=3, n_planes=8, n_tables=2,
+                     seed=7).toPandas()
+    a = a.sort_values(["id_a", "rk"]).reset_index(drop=True)
+    b = b.sort_values(["id_a", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sampling_partition_independent(spark):
+    """Same seed ⇒ identical variogram sample set under any partitioning
+    (the xxhash64 restatement of the reference's single-seed thread)."""
+    n = 4000
+    pdf = pd.DataFrame({
+        "row": np.arange(n) // 80, "col": np.arange(n) % 80,
+        "x": (np.arange(n) % 80) * 1.0, "y": (np.arange(n) // 80) * 1.0,
+        "value": np.random.RandomState(3).standard_normal(n),
+    })
+    df1 = spark.createDataFrame(pdf)
+    df8 = spark.createDataFrame(pdf).repartition(8)
+    params = VariogramParams(samples_per_area=500.0, area_side=80.0, seed=42)
+    key = ["run", "sample_id"]
+    frames = []
+    for df in (df1, df8):
+        runs = [sample_pixels(df, params, res=1.0, run=r) for r in (0, 1)]
+        s = runs[0].unionByName(runs[1]).toPandas()
+        frames.append(s.sort_values(key).reset_index(drop=True)[key])
+    pd.testing.assert_frame_equal(frames[0], frames[1])
