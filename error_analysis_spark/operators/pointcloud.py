@@ -176,6 +176,102 @@ def fill_nodata_idw(pixels: DataFrame, grid: GridSpec,
     return keep.unionByName(filled)
 
 
+def classify_ground_smrf(points: DataFrame, grid: GridSpec,
+                         cell: float = 1.0, slope: float = 0.15,
+                         window: int = 16, threshold: float = 0.5,
+                         tile: int = 128) -> DataFrame:
+    """F3 — SMRF-style morphological ground classification
+    (Pingel et al. 2013, the algorithm behind PDAL filters.smrf used at
+    differencing_functions.py:800-806, 1012-1031), re-expressed as a
+    per-tile `applyInPandas` stage:
+
+    1. bin points to a minimum-Z surface at `cell` resolution;
+    2. progressive morphological opening (grey erosion then dilation)
+       with window radii 1..`window`, flagging surface cells whose
+       height above the opened surface exceeds slope·radius·cell;
+    3. points within `threshold` of the resulting bare-earth surface
+       are labeled ground (classification 2), others left as-is.
+
+    Tiles carry a `window·cell` halo so openings at tile edges see the
+    same neighborhood they would in a monolithic array — the same
+    halo-exchange trick as the focal operators (operators/focal.py).
+    Output: the input rows with a `classification` column rewritten.
+    """
+    import numpy as np
+    import pandas as pd
+
+    halo = float(window * cell)
+    t = float(tile * cell)
+    tiles = F.array_distinct(F.array(*[
+        F.struct(
+            F.floor((F.col("x") - F.lit(grid.x0) + F.lit(dx) * halo) / t)
+            .cast("int").alias("tx"),
+            F.floor((F.lit(grid.y0) - F.col("y") + F.lit(dy) * halo) / t)
+            .cast("int").alias("ty"),
+        ) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ]))
+    cols = [c for c in points.columns]
+    fanned = (points.withColumn("_t", F.explode(tiles))
+              .select(F.col("_t.ty").alias("ty"), F.col("_t.tx").alias("tx"),
+                      *cols))
+
+    n_cells = int(round(t / cell)) + 2 * window
+
+    def kernel(key, pdf):
+        ty, tx = int(key[0]), int(key[1])
+        x0 = grid.x0 + tx * t - halo
+        y0 = grid.y0 - ty * t + halo
+        ci = np.floor((pdf["x"].to_numpy() - x0) / cell).astype(int)
+        ri = np.floor((y0 - pdf["y"].to_numpy()) / cell).astype(int)
+        keep = (ri >= 0) & (ri < n_cells) & (ci >= 0) & (ci < n_cells)
+        zmin = np.full((n_cells, n_cells), np.inf)
+        np.minimum.at(zmin, (ri[keep], ci[keep]), pdf["z"].to_numpy()[keep])
+        empty = ~np.isfinite(zmin)
+        zmin[empty] = np.nanmax(np.where(empty, np.nan, zmin)) \
+            if (~empty).any() else 0.0
+        surf = zmin.copy()
+        for r in range(1, window + 1):
+            eroded = _grey_erode(surf, 1)
+            opened = _grey_dilate(eroded, 1)
+            bump = surf - opened > slope * r * cell
+            surf = np.where(bump, opened, surf)
+        # label: inside the tile's own (non-halo) extent only
+        own = ((pdf["x"] >= grid.x0 + tx * t) & (pdf["x"] < grid.x0 + (tx + 1) * t)
+               & (pdf["y"] <= grid.y0 - ty * t) & (pdf["y"] > grid.y0 - (ty + 1) * t)
+               ).to_numpy()
+        ground_surface = surf[np.clip(ri, 0, n_cells - 1),
+                              np.clip(ci, 0, n_cells - 1)]
+        is_ground = (np.abs(pdf["z"].to_numpy() - ground_surface) <= threshold)
+        out = pdf[own].drop(columns=["ty", "tx"]).copy()
+        out["classification"] = np.where(
+            is_ground[own], GROUND_CLASS,
+            out["classification"].to_numpy()).astype(np.int32)
+        return out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields)
+    return fanned.groupBy("ty", "tx").applyInPandas(kernel, schema)
+
+
+def _grey_erode(a, r):
+    """Min filter with square radius r (numpy rolls — no scipy)."""
+    import numpy as np
+    out = a.copy()
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            out = np.minimum(out, np.roll(np.roll(a, dy, 0), dx, 1))
+    return out
+
+
+def _grey_dilate(a, r):
+    import numpy as np
+    out = a.copy()
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            out = np.maximum(out, np.roll(np.roll(a, dy, 0), dx, 1))
+    return out
+
+
 def dem_pipeline(points: DataFrame, grid: GridSpec, kind: str = "dtm",
                  fill_max_dist: float = 100.0,
                  with_coords: bool = True) -> DataFrame:

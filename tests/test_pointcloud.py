@@ -147,3 +147,40 @@ def test_gps_time_to_date(spark):
 def test_noise_filter(points, cloud):
     kept = PC.drop_noise(points).count()
     assert kept == int((~np.isin(cloud["classification"], (7, 18))).sum())
+
+
+def test_smrf_ground_classification(spark):
+    """SMRF-lite recovers ground labels on a synthetic scene: flat plane
+    + scattered 'buildings' (elevated blocks) + canopy points."""
+    rs = np.random.RandomState(33)
+    n = 12_000
+    x = rs.uniform(0, 160, n); y = rs.uniform(0, 160, n)
+    ground_z = 10.0 + 0.02 * x
+    z = ground_z + rs.normal(0, 0.05, n)
+    truth = np.full(n, 2, dtype=np.int32)
+    # buildings: two 20x20 blocks raised 8 m
+    for bx, by in [(30, 30), (100, 80)]:
+        sel = (abs(x - bx) < 10) & (abs(y - by) < 10)
+        z[sel] += 8.0
+        truth[sel] = 6
+    # canopy: random tall points
+    can = rs.uniform(size=n) < 0.1
+    z[can] += rs.uniform(3, 12, n)[can]
+    truth[can] = 5
+    pdf = pd.DataFrame({
+        "x": x + X0, "y": Y0 - y, "z": z,
+        "classification": np.zeros(n, dtype=np.int32),
+    })
+    g = GridSpec("smrf", width=40, height=40, x0=X0, y0=Y0, res=4.0)
+    pts = spark.createDataFrame(pdf)
+    out = PC.classify_ground_smrf(pts, g, cell=2.0, slope=0.2,
+                                  window=8, threshold=0.5, tile=40).toPandas()
+    assert len(out) == n
+    m = out.sort_values(["x", "y"]).reset_index(drop=True)
+    t = pdf.assign(truth=truth).sort_values(["x", "y"]).reset_index(drop=True)
+    pred_ground = (m["classification"] == 2).to_numpy()
+    true_ground = (t["truth"] == 2).to_numpy()
+    recall = (pred_ground & true_ground).sum() / true_ground.sum()
+    precision = (pred_ground & true_ground).sum() / max(pred_ground.sum(), 1)
+    assert recall > 0.95, recall
+    assert precision > 0.9, precision
