@@ -157,6 +157,47 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42
     return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k for a query vector: MLlib
+    KMeans partitions the corpus into `n_lists` cells; the query scans
+    only the `n_probe` nearest cells.
+
+    The coarse quantizer is trained once and is deterministic for a
+    seed; assignment is a one-time batch column (in production: stored
+    with the table, clustered/partitioned by `list_id`, so a probe is a
+    partition-pruned scan — the classic IVF-flat layout on Parquet).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = embeddings.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("varr"),
+    ).withColumn("features", array_to_vector("varr"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features",
+                predictionCol="list_id")
+    model = km.fit(ds)
+    assigned = model.transform(ds)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    probe = [int(i) for i in order[:n_probe]]
+
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    emb = F.col("varr")
+    return (
+        assigned.where(F.col("list_id").isin(probe))  # partition pruning
+        .select(F.col(id_col),
+                F.round(cosine(emb, qcol), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 10,
              n_tables: int = 4, seed: int = 42, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

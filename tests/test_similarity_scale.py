@@ -70,3 +70,18 @@ def test_sampling_partition_independent(spark):
         s = runs[0].unionByName(runs[1]).toPandas()
         frames.append(s.sort_values(key).reset_index(drop=True)[key])
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_ivf_recall_vs_exact(vectors, spark):
+    """IVF with 8 lists / 3 probes finds most true top-k for clustered
+    data; sims on returned candidates are exact cosines."""
+    from error_analysis_spark.extensions.similarity import cosine_topk, ivf_topk
+    qrow = vectors.where(F.col("vec_id") == 0).first()
+    q = [float(v) for v in qrow["embedding"]]
+    rest = vectors.where(F.col("vec_id") > 0)
+    exact = cosine_topk(rest, q, k=10).toPandas()
+    approx = ivf_topk(rest, q, k=10, n_lists=8, n_probe=3, seed=5).toPandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.8, recall
+    merged = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
+    np.testing.assert_allclose(merged["sim_e"], merged["sim_a"], atol=1e-9)
