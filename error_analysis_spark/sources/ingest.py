@@ -1,0 +1,97 @@
+"""Driver-side ingest utilities — SURVEY §2.1 S1/S3 [IO-only].
+
+The engine's tables are plain Parquet; converting archival formats
+(GeoTIFF, LAS/LAZ) happens ONCE at the edge, driver-side, exactly as the
+reference shells out to rasterio/PDAL. The codec paths are gated behind
+import-tries (this container ships neither rasterio nor laspy); the
+array→long-table conversion itself is pure numpy/pandas and fully
+tested. `differencing_functions.py:69-79` (raster open) and `:739-828`
+(LAS pipeline) are the reference counterparts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from error_analysis_spark.fixtures import GridSpec
+
+PIXEL_COLUMNS = ["dataset_id", "band", "row", "col", "x", "y", "value"]
+
+
+def array_to_pixels(spark: SparkSession, arr: np.ndarray, grid: GridSpec,
+                    band: int = 1) -> DataFrame:
+    """Dense 2-D array (+ GridSpec) → long pixel DataFrame. NaN and the
+    grid's nodata sentinel both become SQL NULL (the engine's single
+    nodata rule, SURVEY §7 hard part #6)."""
+    if arr.ndim != 2:
+        raise ValueError(f"expected 2-D array, got shape {arr.shape}")
+    if arr.shape != (grid.height, grid.width):
+        raise ValueError(
+            f"array shape {arr.shape} != grid (h,w) "
+            f"({grid.height}, {grid.width})")
+    rr, cc = np.mgrid[0:grid.height, 0:grid.width]
+    vals = arr.astype(np.float64).ravel().copy()
+    vals[~np.isfinite(vals)] = np.nan
+    vals[vals == grid.nodata] = np.nan
+    pdf = pd.DataFrame({
+        "dataset_id": grid.dataset_id,
+        "band": np.int32(band),
+        "row": rr.ravel().astype(np.int32),
+        "col": cc.ravel().astype(np.int32),
+        "x": grid.x0 + (cc.ravel() + 0.5) * grid.res,
+        "y": grid.y0 - (rr.ravel() + 0.5) * grid.res,
+        "value": vals,
+    })
+    pdf.loc[pdf["value"].isna(), "value"] = None
+    return spark.createDataFrame(pdf[PIXEL_COLUMNS])
+
+
+def pixels_to_array(pixels_pdf: pd.DataFrame, grid: GridSpec) -> np.ndarray:
+    """Inverse of `array_to_pixels` (collected pixel rows → dense array,
+    NaN where absent/NULL) — the driver-side GeoTIFF-export step."""
+    arr = np.full((grid.height, grid.width), np.nan)
+    sub = pixels_pdf.dropna(subset=["value"])
+    arr[sub["row"].to_numpy(int), sub["col"].to_numpy(int)] = \
+        sub["value"].to_numpy(float)
+    return arr
+
+
+def geotiff_to_pixels(spark: SparkSession, path: str,
+                      dataset_id: str) -> DataFrame:
+    """GeoTIFF → pixel table. Requires rasterio (not in this container);
+    the conversion after decode is `array_to_pixels`."""
+    try:
+        import rasterio  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "geotiff_to_pixels requires rasterio; install it on the "
+            "ingest host (engine tables are plain parquet — see "
+            "sources/pixel_store.py)") from e
+    with rasterio.open(path) as src:  # pragma: no cover
+        arr = src.read(1).astype(np.float64)
+        t = src.transform
+        grid = GridSpec(dataset_id, src.width, src.height, t.c, t.f, t.a,
+                        str(src.crs), src.nodata if src.nodata is not None
+                        else -9999.0)
+    return array_to_pixels(spark, arr, grid)  # pragma: no cover
+
+
+def las_to_points(spark: SparkSession, path: str) -> DataFrame:
+    """LAS/LAZ → points table. Requires laspy (not in this container)."""
+    try:
+        import laspy  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "las_to_points requires laspy; install it on the ingest host "
+            "(points tables are plain parquet)") from e
+    las = laspy.read(path)  # pragma: no cover
+    pdf = pd.DataFrame({  # pragma: no cover
+        "x": np.asarray(las.x), "y": np.asarray(las.y),
+        "z": np.asarray(las.z),
+        "classification": np.asarray(las.classification, dtype=np.int32),
+        "gps_time": np.asarray(las.gps_time, dtype=np.float64),
+        "return_number": np.asarray(las.return_number, dtype=np.int32),
+    })
+    return spark.createDataFrame(pdf)  # pragma: no cover

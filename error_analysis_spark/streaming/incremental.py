@@ -75,6 +75,49 @@ def running_zonal_stats(dod_stream: DataFrame,
     )
 
 
+def stateful_zone_stats(dod_stream: DataFrame, membership: DataFrame):
+    """Custom stateful operator (`applyInPandasWithState`): per-zone
+    running moments kept in an explicit GroupState instead of the SQL
+    aggregation state store.
+
+    Why you'd pick this over `running_zonal_stats`: the state is YOUR
+    struct — it can carry things SQL aggregation state can't (e.g. a
+    reservoir sample per zone, or the per-zone t-digest a streaming
+    median needs), and emission policy is code, not output mode. Here it
+    carries (n, Σ, Σ²) and emits one updated row per zone per batch —
+    semantically identical to the SQL form, so the test cross-checks the
+    two paths against each other.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("zone_id string, n long, mean_dz double, std_dz double, "
+                  "rms_dz double")
+    state_schema = "n long, s double, s2 double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            dz = pdf["dz"].to_numpy()
+            n += len(dz)
+            s += float(dz.sum())
+            s2 += float((dz * dz).sum())
+        state.update((n, s, s2))
+        if n:
+            mean = s / n
+            var = max(s2 / n - mean * mean, 0.0)
+            yield pd.DataFrame({
+                "zone_id": [key[0]], "n": [n], "mean_dz": [mean],
+                "std_dz": [var ** 0.5], "rms_dz": [(s2 / n) ** 0.5],
+            })
+
+    joined = dod_stream.join(
+        membership.select("row", "col", "zone_id"), ["row", "col"])
+    return (joined.groupBy("zone_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(result_stream: DataFrame, table: str):
     """Drive the stream into an in-memory sink (tests/demos); callers on
     a cluster swap this for foreachBatch-upsert into parquet/Delta."""

@@ -184,3 +184,22 @@ def test_smrf_ground_classification(spark):
     precision = (pred_ground & true_ground).sum() / max(pred_ground.sum(), 1)
     assert recall > 0.95, recall
     assert precision > 0.9, precision
+
+
+def test_array_pixels_roundtrip(spark):
+    from error_analysis_spark.sources.ingest import (
+        array_to_pixels, pixels_to_array,
+    )
+    g = GridSpec("rt", width=20, height=16, x0=100.0, y0=500.0, res=2.5)
+    rs = np.random.RandomState(2)
+    arr = rs.standard_normal((16, 20))
+    arr[3, 4] = np.nan
+    arr[5, 6] = -9999.0  # nodata sentinel -> NULL
+    df = array_to_pixels(spark, arr, g)
+    assert df.columns == ["dataset_id", "band", "row", "col", "x", "y", "value"]
+    assert df.where(F.col("value").isNull()).count() == 2
+    back = pixels_to_array(df.toPandas(), g)
+    expect = arr.copy(); expect[5, 6] = np.nan
+    np.testing.assert_allclose(back[~np.isnan(expect)],
+                               expect[~np.isnan(expect)], rtol=1e-12)
+    assert np.isnan(back[3, 4]) and np.isnan(back[5, 6])

@@ -71,3 +71,49 @@ def test_incremental_equals_batch(spark, fx, tmp_path_factory):
     np.testing.assert_allclose(got["rms_dz"], want["rms_dz"], rtol=1e-9)
     # all three zones got updates (stream covered the full grid)
     assert len(got) == 3
+
+
+def test_stateful_operator_matches_sql_path(spark, fx, tmp_path_factory):
+    """applyInPandasWithState running stats ≡ the SQL streaming agg."""
+    stream_dir = tmp_path_factory.mktemp("stream2")
+    px = spark.createDataFrame(fx.pixels)
+    ref = px.where(F.col("dataset_id") == "reference_dem").cache()
+    cmp_ = px.where(F.col("dataset_id") == "compare_dem")
+    import glob
+    import shutil
+    for i in range(3):
+        chunk = cmp_.where(F.col("col") % 3 == i)
+        chunk.coalesce(1).write.parquet(f"{stream_dir}/b{i}")
+        part = glob.glob(f"{stream_dir}/b{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{stream_dir}/survey_{i}.parquet")
+        shutil.rmtree(f"{stream_dir}/b{i}")
+
+    zones = spark.createDataFrame(fx.zones)
+    member = membership(
+        px.select("row", "col", "x", "y").distinct(), zones).cache()
+
+    stream = INC.stream_pixels(spark, str(stream_dir), max_files_per_trigger=1)
+    dod = INC.incremental_dod(stream, ref)
+    stats = INC.stateful_zone_stats(dod, member)
+    q = (stats.writeStream.outputMode("update")
+         .format("memory").queryName("zonal_stateful").start())
+    q.processAllAvailable()
+    q.stop()
+    # update mode appends one row per zone per batch; the LAST row per
+    # zone is the final running value
+    got = (spark.table("zonal_stateful").toPandas()
+           .groupby("zone_id").last().sort_index())
+
+    dod_b = (cmp_.where(F.col("value").isNotNull())
+             .join(ref.where(F.col("value").isNotNull())
+                   .select("row", "col", F.col("value").alias("rv")),
+                   ["row", "col"])
+             .withColumn("dz", F.col("value") - F.col("rv")))
+    want = (dod_b.join(member.select("row", "col", "zone_id"), ["row", "col"])
+            .groupBy("zone_id")
+            .agg(F.count("*").alias("n"), F.avg("dz").alias("mean_dz"),
+                 F.sqrt(F.avg(F.col("dz") ** 2)).alias("rms_dz"))
+            .toPandas().set_index("zone_id").sort_index())
+    np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    np.testing.assert_allclose(got["mean_dz"], want["mean_dz"], rtol=1e-9)
+    np.testing.assert_allclose(got["rms_dz"], want["rms_dz"], rtol=1e-9)
