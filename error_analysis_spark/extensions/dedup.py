@@ -154,6 +154,49 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def connected_components(pairs: DataFrame, vertices: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Near-dup clusters via hash-min label propagation: every vertex
+    starts labeled with its own id; each iteration pushes the min label
+    across edges until fixpoint. Output: (id, component) with component
+    = min id in the cluster — the canonical-document rule (keep
+    `component`, drop the rest).
+
+    Iterations ≤ graph diameter; near-dup graphs are unions of small
+    dense cliques, so convergence is fast. Each iteration is one
+    join + one groupBy (all shuffles on `id`); the loop checks
+    convergence with a cheap count instead of checkpointing every pass.
+    """
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                       F.col("id_a").alias("b")))
+             .distinct().localCheckpoint())
+    # only vertices touching an edge participate in the loop; isolated
+    # vertices keep their own label and rejoin at the end
+    active = edges.select(F.col("a").alias("id")).distinct()
+    labels = active.select("id", F.col("id").alias("component")) \
+        .localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (edges.join(labels.withColumnRenamed("id", "b")
+                           .withColumnRenamed("component", "nb_comp"), "b")
+                .select(F.col("a").alias("id"), F.col("nb_comp")
+                        .alias("component")))
+        # localCheckpoint truncates lineage each pass — the iterative
+        # plan would otherwise grow without bound
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("id").agg(F.min("component").alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed(
+            "component", "old"), "id")
+            .where(F.col("component") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    isolated = (vertices.join(active, "id", "left_anti")
+                .select("id", F.col("id").alias("component")))
+    return labels.unionByName(isolated)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 48) -> DataFrame:
     """SimHash: per token, md5-derived bit pattern; signature bit_j = 1 if

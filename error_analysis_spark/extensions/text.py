@@ -25,6 +25,21 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
+# GPT-2-style pre-tokenizer shape: word = letters, number = digits,
+# contraction tail, else single non-space symbol. Subword token COUNT
+# for budget estimation without a vocab (a real BPE only splits within
+# these pieces, so this is the standard cheap lower bound).
+BPE_ISH_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization (BPE-ish): array of word/number/symbol
+    pieces; `F.size(...)` of this is the token-count estimator used for
+    training-data budgeting."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def token_stats(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Token counting + quality scoring signals per document:

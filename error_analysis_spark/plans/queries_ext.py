@@ -489,6 +489,85 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("mean_value", 6).alias("mean_value"))
 
 
+# --------------------------------------------------------------------------
+# Connected-components dedup grouping (canonical document selection):
+# near-dup pairs (embedding cosine ≥ threshold) → clusters via hash-min
+# label propagation; oracle = recursive-CTE transitive closure.
+# --------------------------------------------------------------------------
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH, n_blocks=4)
+    vertices = emb.select(F.col("vec_id").alias("id"))
+    comp = DD.connected_components(pairs, vertices)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.max("id").alias("max_id"),
+    )
+
+
+COMPONENTS_SQL = f"""
+WITH n AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM n a JOIN n b ON a.id < b.id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) >= {_EMB_THRESH}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, node) AS (
+    SELECT id, id FROM n
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.node = e.a
+  )
+  SELECT src, node FROM r
+),
+comp AS (
+  SELECT src AS id, min(node) AS component FROM reach GROUP BY src
+)
+SELECT component, count(*) AS cluster_size, max(id) AS max_id
+FROM comp GROUP BY component
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (training-budget estimator)
+# --------------------------------------------------------------------------
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.bpe_ish_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(TX.tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.round(F.size(toks) / F.size(TX.tokens(F.col("text"))), 6)
+         .alias("fertility"),
+    )
+
+
+_BPE_SQL_PAT = TX.BPE_ISH_PATTERN.replace("'", "''")
+
+BPE_COUNT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         AS n_ws_tokens,
+       round(CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))
+                  AS DOUBLE)
+             / len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '')), 6) AS fertility
+FROM documents
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
@@ -504,4 +583,6 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding": (dedup_embedding, EMB_DEDUP_SQL),
     "mm_payload_stats": (mm_payload_stats, MM_STATS_SQL),
     "mm_features": (mm_features, None),
+    "dedup_components": (dedup_components, COMPONENTS_SQL),
+    "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
 }
