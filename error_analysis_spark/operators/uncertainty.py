@@ -261,6 +261,42 @@ def estimate_fft(wkt: str, sills, ranges, nugget=0.0,
     return math.sqrt(max(var, 0.0))
 
 
+def sigma_a_by_zone(zones: DataFrame, sills, ranges, nugget=0.0,
+                    method: str = "fft", **kw) -> DataFrame:
+    """Distributed per-zone σ_A: one `applyInPandas` task per zone runs
+    the bounded numpy kernel (fft / analytical) — the many-polygons
+    scale path (a landslide inventory has thousands of zones; each
+    kernel is O(grid_points²), so zone-parallelism is the right axis).
+
+    MC / brute-force methods stay whole-cluster per zone (they are
+    themselves distributed) — use `estimate_sigma_a` in a loop for
+    those. Output: zone_id, sigma_a.
+    """
+    import pandas as pd
+
+    if method not in ("fft", "analytical"):
+        raise ValueError(
+            f"sigma_a_by_zone parallelizes driver-side kernels only "
+            f"(fft, analytical), got: {method}")
+    s, r, n = list(sills), list(ranges), float(nugget)
+    gp = kw.get("grid_points", 200)
+    ns = kw.get("num_steps", 1000)
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            if method == "fft":
+                v = estimate_fft(row.wkt, s, r, n, gp)
+            else:
+                v = estimate_analytical(polygon_area(row.wkt), s, r, n, ns)
+            out.append({"zone_id": row.zone_id, "sigma_a": v})
+        return pd.DataFrame(out)
+
+    return (zones.select("zone_id", "wkt").repartition("zone_id")
+            .groupBy("zone_id")
+            .applyInPandas(one, "zone_id string, sigma_a double"))
+
+
 # --------------------------------------------------------------------------
 # dispatch (mirrors the reference's method= ladder, :989-1001)
 # --------------------------------------------------------------------------

@@ -380,8 +380,11 @@ _KNN_K = 3
 
 
 def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN via the blocked-GEMM path (block-local top-k + global
+    window prune); oracle = naive all-pairs SQL, so a MATCH proves the
+    block decomposition returns the identical neighbor lists."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
-    return SIM.pairwise_cosine_topk(emb, k=_KNN_K)
+    return SIM.block_cosine_topk(emb, k=_KNN_K, n_blocks=4)
 
 
 PAIRWISE_KNN_SQL = f"""

@@ -85,3 +85,40 @@ def test_ivf_recall_vs_exact(vectors, spark):
     assert recall >= 0.8, recall
     merged = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
     np.testing.assert_allclose(merged["sim_e"], merged["sim_a"], atol=1e-9)
+
+
+def test_block_topk_equals_pairwise(vectors):
+    from error_analysis_spark.extensions.similarity import (
+        block_cosine_topk, pairwise_cosine_topk,
+    )
+    a = pairwise_cosine_topk(vectors, k=4).toPandas() \
+        .sort_values(["id_a", "rk"]).reset_index(drop=True)
+    b = block_cosine_topk(vectors, k=4, n_blocks=5).toPandas() \
+        .sort_values(["id_a", "rk"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(
+        a[["id_a", "id_b", "rk"]], b[["id_a", "id_b", "rk"]])
+    np.testing.assert_allclose(a["sim"], b["sim"], atol=2e-6)
+
+
+def test_sigma_a_by_zone_matches_driver(spark):
+    from error_analysis_spark.operators.uncertainty import (
+        estimate_fft, sigma_a_by_zone,
+    )
+    import pandas as pd
+    zones = []
+    for i in range(6):
+        x0, y0 = i * 100.0, 0.0
+        w, h = 40.0 + 10 * i, 30.0 + 5 * i
+        zones.append({
+            "zone_id": f"z{i}",
+            "wkt": (f"POLYGON (({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, "
+                    f"{x0} {y0+h}, {x0} {y0}))"),
+        })
+    zdf = spark.createDataFrame(pd.DataFrame(zones))
+    got = sigma_a_by_zone(zdf, [0.04], [25.0], 0.002, method="fft",
+                          grid_points=80).toPandas() \
+        .set_index("zone_id")["sigma_a"]
+    for z in zones:
+        want = estimate_fft(z["wkt"], [0.04], [25.0], 0.002, grid_points=80)
+        np.testing.assert_allclose(got[z["zone_id"]], want, rtol=1e-12)
