@@ -83,7 +83,7 @@ def resolve_max_lag(diag: float, multiplier: float | str) -> float:
 
 def sample_pixels(pixels: DataFrame, params: VariogramParams, res: float,
                   run: int = 0, id_col: str | None = None,
-                  value: str = "value") -> DataFrame:
+                  value: str = "value", n_valid: int | None = None) -> DataFrame:
     """R6 — seeded random sample of valid pixels
     (variography_uncertainty.py:160-219).
 
@@ -98,7 +98,10 @@ def sample_pixels(pixels: DataFrame, params: VariogramParams, res: float,
             "_pid", F.col("row").cast("long") * F.lit(1 << 31) + F.col("col"))
         id_col = "_pid"
     valid = pixels.where(F.col(value).isNotNull() & ~F.isnan(value))
-    n_valid = valid.count()
+    if n_valid is None:
+        # NOTE: an eager count per call — multi-run drivers should count
+        # once and pass `n_valid` (empirical_variogram does)
+        n_valid = valid.count()
     if n_valid == 0:
         raise ValueError("no valid pixels to sample")  # :204-208 validation
     n_target = min(
@@ -115,6 +118,42 @@ def sample_pixels(pixels: DataFrame, params: VariogramParams, res: float,
                    F.col(value).alias("value"))
            .withColumn("run", F.lit(run)))
     return out
+
+
+def sample_pixels_multi(valid: DataFrame, params: VariogramParams, res: float,
+                        n_runs: int, n_valid: int,
+                        value: str = "value") -> DataFrame:
+    """R6 × n_runs in ONE pass: every pixel fans out to all runs
+    (explode), keeps only rows whose deterministic u falls under ~1.5×
+    the target fraction (cheap pre-filter — the fan-out never
+    materializes beyond the survivors), then one per-run window
+    row_number ≤ target picks the exact smallest-u sample.
+
+    Replaces n_runs separate sort-limit jobs with a single narrow job —
+    per-job latency dominates multi-run sampling otherwise (each run is
+    only a few thousand rows). Selection is identical to per-run
+    `sample_pixels`: same hash, same order statistic.
+    """
+    from pyspark.sql import Window as W
+
+    n_target = min(
+        int(params.max_samples),
+        max(1, int(n_valid * (res ** 2) * params.samples_per_area
+                   / (params.area_side ** 2))),
+    )
+    n_target = min(n_target, n_valid)
+    frac = min(1.0, 1.5 * n_target / n_valid)
+    px = valid.withColumn(
+        "_pid", F.col("row").cast("long") * F.lit(1 << 31) + F.col("col"))
+    fanned = px.withColumn(
+        "run", F.explode(F.sequence(F.lit(0), F.lit(n_runs - 1))))
+    u = _uniform_hash(F.col("_pid"), params.seed, F.col("run"))
+    cand = fanned.withColumn("_u", u).where(F.col("_u") < F.lit(frac))
+    w = W.partitionBy("run").orderBy("_u")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_target)
+            .select(F.col("_pid").alias("sample_id"), "x", "y",
+                    F.col(value).alias("value"), "run"))
 
 
 def pair_bins(samples: DataFrame, max_lag: float, bin_width: float,
@@ -210,15 +249,21 @@ def empirical_variogram(pixels: DataFrame, params: VariogramParams, res: float,
     DataFrame before the pair join so all runs' pair work shares one
     shuffle stage (no driver-side loop over jobs).
     """
-    diag = bbox_diagonal(pixels.where(F.col("value").isNotNull()))
+    valid = pixels.where(F.col("value").isNotNull() & ~F.isnan("value")).cache()
+    stats = valid.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count("*")).first()
+    diag = math.hypot(stats[1] - stats[0], stats[3] - stats[2])
+    n_valid = stats[4]
     max_lag = resolve_max_lag(diag, params.max_lag_multiplier)
     n_bins = int(max_lag / params.bin_width) + 1
     if n_bins > params.max_n_bins:
         max_lag = params.max_n_bins * params.bin_width  # :398-401 bin cap
-    runs = [sample_pixels(pixels, params, res, run=r) for r in range(params.n_runs)]
-    samples = runs[0]
-    for r in runs[1:]:
-        samples = samples.unionByName(r)
+    # all runs drawn in one narrow job (identical selection to per-run
+    # sample_pixels — same hash order statistic), materialized once so
+    # both sides of the pair self-join read the tiny cached sample set
+    samples = sample_pixels_multi(valid, params, res, params.n_runs,
+                                  n_valid).cache()
+    samples.count()
     per_run = matheron(pair_bins(samples, max_lag, params.bin_width,
                                  exact=exact_join))
     return mean_variogram(per_run, params.bin_width), max_lag

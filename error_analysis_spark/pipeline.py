@@ -69,9 +69,13 @@ def analyze_pair(reference: DataFrame, compare: DataFrame,
     dod = AL.difference(AL.align_pair(reference, compare, ref_grid, cmp_grid))
     dodv = dod.select("row", "col", "x", "y", F.col("dz").alias("value"))
 
-    # 3: zone membership + stable derivation (J2/SO2)
+    # 3: zone membership + stable derivation (J2/SO2) — one PIP pass;
+    # stable = valid − unstable reuses the cached membership keys
     member = ZN.membership(dodv, zones).cache()
-    stable = ZN.derive_stable(dodv, zones).cache()
+    foi = (member.where(F.col("kind") == "unstable")
+           .select("row", "col").distinct())
+    stable = (dodv.join(foi, ["row", "col"], "left_anti")
+              .withColumn("zone_id", F.lit("stable")).cache())
 
     # 5: vertical bias (A6) + bootstrap uncertainty (A7) + subtract (R5)
     bias = ST.median_bias(stable).first()["bias"]
