@@ -105,9 +105,15 @@ def block_cosine_pairs(embeddings: DataFrame, threshold: float,
               .select(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"),
                       "id", "v", "b"))
 
+    _EMPTY = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "sim": pd.Series(dtype="float64")})
+
     def gemm(key, pdf):
         ba, bb = int(key[0]), int(key[1])
         a = pdf[pdf["b"] == ba]
+        if len(a) == 0:
+            return _EMPTY
         ids_a = a["id"].to_numpy()
         ma = np.stack(a["v"].to_numpy())
         ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
@@ -117,6 +123,8 @@ def block_cosine_pairs(embeddings: DataFrame, threshold: float,
             id_a, id_b, s = ids_a[iu], ids_a[ju], sims[iu, ju]
         else:
             bdf = pdf[pdf["b"] == bb]
+            if len(bdf) == 0:
+                return _EMPTY
             ids_b = bdf["id"].to_numpy()
             mb = np.stack(bdf["v"].to_numpy())
             mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
@@ -159,9 +167,15 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
               .select(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"),
                       "id", "v", "b"))
 
+    _EMPTY = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "sim": pd.Series(dtype="float64")})
+
     def gemm(key, pdf):
         ba, bb = int(key[0]), int(key[1])
         a = pdf[pdf["b"] == ba]
+        if len(a) == 0:
+            return _EMPTY
         ids_a = a["id"].to_numpy()
         ma = np.stack(a["v"].to_numpy())
         ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
@@ -169,6 +183,8 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
             ids_b, mb = ids_a, ma
         else:
             bd = pdf[pdf["b"] == bb]
+            if len(bd) == 0:
+                return _EMPTY
             ids_b = bd["id"].to_numpy()
             mb = np.stack(bd["v"].to_numpy())
             mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)

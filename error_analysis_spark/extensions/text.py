@@ -125,8 +125,12 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n_shingles)))
     hashes = F.transform(
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    # documents shorter than n_shingles have no shingle: NULL fingerprint
+    # (F.sequence with start > stop would otherwise count DOWN and
+    # slice(…, 0, …) errors out)
+    fp = F.when(F.size(toks) >= n_shingles, F.array_min(hashes))
     return df.select(
         F.col(id_col),
-        F.array_min(hashes).alias("fingerprint"),
+        fp.alias("fingerprint"),
         F.size(toks).alias("n_tokens"),
     )

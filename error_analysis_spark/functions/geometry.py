@@ -73,23 +73,51 @@ def pip_mask(xs: np.ndarray, ys: np.ndarray, rings: list[np.ndarray]) -> np.ndar
     return inside
 
 
-def polygon_area(wkt: str) -> float:
-    """Shoelace area with even-odd hole handling: outer − holes.
+# one polygon part: "(" ring ("," ring)* ")" where ring = "(coords)"
+_GROUP_RE = re.compile(r"\(\s*\([^()]*\)(?:\s*,\s*\([^()]*\))*\s*\)")
 
-    Signed areas summed with outer assumed CCW-or-CW; we take abs of the
-    largest ring minus abs of the rest, matching shapely `.area` for valid
-    simple polygons (used by F9 min-area filter, stable_unstable_areas.py:
-    388-394, and R9 detailed area, variography_uncertainty.py:79-91).
+
+def parse_wkt_ring_groups(wkt: str) -> list[list[np.ndarray]]:
+    """Parse into per-polygon ring groups: each group's first ring is the
+    outer boundary, the rest are holes (WKT ordering convention). A
+    POLYGON yields one group; a MULTIPOLYGON one group per part."""
+    head = wkt.strip().split("(", 1)[0].strip().upper()
+    if head not in ("POLYGON", "MULTIPOLYGON"):
+        raise ValueError(f"not a polygon WKT: {head!r}")
+    groups = []
+    for grp_txt in _GROUP_RE.findall(wkt):
+        rings = []
+        for ring_txt in _RING_RE.findall(grp_txt):
+            pts = []
+            for pair in ring_txt.split(","):
+                xy = pair.split()
+                if len(xy) < 2:
+                    raise ValueError(f"bad WKT coordinate: {pair!r}")
+                pts.append((float(xy[0]), float(xy[1])))
+            rings.append(np.asarray(pts, dtype=np.float64))
+        if rings:
+            groups.append(rings)
+    if not groups:
+        raise ValueError("empty polygon WKT")
+    return groups
+
+
+def polygon_area(wkt: str) -> float:
+    """Shoelace area: Σ over polygon parts of (outer − Σ holes), using
+    WKT ring-group structure — correct for MULTIPOLYGON (each part's
+    first ring is its outer boundary) and polygons with holes; matches
+    shapely `.area` for valid geometry (F9 min-area filter,
+    stable_unstable_areas.py:388-394; R9 detailed area,
+    variography_uncertainty.py:79-91).
     """
-    rings = parse_wkt_polygon(wkt)
-    areas = []
-    for ring in rings:
+    def shoelace(ring: np.ndarray) -> float:
         x, y = ring[:, 0], ring[:, 1]
-        areas.append(0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))))
-    if len(areas) == 1:
-        return areas[0]
-    outer = max(areas)
-    return outer - (sum(areas) - outer)
+        return 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+
+    total = 0.0
+    for rings in parse_wkt_ring_groups(wkt):
+        total += shoelace(rings[0]) - sum(shoelace(r) for r in rings[1:])
+    return total
 
 
 def polygon_bounds(wkt: str) -> tuple[float, float, float, float]:

@@ -215,7 +215,7 @@ def fit_best_spherical_model(spark: SparkSession, vario_pdf: pd.DataFrame,
             })
         return pd.DataFrame(rows)
 
-    fits = (tasks.repartition(tasks.count())
+    fits = (tasks.repartition(len(configs) * n_inits)
             .groupBy("config_id", "init_id")
             .applyInPandas(run_group, _FIT_SCHEMA)
             .toPandas())
@@ -276,6 +276,13 @@ def cross_validate(spark: SparkSession, vario_pdf: pd.DataFrame, n_comp: int,
             tr = fold_of != f
             te = ~tr
             r = fit_single(lag[tr], gamma[tr], sigma[tr], n_comp, nugget, 0, seed)
+            if len(r["params"]) == 0:
+                # training fold too small for this config (k+2 finite
+                # bins needed): report NaN metrics instead of crashing
+                rows.append({"fold": f, "rmse": float("nan"),
+                             "mae": float("nan"), "me": float("nan"),
+                             "mse": float("nan")})
+                continue
             pred = spherical_gamma_np(lag[te], np.asarray(r["params"]),
                                       n_comp, nugget)
             err = pred - gamma[te]

@@ -172,8 +172,16 @@ def fill_nodata_idw(pixels: DataFrame, grid: GridSpec,
         .agg((F.sum(w * F.col("value")) / F.sum(w)).alias("value"))
         .withColumn("filled", F.lit(True))
     )
+    # cells with NO donor within max_dist stay nodata — emit them as
+    # explicit NULL rows (gdal.FillNodata leaves them in place; dropping
+    # them would shrink the raster for downstream mask/area consumers)
+    unreachable = (missing.join(filled.select("row", "col"),
+                                ["row", "col"], "left_anti")
+                   .select("row", "col",
+                           F.lit(None).cast("double").alias("value"),
+                           F.lit(False).alias("filled")))
     keep = valid.select("row", "col", "value").withColumn("filled", F.lit(False))
-    return keep.unionByName(filled)
+    return keep.unionByName(filled).unionByName(unreachable)
 
 
 def classify_ground_smrf(points: DataFrame, grid: GridSpec,

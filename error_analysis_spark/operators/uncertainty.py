@@ -117,7 +117,9 @@ def uniform_points_in_polygon(spark: SparkSession, wkt: str, n: int,
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         rng = np.random.RandomState(seed + 7919 * pid)
         for pdf in iterator:
-            want = int(pdf["want"].iloc[0])
+            # round-robin repartition can land 2 want-rows in one batch;
+            # honor the SUM or the total generated silently shrinks
+            want = int(pdf["want"].sum())
             xs, ys = [], []
             got = 0
             while got < want:
@@ -173,8 +175,9 @@ def estimate_hugonnet(pixels: DataFrame, sills, ranges, nugget=0.0,
     sill = total_sill(sills, nugget)
     n = pixels.count()
     centers = (pixels
-               .withColumn("_u", F.pmod(F.xxhash64("x", "y", F.lit(seed)),
-                                        F.lit(1_000_003)))
+               # raw 64-bit hash as id: mod-reduced ids collided (~0.5%
+               # at k=100) and merged two centers into one group
+               .withColumn("_u", F.xxhash64("x", "y", F.lit(seed)))
                .orderBy("_u").limit(k_centers)
                .select(F.col("x").alias("cx"), F.col("y").alias("cy"),
                        F.col("_u").alias("center_id")))

@@ -111,7 +111,10 @@ def sample_pixels(pixels: DataFrame, params: VariogramParams, res: float,
     )
     n_target = min(n_target, n_valid)
     u = _uniform_hash(F.col(id_col), params.seed, F.lit(run))
-    frac = min(1.0, 1.5 * n_target / n_valid)
+    # Bernoulli pre-filter sized so P(survivors < n_target) is negligible
+    # even for small targets (mean = 1.5·target + 6·√target + 16; a bare
+    # 1.5× multiplier undersamples ~5-10% of the time at target ≈ 10)
+    frac = min(1.0, (1.5 * n_target + 6.0 * n_target ** 0.5 + 16.0) / n_valid)
     cand = valid.withColumn("_u", u).where(F.col("_u") < F.lit(frac))
     out = (cand.orderBy("_u").limit(n_target)
            .select(F.col(id_col).alias("sample_id"), "x", "y",
@@ -142,7 +145,10 @@ def sample_pixels_multi(valid: DataFrame, params: VariogramParams, res: float,
                    / (params.area_side ** 2))),
     )
     n_target = min(n_target, n_valid)
-    frac = min(1.0, 1.5 * n_target / n_valid)
+    # Bernoulli pre-filter sized so P(survivors < n_target) is negligible
+    # even for small targets (mean = 1.5·target + 6·√target + 16; a bare
+    # 1.5× multiplier undersamples ~5-10% of the time at target ≈ 10)
+    frac = min(1.0, (1.5 * n_target + 6.0 * n_target ** 0.5 + 16.0) / n_valid)
     px = valid.withColumn(
         "_pid", F.col("row").cast("long") * F.lit(1 << 31) + F.col("col"))
     fanned = px.withColumn(

@@ -1,0 +1,99 @@
+"""Regression tests for the round-1 code-review findings (crashes and
+silent-wrong-result bugs in edge cases)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from error_analysis_spark.functions.geometry import polygon_area
+
+
+def test_multipolygon_area():
+    two_squares = ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+                   "((2 0, 3 0, 3 1, 2 1, 2 0)))")
+    assert polygon_area(two_squares) == pytest.approx(2.0)
+    with_hole = ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                 "(1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert polygon_area(with_hole) == pytest.approx(16.0 - 1.0)
+    part_with_hole = ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), "
+                      "(1 1, 2 1, 2 2, 1 2, 1 1)), "
+                      "((10 0, 11 0, 11 1, 10 1, 10 0)))")
+    assert polygon_area(part_with_hole) == pytest.approx(16.0)
+
+
+def test_fingerprint_short_documents(spark):
+    from error_analysis_spark.extensions.text import fingerprint
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["one", "two words", "three word doc",
+                 "four word document here"],
+    }))
+    out = fingerprint(docs, n_shingles=3).toPandas().set_index("doc_id")
+    assert pd.isna(out.loc[1, "fingerprint"])
+    assert pd.isna(out.loc[2, "fingerprint"])
+    assert not pd.isna(out.loc[3, "fingerprint"])
+    assert not pd.isna(out.loc[4, "fingerprint"])
+
+
+def test_block_cosine_small_corpus(spark):
+    """More blocks than occupied hash buckets must not crash."""
+    from error_analysis_spark.extensions.similarity import (
+        block_cosine_pairs, block_cosine_topk,
+    )
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]],
+    }))
+    pairs = block_cosine_pairs(emb, threshold=0.9, n_blocks=8).toPandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(0, 1)}
+    topk = block_cosine_topk(emb, k=1, n_blocks=8).toPandas()
+    assert len(topk) == 3  # every vector has a nearest neighbor
+
+
+def test_fill_nodata_keeps_unreachable_cells(spark):
+    from error_analysis_spark.fixtures import GridSpec
+    from error_analysis_spark.operators.pointcloud import fill_nodata_idw
+    n = 30
+    rr, cc = np.mgrid[0:n, 0:n]
+    vals = np.ones((n, n))
+    vals[5:25, 5:25] = np.nan  # 20-wide hole, max_dist 3 → interior unreachable
+    pdf = pd.DataFrame({"row": rr.ravel().astype(np.int32),
+                        "col": cc.ravel().astype(np.int32),
+                        "value": vals.ravel()})
+    g = GridSpec("g", width=n, height=n, x0=0.0, y0=float(n), res=1.0)
+    out = fill_nodata_idw(spark.createDataFrame(pdf), g, max_dist=3.0).toPandas()
+    assert len(out) == n * n  # full pixel set preserved
+    center = out[(out["row"] == 15) & (out["col"] == 15)]
+    assert len(center) == 1 and pd.isna(center["value"].iloc[0])
+    edge = out[(out["row"] == 5) & (out["col"] == 15)]
+    assert edge["value"].iloc[0] == pytest.approx(1.0)
+
+
+def test_derive_join_no_phantom_rows(spark):
+    from error_analysis_spark.operators.focal import derive_join
+    n = 12
+    rr, cc = np.mgrid[0:n, 0:n]
+    pdf = pd.DataFrame({"row": rr.ravel().astype(np.int32),
+                        "col": cc.ravel().astype(np.int32),
+                        "value": np.ones(n * n)})
+    px = spark.createDataFrame(pdf)
+    out = derive_join(px, 1.0, "roughness").toPandas()
+    assert len(out) == n * n  # exactly the source key set, no (-1, *) rows
+    assert out["row"].min() == 0 and out["col"].min() == 0
+    assert out["row"].max() == n - 1
+
+
+def test_cross_validate_tiny_variogram(spark):
+    from error_analysis_spark.operators.fitting import cross_validate
+    vario = pd.DataFrame({
+        "lag": [5.0, 10.0, 15.0, 20.0, 25.0, 30.0],
+        "gamma_mean": [0.01, 0.02, 0.03, 0.035, 0.04, 0.04],
+        "gamma_std": [0.002] * 6,
+    })
+    # 3 components + nugget needs 9 params; 4-5 training bins per fold
+    out = cross_validate(spark, vario, n_comp=3, nugget=True, k_folds=5)
+    assert len(out) == 5  # no crash; undersized folds report NaN
+    assert out["rmse"].isna().all()
