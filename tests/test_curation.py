@@ -1,0 +1,50 @@
+"""Curation-pipeline test on a crafted corpus with known keep/drop
+verdicts per stage."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from error_analysis_spark.extensions.curation import (
+    CurationConfig, curate_documents,
+)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest to find some food and water "
+        "before the long cold night arrives with wind and rain outside")
+
+
+def test_curation_funnel(spark):
+    rows = [
+        # survivors: distinct good english docs
+        (0, GOOD),
+        (1, GOOD.replace("fox", "wolf").replace("dog", "cat")
+            .replace("forest", "desert").replace("water", "shade")
+            .replace("rain", "dust").replace("quick", "slow")
+            .replace("lazy", "busy").replace("green", "red")
+            .replace("cold", "hot").replace("quiet", "loud")),
+        # exact duplicate of 0 → dropped at exact dedup
+        (2, GOOD),
+        # near-duplicate of 0 (one word changed) → dropped at near-dup
+        (3, GOOD.replace("fox", "hare")),
+        # low quality: tiny + non-alpha → dropped at quality gate
+        (4, "!!! ??? 123"),
+        # non-english → dropped at language filter
+        (5, "le chat et le chien sont dans la maison avec les enfants "
+            "et ils ne veulent pas une vie sans jeux pour tous les jours"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kept, stats = curate_documents(
+        docs, CurationConfig(min_quality=0.4, keep_langs=("en",),
+                             near_dup_threshold=0.6, num_perm=32, bands=16))
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [0, 1], ids
+    s = stats.toPandas().set_index("stage")
+    assert s.loc["quality_gate", "rows_out"] == 5      # dropped doc 4
+    assert s.loc["language_filter", "rows_out"] == 4   # dropped doc 5
+    assert s.loc["exact_dedup", "rows_out"] == 3       # dropped doc 2
+    assert s.loc["near_dup_dedup", "rows_out"] == 2    # dropped doc 3
+    toks = kept.select("n_bpe_tokens").toPandas()
+    assert (toks["n_bpe_tokens"] > 20).all()
