@@ -571,6 +571,22 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Curation funnel (rows-only: the connected-components stage over the
+# driver's dense near-dup graph has no tractable SQL restatement)
+# --------------------------------------------------------------------------
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions.curation import (
+        CurationConfig, curate_documents,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    _kept, stats = curate_documents(
+        docs, CurationConfig(min_quality=0.3, keep_langs=("en",),
+                             near_dup_threshold=0.9))
+    return stats
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
@@ -588,4 +604,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_features": (mm_features, None),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
     "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
+    "curation_funnel": (curation_funnel, None),
 }
