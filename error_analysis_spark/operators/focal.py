@@ -114,11 +114,11 @@ def derive_join(pixels: DataFrame, res: float, which: str,
                 azimuth: float = 315.0, altitude: float = 45.0) -> DataFrame:
     """R2 via the relational stencil. Output: row, col, value (NULL where
     the stencil is incomplete — GDAL edge convention). Restricted to
-    cells that exist in the source, so both strategies emit the same
-    key set (the stencil gather otherwise creates phantom (row±1, col±1)
-    groups outside the raster)."""
-    nb = neighbors(pixels).join(
-        pixels.select("row", "col").distinct(), ["row", "col"], "inner")
+    cells whose CENTER pixel exists (z_11 non-null ⇔ a source row fed
+    the center slot) — without this the stencil gather creates phantom
+    (row±1, col±1) groups outside the raster, and the filter costs
+    nothing vs. a key join."""
+    nb = neighbors(pixels).where(F.col("z_11").isNotNull())
     z = {(dy, dx): F.col(f"z_{dy + 1}{dx + 1}")
          for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
     complete = None
