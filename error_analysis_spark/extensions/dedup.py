@@ -58,18 +58,34 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     toks = doc_tokens(df, text_col, id_col).cache()
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    posting = toks
-    if max_df is not None:
+    if max_df is None:
+        a = toks.select(F.col("id").alias("id_a"), "token")
+        b = toks.select(F.col("id").alias("id_b"), "token")
+        inter = (
+            a.join(b, "token")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # pruned postings generate CANDIDATES only; the intersection is
+        # recomputed on the full token sets so every surfaced pair
+        # carries its exact jaccard (pruning may only MISS pairs whose
+        # entire overlap is ultra-common tokens — documented caveat)
         tok_df = toks.groupBy("token").agg(F.count("*").alias("df"))
         posting = toks.join(tok_df.where(F.col("df") <= max_df), "token")
-    a = posting.select(F.col("id").alias("id_a"), "token")
-    b = posting.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        a.join(b, "token")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+        pa = posting.select(F.col("id").alias("id_a"), "token")
+        pb = posting.select(F.col("id").alias("id_b"), "token")
+        cand = (pa.join(pb, "token")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        ta = toks.select(F.col("id").alias("id_a"), "token")
+        tb = toks.select(F.col("id").alias("id_b"), "token")
+        inter = (
+            cand.join(ta, "id_a").join(tb, ["id_b", "token"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (

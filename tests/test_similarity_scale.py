@@ -122,3 +122,22 @@ def test_sigma_a_by_zone_matches_driver(spark):
     for z in zones:
         want = estimate_fft(z["wkt"], [0.04], [25.0], 0.002, grid_points=80)
         np.testing.assert_allclose(got[z["zone_id"]], want, rtol=1e-12)
+
+
+def test_jaccard_max_df_pruning(spark):
+    """max_df drops ultra-common tokens from the posting join; pairs
+    whose overlap includes rarer tokens still surface with EXACT jaccard
+    (sizes/intersections computed on the full token sets)."""
+    from error_analysis_spark.extensions.dedup import jaccard_pairs
+    rows = [
+        (0, "alpha beta gamma delta common"),
+        (1, "alpha beta gamma delta common"),   # J=1.0 with doc 0
+        (2, "epsilon zeta eta theta common"),   # shares only 'common' w/ 0,1
+        (3, "iota kappa lam mu common"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # 'common' appears in 4 docs -> pruned at max_df=3; the (0,1) pair
+    # still found via its rare tokens, and its jaccard is the TRUE 1.0
+    out = jaccard_pairs(docs, threshold=0.5, max_df=3).toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 1)}
+    assert out["jaccard"].iloc[0] == 1.0
