@@ -47,19 +47,20 @@ def _weights(sigma_type: str, lag: np.ndarray, gamma_std: np.ndarray) -> np.ndar
     """Per-bin σ for the heteroscedastic loss
     (variography_uncertainty.py:745-758): 'std' uses the cross-run spread;
     the rest are lag-shaped schedules."""
-    lagn = lag / lag.max()
     if sigma_type == "std":
         s = np.where(np.isfinite(gamma_std) & (gamma_std > 0), gamma_std, np.nan)
         fill = np.nanmedian(s) if np.isfinite(np.nanmedian(s)) else 1.0
         return np.where(np.isfinite(s), s, fill)
+    # lag-shaped schedules: σ SHRINKS with lag (up-weighting long lags),
+    # exactly the reference's formulas (variography_uncertainty.py:765-772)
     if sigma_type == "linear":
-        return 0.1 + lagn
+        return 1.0 / (1.0 + lag)
     if sigma_type == "exp":
-        return np.exp(lagn)
+        return np.exp(-lag)
     if sigma_type == "sqrt":
-        return 0.1 + np.sqrt(lagn)
+        return 1.0 / np.sqrt(1.0 + lag)
     if sigma_type == "sq":
-        return 0.1 + lagn ** 2
+        return 1.0 / (1.0 + lag ** 2)
     raise ValueError(f"unknown sigma_type: {sigma_type}")
 
 
@@ -215,12 +216,19 @@ def fit_best_spherical_model(spark: SparkSession, vario_pdf: pd.DataFrame,
             })
         return pd.DataFrame(rows)
 
-    fits = (tasks.repartition(len(configs) * n_inits)
+    fits = (tasks
             .groupBy("config_id", "init_id")
             .applyInPandas(run_group, _FIT_SCHEMA)
             .toPandas())
     fits = fits.sort_values(["aic", "config_id", "init_id"]).reset_index(drop=True)
     best = fits.iloc[0].to_dict()
+    if not np.isfinite(best["aic"]) or len(best["params"]) == 0:
+        # every (config, init) failed — raise like the reference
+        # (variography_uncertainty.py 'No valid model fit found') instead
+        # of letting callers propagate empty params into σ_A = 0
+        raise RuntimeError(
+            "no valid variogram model fit (too few finite bins for every "
+            f"config; {len(vario_pdf)} bins supplied)")
     return fits, best
 
 
@@ -248,9 +256,11 @@ def bootstrap_fit(spark: SparkSession, vario_pdf: pd.DataFrame, n_comp: int,
             r = fit_single(lag, g_syn, sigma, n_comp, nugget, 0, seed)
             for j, v in enumerate(r["params"]):
                 rows.append({"rep": int(rep), "param_idx": j, "value": v})
-        return pd.DataFrame(rows)
+        # schema-correct empty frame when every replicate fit fails —
+        # a column-less DataFrame crashes the Arrow serializer
+        return pd.DataFrame(rows, columns=["rep", "param_idx", "value"])
 
-    reps = spark.range(n_boot).repartition(64)
+    reps = spark.range(n_boot)
     return reps.groupBy((F.col("id") % 64).alias("g")).applyInPandas(
         lambda pdf: run_reps(pdf), "rep int, param_idx int, value double")
 

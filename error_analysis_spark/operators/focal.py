@@ -71,12 +71,12 @@ def derive_np(z: np.ndarray, res: float, which: str,
                  + math.cos(alt) * np.sin(slope_rad) * np.cos(az - asp_rad))
         return np.clip(shade, 0, 1) * 254.0 + 1.0
     if which == "roughness":
-        center = z[1:-1, 1:-1]
-        diffs = [np.abs(z[1 + dy:z.shape[0] - 1 + dy,
-                          1 + dx:z.shape[1] - 1 + dx] - center)
-                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-                 if not (dy == 0 and dx == 0)]
-        return np.max(np.stack(diffs), axis=0)
+        # GDAL GDALRoughnessAlg: max − min over the full 3×3 window
+        # (including the center), NOT max |neighbor − center|
+        win = np.stack([z[1 + dy:z.shape[0] - 1 + dy,
+                          1 + dx:z.shape[1] - 1 + dx]
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        return np.max(win, axis=0) - np.min(win, axis=0)
     raise ValueError(f"unknown derivative: {which}")
 
 
@@ -147,8 +147,8 @@ def derive_join(pixels: DataFrame, res: float, which: str,
                  * F.cos(F.lit(az) - asp_rad))
         out = F.greatest(F.lit(0.0), F.least(F.lit(1.0), shade)) * 254.0 + 1.0
     elif which == "roughness":
-        diffs = [F.abs(c - z[(0, 0)]) for k, c in z.items() if k != (0, 0)]
-        out = F.greatest(*diffs)
+        # GDAL semantics: window max − window min (center included)
+        out = F.greatest(*z.values()) - F.least(*z.values())
     else:
         raise ValueError(f"unknown derivative: {which}")
     return nb.select("row", "col", F.when(complete, out).alias("value"))
@@ -166,15 +166,16 @@ def derive_tiled(pixels: DataFrame, res: float, which: str, tile: int = 256,
     t = F.lit(tile)
     # home tile + halo copies: a pixel at a tile edge also belongs to the
     # neighboring tile's halo. Enumerate the (ty, tx) tiles whose halo
-    # window [ty*tile-1, (ty+1)*tile] contains the pixel.
+    # window [ty*tile-1, (ty+1)*tile] contains the pixel. floor division
+    # (not int cast, which truncates toward zero) keeps negative
+    # coordinates on the correct tile.
     tiles = F.array_distinct(F.array(*[
-        F.struct(((F.col("row") + dy) / t).cast("int").alias("ty"),
-                 ((F.col("col") + dx) / t).cast("int").alias("tx"))
+        F.struct(F.floor((F.col("row") + dy) / t).cast("int").alias("ty"),
+                 F.floor((F.col("col") + dx) / t).cast("int").alias("tx"))
         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
     ]))
     fanned = (
         pixels.select("row", "col", "value")
-        .where(F.col("row") >= 0).where(F.col("col") >= 0)
         .withColumn("t", F.explode(tiles))
         .select(F.col("t.ty").alias("ty"), F.col("t.tx").alias("tx"),
                 "row", "col", "value")
@@ -184,23 +185,25 @@ def derive_tiled(pixels: DataFrame, res: float, which: str, tile: int = 256,
         ty, tx = int(key[0]), int(key[1])
         r0, c0 = ty * tile, tx * tile
         z = np.full((tile + 2, tile + 2), np.nan)
-        rr = pdf["row"].to_numpy() - r0 + 1
-        cc = pdf["col"].to_numpy() - c0 + 1
+        rows_np = pdf["row"].to_numpy()
+        cols_np = pdf["col"].to_numpy()
+        rr = rows_np - r0 + 1
+        cc = cols_np - c0 + 1
         keep = (rr >= 0) & (rr < tile + 2) & (cc >= 0) & (cc < tile + 2)
         z[rr[keep], cc[keep]] = pdf["value"].to_numpy()[keep]
         out = derive_np(z, res, which, azimuth, altitude)
-        rows, cols = np.mgrid[0:tile, 0:tile]
-        ok = np.isfinite(out)
-        # only emit pixels that exist in the source (inner region)
+        # emit one row per SOURCE pixel in this tile's interior — NULL
+        # where the stencil is incomplete (parity with derive_join)
+        own = (rows_np // tile == ty) & (cols_np // tile == tx)
+        orr = rows_np[own] - r0
+        occ = cols_np[own] - c0
+        vals = out[orr, occ]
         return pd.DataFrame({
-            "row": rows[ok] + r0, "col": cols[ok] + c0,
-            "value": out[ok],
+            "row": rows_np[own], "col": cols_np[own],
+            "value": np.where(np.isfinite(vals), vals, np.nan),
         })
 
-    out = (fanned.groupBy("ty", "tx")
-           .applyInPandas(kernel, "row int, col int, value double"))
-    # halo-only rows never emit (they fall outside the tile's inner
-    # region), so no dedup needed; join back to source keys to drop
-    # synthesized cells that had no source pixel
-    src = pixels.select("row", "col").distinct()
-    return out.join(src, ["row", "col"], "inner")
+    # halo-only copies never emit (they fall outside `own`), so the
+    # output is exactly one row per source pixel — no dedup, no join
+    return (fanned.groupBy("ty", "tx")
+            .applyInPandas(kernel, "row int, col int, value double"))

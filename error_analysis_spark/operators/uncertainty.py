@@ -37,11 +37,13 @@ from error_analysis_spark.functions.geometry import (
 # --------------------------------------------------------------------------
 
 def gamma_np(h, sills, ranges, nugget=0.0):
-    out = np.full_like(np.asarray(h, dtype=np.float64), float(nugget))
-    for c, a in zip(sills, ranges):
-        u = np.minimum(np.asarray(h) / a, 1.0)
-        out = out + c * (1.5 * u - 0.5 * u ** 3)
-    return out
+    """Nested spherical γ(h) — delegates to the single shared numpy
+    implementation (fitting.spherical_gamma_np) so the model can never
+    diverge between the fitting and propagation paths."""
+    from error_analysis_spark.operators.fitting import spherical_gamma_np
+    params = np.asarray([*sills, *ranges, nugget], dtype=np.float64)
+    return spherical_gamma_np(np.asarray(h, dtype=np.float64), params,
+                              len(sills), nugget=True)
 
 
 def total_sill(sills, nugget=0.0) -> float:
@@ -103,42 +105,43 @@ def estimate_analytical(area: float, sills, ranges, nugget=0.0,
 
 def uniform_points_in_polygon(spark: SparkSession, wkt: str, n: int,
                               seed: int = 42) -> DataFrame:
-    """U5 — rejection-sample n uniform points inside the polygon
-    (variography_uncertainty.py:1011-1047). `mapInPandas` generator with
-    per-partition seeds (seed + partition_id): deterministic at fixed
-    partitioning, embarrassingly parallel, no driver data."""
+    """U5 — rejection-sample exactly n uniform points inside the polygon
+    (variography_uncertainty.py:1011-1047). Each generator ROW owns a
+    seeded stream and a disjoint pair_id range (`part·per_part + i`), so
+    the output is deterministic under ANY physical partitioning and
+    needs no global limit (a trailing `.limit(n)` would funnel every
+    generated point through one partition just to trim the surplus)."""
     rings = parse_wkt_polygon(wkt)
     minx, miny, maxx, maxy = polygon_bounds(wkt)
     n_parts = max(1, min(32, n // 50_000 + 1))
-    per_part = n // n_parts + 1
+    per_part = -(-n // n_parts)  # ceil
+    wants = [(p, min(per_part, n - p * per_part)) for p in range(n_parts)]
+    wants = [(p, w) for p, w in wants if w > 0]
 
     def gen(iterator):
-        from pyspark import TaskContext
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        rng = np.random.RandomState(seed + 7919 * pid)
         for pdf in iterator:
-            # round-robin repartition can land 2 want-rows in one batch;
-            # honor the SUM or the total generated silently shrinks
-            want = int(pdf["want"].sum())
-            xs, ys = [], []
-            got = 0
-            while got < want:
-                m = max(1024, int((want - got) * 2.2))
-                cx = rng.uniform(minx, maxx, m)
-                cy = rng.uniform(miny, maxy, m)
-                keep = pip_mask(cx, cy, rings)
-                xs.append(cx[keep])
-                ys.append(cy[keep])
-                got += int(keep.sum())
-            x = np.concatenate(xs)[:want]
-            y = np.concatenate(ys)[:want]
-            yield pd.DataFrame({"x": x, "y": y})
+            for part, want in zip(pdf["part"], pdf["want"]):
+                part, want = int(part), int(want)
+                rng = np.random.RandomState(seed + 7919 * part)
+                xs, ys = [], []
+                got = 0
+                while got < want:
+                    m = max(1024, int((want - got) * 2.2))
+                    cx = rng.uniform(minx, maxx, m)
+                    cy = rng.uniform(miny, maxy, m)
+                    keep = pip_mask(cx, cy, rings)
+                    xs.append(cx[keep])
+                    ys.append(cy[keep])
+                    got += int(keep.sum())
+                yield pd.DataFrame({
+                    "pair_id": part * per_part + np.arange(want, dtype=np.int64),
+                    "x": np.concatenate(xs)[:want],
+                    "y": np.concatenate(ys)[:want],
+                })
 
-    base = spark.range(n_parts).select(F.lit(per_part).alias("want"))
-    base = base.repartition(n_parts)
-    pts = base.mapInPandas(gen, "x double, y double")
-    return (pts.limit(n)
-            .withColumn("pair_id", F.monotonically_increasing_id()))
+    base = spark.createDataFrame(wants, "part int, want int") \
+        .repartition(len(wants))
+    return base.mapInPandas(gen, "pair_id long, x double, y double")
 
 
 def estimate_monte_carlo(spark: SparkSession, wkt: str, sills, ranges,
@@ -220,7 +223,13 @@ def estimate_brute_force(spark: SparkSession, wkt: str, sills, ranges,
                    F.col("y").alias("yb"))
     pairs = a.crossJoin(b)
     dist = F.hypot(F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb"))
-    total = pairs.agg(F.sum(cov_expr(dist, sills, ranges, nugget))).first()[0]
+    # diagonal (i == j) pairs contribute the FULL sill (C(0) = σ², not
+    # σ² − nugget): the reference adds N·σ² explicitly
+    # (variography_uncertainty.py:1229-1230)
+    cov = F.when(F.col("ia") == F.col("ib"),
+                 F.lit(total_sill(sills, nugget))) \
+           .otherwise(cov_expr(dist, sills, ranges, nugget))
+    total = pairs.agg(F.sum(cov)).first()[0]
     n = len(pts)
     return math.sqrt(max(total / (n * n), 0.0))
 
@@ -295,7 +304,7 @@ def sigma_a_by_zone(zones: DataFrame, sills, ranges, nugget=0.0,
             out.append({"zone_id": row.zone_id, "sigma_a": v})
         return pd.DataFrame(out)
 
-    return (zones.select("zone_id", "wkt").repartition("zone_id")
+    return (zones.select("zone_id", "wkt")
             .groupBy("zone_id")
             .applyInPandas(one, "zone_id string, sigma_a double"))
 

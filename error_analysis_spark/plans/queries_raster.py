@@ -83,17 +83,16 @@ def r2_focal_roughness(spark: SparkSession, sf_dir: str) -> DataFrame:
 R2_SQL = f"""
 WITH px AS ({_EVENT_PX_SQL}),
 nb AS (
-  SELECT a.row, a.col, a.value AS z,
-         count(*) AS n_nb,
-         max(abs(b.value - a.value)) AS rough
+  SELECT a.row, a.col,
+         count(*) AS n_win,
+         max(b.value) - min(b.value) AS rough
   FROM px a JOIN px b
     ON b.row BETWEEN a.row - 1 AND a.row + 1
    AND b.col BETWEEN a.col - 1 AND a.col + 1
-   AND NOT (b.row = a.row AND b.col = a.col)
-  GROUP BY a.row, a.col, a.value
+  GROUP BY a.row, a.col
 )
 SELECT row, col, round(rough, 3) AS rough
-FROM nb WHERE n_nb = 8
+FROM nb WHERE n_win = 9
 """
 
 

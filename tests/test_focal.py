@@ -65,14 +65,40 @@ def test_join_strategy_matches_numpy(pixels, grid, which):
 
 @pytest.mark.parametrize("which", ["slope", "roughness"])
 def test_tiled_strategy_matches_join(pixels, which):
+    """Both strategies emit IDENTICAL row sets: one row per source
+    pixel, NULL where the stencil is incomplete."""
     res = 2.0
-    a = FO.derive_join(pixels, res, which).toPandas().dropna(subset=["value"])
+    a = FO.derive_join(pixels, res, which).toPandas()
     b = FO.derive_tiled(pixels, res, which, tile=32).toPandas()
     a = a.sort_values(["row", "col"]).reset_index(drop=True)
     b = b.sort_values(["row", "col"]).reset_index(drop=True)
-    assert len(a) == len(b)
+    assert len(a) == len(b) == pixels.count()
     np.testing.assert_array_equal(a["row"], b["row"])
-    np.testing.assert_allclose(a["value"], b["value"], rtol=1e-9, atol=1e-9)
+    an, bn = a["value"].isna(), b["value"].isna()
+    np.testing.assert_array_equal(an.to_numpy(), bn.to_numpy())
+    np.testing.assert_allclose(a["value"][~an], b["value"][~bn],
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_strategies_handle_negative_rows(spark):
+    """Pixels at negative grid indices (points above/left of the grid
+    origin) flow through both strategies identically."""
+    n = 10
+    rr, cc = np.mgrid[-3:n, -2:n]
+    pdf = pd.DataFrame({
+        "row": rr.ravel().astype(np.int32),
+        "col": cc.ravel().astype(np.int32),
+        "value": (rr.ravel() * 0.5 + cc.ravel() * 0.25).astype(np.float64),
+    })
+    px = spark.createDataFrame(pdf)
+    a = FO.derive_join(px, 1.0, "slope").toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    b = FO.derive_tiled(px, 1.0, "slope", tile=4).toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    assert len(a) == len(b) == len(pdf)
+    an, bn = a["value"].isna(), b["value"].isna()
+    np.testing.assert_array_equal(an.to_numpy(), bn.to_numpy())
+    np.testing.assert_allclose(a["value"][~an], b["value"][~bn], rtol=1e-9)
 
 
 def test_flat_plane_derivatives(spark):
