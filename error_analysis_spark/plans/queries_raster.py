@@ -96,6 +96,42 @@ FROM nb WHERE n_win = 9
 """
 
 
+def r2_focal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope via the stencil join; rounded to 3 dp (atan/sqrt are
+    IEEE-identical across engines; rounding guards the last ulp)."""
+    px = _event_pixels(spark, sf_dir)
+    out = FO.derive_join(px, res=2.0, which="slope")
+    return (out.where(F.col("value").isNotNull())
+            .select("row", "col", F.round("value", 3).alias("slope_deg")))
+
+
+R2SLOPE_SQL = f"""
+WITH px AS ({_EVENT_PX_SQL}),
+nb AS (
+  SELECT a.row, a.col,
+         count(*) AS n_win,
+         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.value END) AS z_a,
+         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.value END) AS z_b,
+         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.value END) AS z_c,
+         sum(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.value END) AS z_d,
+         sum(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.value END) AS z_f,
+         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.value END) AS z_g,
+         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.value END) AS z_h,
+         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.value END) AS z_i
+  FROM px a JOIN px b
+    ON b.row BETWEEN a.row - 1 AND a.row + 1
+   AND b.col BETWEEN a.col - 1 AND a.col + 1
+  GROUP BY a.row, a.col
+)
+SELECT row, col,
+       round(degrees(atan(sqrt(
+         power(((z_c + 2 * z_f + z_i) - (z_a + 2 * z_d + z_g)) / 16.0, 2)
+       + power(((z_g + 2 * z_h + z_i) - (z_a + 2 * z_b + z_c)) / 16.0, 2)
+       ))), 3) AS slope_deg
+FROM nb WHERE n_win = 9
+"""
+
+
 # --------------------------------------------------------------------------
 # S8 — point gridding: max (DSM) and IDW (DTM)
 # --------------------------------------------------------------------------
@@ -217,6 +253,7 @@ SELECT row, col, round(value, 3) AS z_fill FROM fill
 
 RASTER_QUERIES: dict[str, tuple] = {
     "r2_focal_roughness": (r2_focal_roughness, R2_SQL),
+    "r2_focal_slope": (r2_focal_slope, R2SLOPE_SQL),
     "s8_grid_max": (s8_grid_max, S8MAX_SQL),
     "s8_grid_idw": (s8_grid_idw, S8IDW_SQL),
     "r3_fill_nodata": (r3_fill_nodata, R3_SQL),
