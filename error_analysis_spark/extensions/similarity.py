@@ -69,6 +69,37 @@ def pairwise_cosine_topk(embeddings: DataFrame, k: int = 5,
             .where(F.col("rk") <= k))
 
 
+def _packed_normed(embeddings: DataFrame, n_blocks: int, vec_col: str,
+                   id_col: str) -> DataFrame:
+    """Normalize once and pack each vector into a float64 BINARY blob —
+    the GEMM side then rebuilds block matrices with one `np.frombuffer`
+    per group instead of stacking per-row object arrays (the dominant
+    cost at scale: the fan-out ships each vector n_blocks times)."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(batches):
+        for pdf in batches:
+            m = np.stack(pdf["varr"].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "v": [row.tobytes() for row in m],
+            })
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("varr"))
+    packed = base.mapInPandas(pack, "id long, v binary")
+    return packed.withColumn(
+        "b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+
+
+def _unpack(col) -> "np.ndarray":
+    import numpy as np
+    return np.frombuffer(b"".join(col.to_numpy()), dtype=np.float64) \
+        .reshape(len(col), -1)
+
+
 def block_cosine_pairs(embeddings: DataFrame, threshold: float,
                        n_blocks: int = 8, vec_col: str = "embedding",
                        id_col: str = "vec_id") -> DataFrame:
@@ -92,9 +123,7 @@ def block_cosine_pairs(embeddings: DataFrame, threshold: float,
     import numpy as np
     import pandas as pd
 
-    normed = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    normed = _packed_normed(embeddings, n_blocks, vec_col, id_col)
     pairs_of = F.array(*[
         F.struct(
             F.least(F.col("b"), F.lit(j)).alias("ba"),
@@ -115,8 +144,7 @@ def block_cosine_pairs(embeddings: DataFrame, threshold: float,
         if len(a) == 0:
             return _EMPTY
         ids_a = a["id"].to_numpy()
-        ma = np.stack(a["v"].to_numpy())
-        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        ma = _unpack(a["v"])
         if ba == bb:
             sims = ma @ ma.T
             iu, ju = np.triu_indices(len(ids_a), k=1)
@@ -126,8 +154,7 @@ def block_cosine_pairs(embeddings: DataFrame, threshold: float,
             if len(bdf) == 0:
                 return _EMPTY
             ids_b = bdf["id"].to_numpy()
-            mb = np.stack(bdf["v"].to_numpy())
-            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+            mb = _unpack(bdf["v"])
             sims = ma @ mb.T
             ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
             id_a, id_b, s = ids_a[ii], ids_b[jj], sims[ii, jj]
@@ -154,9 +181,7 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
     import pandas as pd
     from pyspark.sql import Window as W
 
-    normed = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    normed = _packed_normed(embeddings, n_blocks, vec_col, id_col)
     pairs_of = F.array(*[
         F.struct(
             F.least(F.col("b"), F.lit(j)).alias("ba"),
@@ -177,8 +202,7 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
         if len(a) == 0:
             return _EMPTY
         ids_a = a["id"].to_numpy()
-        ma = np.stack(a["v"].to_numpy())
-        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        ma = _unpack(a["v"])
         if ba == bb:
             ids_b, mb = ids_a, ma
         else:
@@ -186,8 +210,7 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
             if len(bd) == 0:
                 return _EMPTY
             ids_b = bd["id"].to_numpy()
-            mb = np.stack(bd["v"].to_numpy())
-            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+            mb = _unpack(bd["v"])
         sims = np.round(ma @ mb.T, 6)
         frames = []
         directions = [(ids_a, ids_b, sims)]
