@@ -208,10 +208,41 @@ FROM boot GROUP BY param
 """
 
 
+# --------------------------------------------------------------------------
+# Per-zone sigma_A (rows-only: FFT autocorrelation has no SQL restatement)
+# --------------------------------------------------------------------------
+
+def sigma_a_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-zone uncertainty: one applyInPandas task per zone
+    runs the FFT footprint estimator over nation-derived rectangle zones
+    with a fixed fitted model."""
+    from pyspark.sql import functions as _F
+
+    from error_analysis_spark.operators.uncertainty import sigma_a_by_zone
+    nat = load_table(spark, sf_dir, "nation")
+    zones = nat.select(
+        _F.concat(_F.lit("z"), _F.col("n_nationkey")).alias("zone_id"),
+        _F.format_string(
+            "POLYGON ((%d 0, %d 0, %d %d, %d %d, %d 0))",
+            _F.col("n_nationkey") * 100,
+            _F.col("n_nationkey") * 100 + 60 + _F.col("n_nationkey") % 5 * 10,
+            _F.col("n_nationkey") * 100 + 60 + _F.col("n_nationkey") % 5 * 10,
+            _F.lit(40) + _F.col("n_nationkey") % 3 * 10,
+            _F.col("n_nationkey") * 100,
+            _F.lit(40) + _F.col("n_nationkey") % 3 * 10,
+            _F.col("n_nationkey") * 100,
+        ).alias("wkt"),
+    )
+    out = sigma_a_by_zone(zones, [0.04], [25.0], 0.002, method="fft",
+                          grid_points=64)
+    return out.select("zone_id", _F.round("sigma_a", 6).alias("sigma_a"))
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),
     "a14_closed_form": (a14_closed_form, A14_SQL),
     "a15_param_percentiles": (a15_param_percentiles, A15_SQL),
+    "sigma_a_zones": (sigma_a_zones, None),
 }
