@@ -64,6 +64,14 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42,
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+# probe real codecs ONCE per process (a failed import inside the per-row
+# decode path re-runs the full import machinery on every asset)
+try:  # pragma: no cover - real codec path needs PIL
+    from PIL import Image as _PIL
+except ImportError:
+    _PIL = None
+
+
 def _i(v) -> int | None:
     """Nullable INT columns surface as float (NaN) in Arrow→pandas
     batches; coerce back before shape arithmetic."""
@@ -84,26 +92,21 @@ def decode_payload(payload: bytes, kind: str, width: int | None,
     DETERMINISTIC fake derived from the payload bytes — same payload ⇒
     same array on any executor, so downstream features are testable.
     """
-    try:  # pragma: no cover - real codec path needs PIL/soundfile
-        if kind == "image":
-            import io
-
-            from PIL import Image  # noqa: F401
-            return np.asarray(Image.open(io.BytesIO(payload)))
-        raise ImportError
-    except ImportError:
-        digest = hashlib.sha256(payload).digest()
-        rs = np.random.RandomState(
-            int.from_bytes(digest[:4], "big", signed=False))
-        if kind == "image":
-            return rs.randint(0, 256, (height, width, 3), dtype=np.uint8)
-        if kind == "audio":
-            return (rs.standard_normal(sample_rate or 16000)
-                    .astype(np.float32))
-        if kind == "video":
-            return rs.randint(0, 256, (n_frames, height, width, 3),
-                              dtype=np.uint8)
-        raise NotImplementedError(f"unknown asset kind: {kind}") from None
+    if _PIL is not None and kind == "image":  # pragma: no cover
+        import io
+        return np.asarray(_PIL.open(io.BytesIO(payload)))
+    digest = hashlib.sha256(payload).digest()
+    rs = np.random.RandomState(
+        int.from_bytes(digest[:4], "big", signed=False))
+    if kind == "image":
+        return rs.randint(0, 256, (height, width, 3), dtype=np.uint8)
+    if kind == "audio":
+        return (rs.standard_normal(sample_rate or 16000)
+                .astype(np.float32))
+    if kind == "video":
+        return rs.randint(0, 256, (n_frames, height, width, 3),
+                          dtype=np.uint8)
+    raise NotImplementedError(f"unknown asset kind: {kind}")
 
 
 # --------------------------------------------------------------------------
