@@ -107,10 +107,18 @@ def bootstrap_median_std(df: DataFrame, value: str = "value",
     sampled values; partial aggregation keeps the fan-out from
     materializing n_boot× the data.
     """
-    reps = df.sparkSession.range(n_boot).withColumnRenamed("id", "rep")
-    u = (F.pmod(F.xxhash64(F.col(id_col).cast("long"), F.col("rep"), F.lit(seed)),
-                F.lit(1_000_000_007)).cast("double") / F.lit(1_000_000_007.0))
-    fanned = df.crossJoin(F.broadcast(reps)).where(u < F.lit(fraction))
+    # enumerate each row's SURVIVING replicates inside one projection
+    # (filter-then-explode): the n_boot-way fan-out materializes only
+    # ~fraction·n_boot rows per input row instead of n_boot rows that a
+    # crossJoin+filter would stream through the plan
+    def _u(rep):
+        return (F.pmod(F.xxhash64(F.col(id_col).cast("long"),
+                                  rep.cast("long"), F.lit(seed)),
+                       F.lit(1_000_000_007)).cast("double")
+                / F.lit(1_000_000_007.0))
+    kept = F.filter(F.sequence(F.lit(0), F.lit(n_boot - 1)),
+                    lambda r: _u(r) < F.lit(fraction))
+    fanned = df.withColumn("rep", F.explode(kept))
     per_rep = fanned.groupBy("rep").agg(F.median(F.col(value)).alias("med"))
     return per_rep.agg(
         F.stddev_samp("med").alias("median_std"),
