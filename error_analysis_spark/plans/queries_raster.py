@@ -184,6 +184,54 @@ FROM shade WHERE n_win = 9
 """
 
 
+
+
+def r2_focal_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL aspect (azimuth degrees, zeroForFlat) via the stencil join."""
+    px = _event_pixels(spark, sf_dir)
+    out = FO.derive_join(px, res=2.0, which="aspect")
+    return (out.where(F.col("value").isNotNull())
+            .select("row", "col", F.round("value", 3).alias("aspect_deg")))
+
+
+R2ASPECT_SQL = f"""
+WITH px AS ({_EVENT_PX_SQL}),
+nb AS (
+  SELECT a.row, a.col,
+         count(*) AS n_win,
+         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.value END) AS z_a,
+         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.value END) AS z_b,
+         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.value END) AS z_c,
+         sum(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.value END) AS z_d,
+         sum(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.value END) AS z_f,
+         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.value END) AS z_g,
+         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.value END) AS z_h,
+         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.value END) AS z_i
+  FROM px a JOIN px b
+    ON b.row BETWEEN a.row - 1 AND a.row + 1
+   AND b.col BETWEEN a.col - 1 AND a.col + 1
+  GROUP BY a.row, a.col
+),
+grad AS (
+  SELECT row, col, n_win,
+         ((z_c + 2 * z_f + z_i) - (z_a + 2 * z_d + z_g)) / 16.0 AS dzdx,
+         ((z_g + 2 * z_h + z_i) - (z_a + 2 * z_b + z_c)) / 16.0 AS dzdy
+  FROM nb
+),
+asp AS (
+  SELECT row, col, n_win, dzdx, dzdy,
+         degrees(atan2(dzdy, -dzdx)) AS a0
+  FROM grad
+)
+SELECT row, col,
+       round(CASE WHEN dzdx = 0 AND dzdy = 0 THEN 0.0
+                  WHEN a0 < 0 THEN 90.0 - a0
+                  WHEN a0 > 90.0 THEN 360.0 - a0 + 90.0
+                  ELSE 90.0 - a0 END, 3) AS aspect_deg
+FROM asp WHERE n_win = 9
+"""
+
+
 # --------------------------------------------------------------------------
 # S8 — point gridding: max (DSM) and IDW (DTM)
 # --------------------------------------------------------------------------
@@ -307,6 +355,7 @@ RASTER_QUERIES: dict[str, tuple] = {
     "r2_focal_roughness": (r2_focal_roughness, R2_SQL),
     "r2_focal_slope": (r2_focal_slope, R2SLOPE_SQL),
     "r2_focal_hillshade": (r2_focal_hillshade, R2SHADE_SQL),
+    "r2_focal_aspect": (r2_focal_aspect, R2ASPECT_SQL),
     "s8_grid_max": (s8_grid_max, S8MAX_SQL),
     "s8_grid_idw": (s8_grid_idw, S8IDW_SQL),
     "r3_fill_nodata": (r3_fill_nodata, R3_SQL),
