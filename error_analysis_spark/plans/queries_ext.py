@@ -485,11 +485,41 @@ FROM assets GROUP BY kind
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode (stub) + feature stats — mapInPandas plumbing; rows-only
-    driver check (codec decode has no SQL restatement)."""
+    """Decode (stub) + feature stats — mapInPandas plumbing.
+
+    Driver-facing projection keeps the columns the deterministic fake
+    decode derives purely from payload/metadata (`n_bytes`, `shape`), so
+    a DuckDB oracle can recompute them; `shape array<int>` is serialized
+    to 'HxWx3' strings (raw arrays are unhashable in the driver's
+    canonicalizer). mean/std of the decoded array are RandomState output
+    with no SQL restatement — covered by tests/test_multimodal instead.
+    """
     feats = MM.extract_features(_doc_assets(spark, sf_dir), batch_rows=32)
-    return feats.select("asset_id", "kind", "n_bytes", "shape",
-                        F.round("mean_value", 6).alias("mean_value"))
+    return feats.select(
+        "asset_id", "kind", "n_bytes",
+        F.concat_ws("x", F.col("shape").cast("array<string>")).alias("shape"),
+    )
+
+
+MM_FEATURES_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(16 + (doc_id % 13) * 8 AS INTEGER) AS width,
+         CAST(16 + (doc_id % 7) * 8 AS INTEGER) AS height,
+         CAST(4 + doc_id % 8 AS INTEGER) AS n_frames
+  FROM documents
+)
+SELECT asset_id, kind, n_bytes,
+       CASE kind
+         WHEN 'image' THEN height || 'x' || width || 'x3'
+         WHEN 'audio' THEN '1600'
+         ELSE n_frames || 'x' || height || 'x' || width || 'x3'
+       END AS shape
+FROM assets
+"""
 
 
 # --------------------------------------------------------------------------
@@ -601,7 +631,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "sim_pairwise_topk": (sim_pairwise_topk, PAIRWISE_KNN_SQL),
     "dedup_embedding": (dedup_embedding, EMB_DEDUP_SQL),
     "mm_payload_stats": (mm_payload_stats, MM_STATS_SQL),
-    "mm_features": (mm_features, None),
+    "mm_features": (mm_features, MM_FEATURES_SQL),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
     "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
     "curation_funnel": (curation_funnel, None),
