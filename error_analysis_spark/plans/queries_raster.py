@@ -44,7 +44,7 @@ _EVENT_PX_SQL = """
   SELECT CAST(event_id % 100 AS INTEGER) AS row,
          CAST(event_id // 100 AS INTEGER) AS col,
          round(value, 3) AS value
-  FROM events WHERE event_id % 37 <> 0
+  FROM events WHERE event_id % 37 <> 0 AND value IS NOT NULL
 """
 
 
@@ -351,6 +351,110 @@ SELECT row, col, round(value, 3) AS z_fill FROM fill
 """
 
 
+# --------------------------------------------------------------------------
+# J1+R4 — the flagship chain: align (regrid + pair join) → difference →
+# median-bias subtract → zonal stats, in ONE lazy DAG.
+# Reference semantics: RasterPairProcessor.process
+# (differencing_functions.py:2056-2116), difference_da (:2473-2496),
+# bias median + subtract (variography_uncertainty.py:116-136, notebook
+# cells [60]-[74]).
+#
+# Raster A: 100×100 @ res 1 (x0=0, y0=100), holes at id % 41 = 0.
+# Raster B: 50×50 @ res 2 with OFFSET origin (x0=0.25, y0=100.125) so
+# each dest cell's 2×2 source candidates have pairwise-distinct center
+# distances (dx ∈ {0.25, 0.75}, dy ∈ {0.375, 0.625}) — nearest-neighbor
+# regrid is tie-free, hence engine min_by ≡ oracle arg_min exactly.
+# A (10 000 cells) > B (2 500 cells) ⇒ align_pair regrids A onto B.
+# --------------------------------------------------------------------------
+
+_DOD_GRID_A = GridSpec("dem_a", width=100, height=100, x0=0.0, y0=100.0,
+                       res=1.0)
+_DOD_GRID_B = GridSpec("dem_b", width=50, height=50, x0=0.25, y0=100.125,
+                       res=2.0)
+
+
+def j1_r4_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.operators import align as AL
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") < 10000).select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 41 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    ).withColumn("x", F.col("col") + 0.5) \
+     .withColumn("y", F.lit(100.0) - (F.col("row") + 0.5))
+    b = ev.where(F.col("event_id") < 2500).select(
+        (F.col("event_id") % 50).cast("int").alias("row"),
+        (F.col("event_id") / 50).cast("int").alias("col"),
+        F.when(F.col("event_id") % 53 != 0,
+               F.round(F.col("value") * 1.5, 3)).alias("value"),
+    ).withColumn("x", F.lit(0.25) + (F.col("col") + 0.5) * 2.0) \
+     .withColumn("y", F.lit(100.125) - (F.col("row") + 0.5) * 2.0)
+
+    dod = AL.difference(AL.align_pair(a, b, _DOD_GRID_A, _DOD_GRID_B))
+    zone = ((F.col("row") * 7 + F.col("col")) % 5).alias("zone_id")
+    bias = (dod.where(((F.col("row") * 7 + F.col("col")) % 5) == 0)
+            .agg(F.expr("percentile(dz, 0.5)").alias("bias")))
+    corr = AL.subtract_scalar(dod, bias)
+    return corr.groupBy(zone).agg(
+        F.count("*").alias("n_px"),
+        F.round(F.expr("percentile(dz, 0.5)"), 6).alias("med_dz"),
+        F.round(F.stddev_pop("dz"), 6).alias("sd_dz"),
+        F.round(F.sqrt(F.avg(F.col("dz") * F.col("dz"))), 6).alias("rms_dz"),
+    )
+
+
+DOD_SQL = """
+WITH pa AS (
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col,
+         round(value, 3) AS value
+  FROM events
+  WHERE event_id < 10000 AND event_id % 41 <> 0 AND value IS NOT NULL
+),
+pb AS (
+  SELECT CAST(event_id % 50 AS INTEGER) AS row,
+         CAST(event_id // 50 AS INTEGER) AS col,
+         round(value * 1.5, 3) AS value
+  FROM events
+  WHERE event_id < 2500 AND event_id % 53 <> 0 AND value IS NOT NULL
+),
+cand AS (
+  SELECT CAST(floor((100.125 - (100.0 - (row + 0.5))) / 2.0) AS INTEGER)
+           AS t_row,
+         CAST(floor(((col + 0.5) - 0.25) / 2.0) AS INTEGER) AS t_col,
+         value,
+         power((col + 0.5) - (0.25 + (CAST(floor(((col + 0.5) - 0.25) / 2.0)
+                   AS INTEGER) + 0.5) * 2.0), 2)
+       + power((100.0 - (row + 0.5)) - (100.125
+               - (CAST(floor((100.125 - (100.0 - (row + 0.5))) / 2.0)
+                   AS INTEGER) + 0.5) * 2.0), 2) AS d2
+  FROM pa
+),
+a_on_b AS (
+  SELECT t_row AS row, t_col AS col, arg_min(value, d2) AS value_a
+  FROM cand
+  WHERE t_row >= 0 AND t_row < 50 AND t_col >= 0 AND t_col < 50
+  GROUP BY t_row, t_col
+),
+dod AS (
+  SELECT b.row, b.col, b.value - a.value_a AS dz
+  FROM pb b JOIN a_on_b a ON b.row = a.row AND b.col = a.col
+),
+bias AS (
+  SELECT quantile_cont(dz, 0.5) AS bias FROM dod
+  WHERE (row * 7 + col) % 5 = 0
+)
+SELECT (row * 7 + col) % 5 AS zone_id,
+       count(*) AS n_px,
+       round(quantile_cont(dz - bias, 0.5), 6) AS med_dz,
+       round(stddev_pop(dz - bias), 6) AS sd_dz,
+       round(sqrt(avg(power(dz - bias, 2))), 6) AS rms_dz
+FROM dod CROSS JOIN bias
+GROUP BY 1
+"""
+
+
 RASTER_QUERIES: dict[str, tuple] = {
     "r2_focal_roughness": (r2_focal_roughness, R2_SQL),
     "r2_focal_slope": (r2_focal_slope, R2SLOPE_SQL),
@@ -359,4 +463,5 @@ RASTER_QUERIES: dict[str, tuple] = {
     "s8_grid_max": (s8_grid_max, S8MAX_SQL),
     "s8_grid_idw": (s8_grid_idw, S8IDW_SQL),
     "r3_fill_nodata": (r3_fill_nodata, R3_SQL),
+    "j1_r4_dod": (j1_r4_dod, DOD_SQL),
 }
