@@ -209,13 +209,18 @@ FROM boot GROUP BY param
 
 
 # --------------------------------------------------------------------------
-# Per-zone sigma_A (rows-only: FFT autocorrelation has no SQL restatement)
+# Per-zone sigma_A — the distributed applyInPandas kernel, oracle-gated:
+# the analytical method (SC15) is a deterministic 1000-step midpoint
+# integral DuckDB restates with generate_series. The FFT method shares
+# the same per-zone plumbing and is pinned by cross-method agreement
+# tests (tests/test_fitting_uncertainty.py), the reference's own oracle
+# (variography_uncertainty.py:995).
 # --------------------------------------------------------------------------
 
 def sigma_a_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed per-zone uncertainty: one applyInPandas task per zone
-    runs the FFT footprint estimator over nation-derived rectangle zones
-    with a fixed fitted model."""
+    runs the SC15 equivalent-disk integral over nation-derived rectangle
+    zones with a fixed fitted model (sill 0.04, range 25, nugget 0.002)."""
     from pyspark.sql import functions as _F
 
     from error_analysis_spark.operators.uncertainty import sigma_a_by_zone
@@ -233,9 +238,136 @@ def sigma_a_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
             _F.col("n_nationkey") * 100,
         ).alias("wkt"),
     )
-    out = sigma_a_by_zone(zones, [0.04], [25.0], 0.002, method="fft",
-                          grid_points=64)
+    out = sigma_a_by_zone(zones, [0.04], [25.0], 0.002, method="analytical",
+                          num_steps=1000)
     return out.select("zone_id", _F.round("sigma_a", 6).alias("sigma_a"))
+
+
+# σ_A² = (2π/A)·Σ r·C(r)·dr, R = √(A/π), r at midpoints; C(r) = σ²_tot −
+# (nugget + sill·sph(r/a)) — variography_uncertainty.py:1184-1195.
+SIGMA_A_SQL = """
+WITH z AS (
+  SELECT 'z' || n_nationkey AS zone_id,
+         CAST((60 + (n_nationkey % 5) * 10) * (40 + (n_nationkey % 3) * 10)
+              AS DOUBLE) AS area
+  FROM nation
+),
+integ AS (
+  SELECT zone_id, area,
+         sqrt(area / pi()) / 1000.0 AS dr,
+         (i + 0.5) * (sqrt(area / pi()) / 1000.0) AS r
+  FROM z CROSS JOIN (SELECT range AS i FROM range(1000)) s
+),
+cov AS (
+  SELECT zone_id, area, dr, r,
+         0.042 - (0.002 + CASE WHEN r / 25.0 < 1.0
+             THEN 0.04 * (1.5 * (r / 25.0) - 0.5 * power(r / 25.0, 3))
+             ELSE 0.04 END) AS c
+  FROM integ
+)
+SELECT zone_id,
+       round(sqrt(greatest((2.0 * pi() / area) * sum(r * c) * max(dr), 0.0)),
+             6) AS sigma_a
+FROM cov GROUP BY zone_id, area
+"""
+
+
+# --------------------------------------------------------------------------
+# F1/F2 — point-cloud class filters (noise drop, ground keep):
+# differencing_functions.py:794-798 (Classification![7:7],![18:18]),
+# :903-908 (class 2 DTM path). Classification synthesized from event_id.
+# --------------------------------------------------------------------------
+
+def _class_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 20).cast("int").alias("classification"),
+        F.round(F.col("value"), 3).alias("z"),
+    )
+
+
+def f1_drop_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = PC.drop_noise(_class_points(spark, sf_dir))
+    return pts.groupBy("classification").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("z"), 6).alias("mean_z"),
+    )
+
+
+F1_SQL = """
+SELECT CAST(event_id % 20 AS INTEGER) AS classification,
+       count(*) AS n, round(avg(round(value, 3)), 6) AS mean_z
+FROM events
+WHERE event_id % 20 NOT IN (7, 18)
+GROUP BY 1
+"""
+
+
+def f2_keep_ground(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = PC.keep_ground(_class_points(spark, sf_dir))
+    return pts.agg(
+        F.count("*").alias("n_ground"),
+        F.round(F.sqrt(F.avg(F.col("z") * F.col("z"))), 6).alias("rms_z"),
+    )
+
+
+F2_SQL = """
+SELECT count(*) AS n_ground,
+       round(sqrt(avg(round(value, 3) * round(value, 3))), 6) AS rms_z
+FROM events WHERE event_id % 20 = 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A13 — valid-pixel counts per zone through the REAL broadcast-PIP
+# membership join (J2/R8/U6): two rectangles + one diamond, geometry
+# chosen so no pixel center lies on a polygon edge (pixel centers sit at
+# half-integers; rect corners are integers, the diamond radius is 15.5 so
+# |dx|+|dy| — always an integer for half-integer centers — never ties).
+# --------------------------------------------------------------------------
+
+def a13_zone_pixel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.operators import zones as ZN
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.where(F.col("event_id") < 10000).select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 37 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    ).withColumn("x", F.col("col") + 0.5) \
+     .withColumn("y", F.lit(100.0) - (F.col("row") + 0.5))
+    zones = spark.createDataFrame(
+        [("z_rect_a", "stable", "ra",
+          "POLYGON ((10 10, 40 10, 40 40, 10 40, 10 10))"),
+         ("z_rect_b", "unstable", "rb",
+          "POLYGON ((30 20, 70 20, 70 60, 30 60, 30 20))"),
+         ("z_diamond", "unstable", "d",
+          "POLYGON ((34.5 70, 50 85.5, 65.5 70, 50 54.5, 34.5 70))")],
+        ["zone_id", "kind", "name", "wkt"])
+    member = ZN.membership(px, zones)
+    return ZN.zone_pixel_counts(member).orderBy("zone_id")
+
+
+A13_SQL = """
+WITH px AS (
+  SELECT CAST(event_id // 100 AS INTEGER) + 0.5 AS x,
+         100.0 - (CAST(event_id % 100 AS INTEGER) + 0.5) AS y
+  FROM events
+  WHERE event_id < 10000 AND event_id % 37 <> 0 AND value IS NOT NULL
+),
+m AS (
+  SELECT 'z_rect_a' AS zone_id FROM px
+    WHERE x > 10 AND x < 40 AND y > 10 AND y < 40
+  UNION ALL
+  SELECT 'z_rect_b' FROM px
+    WHERE x > 30 AND x < 70 AND y > 20 AND y < 60
+  UNION ALL
+  SELECT 'z_diamond' FROM px
+    WHERE abs(x - 50.0) + abs(y - 70.0) < 15.5
+)
+SELECT zone_id, count(*) AS n_pixels FROM m GROUP BY zone_id
+ORDER BY zone_id
+"""
 
 
 MISC_QUERIES: dict[str, tuple] = {
@@ -244,5 +376,8 @@ MISC_QUERIES: dict[str, tuple] = {
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),
     "a14_closed_form": (a14_closed_form, A14_SQL),
     "a15_param_percentiles": (a15_param_percentiles, A15_SQL),
-    "sigma_a_zones": (sigma_a_zones, None),
+    "sigma_a_zones": (sigma_a_zones, SIGMA_A_SQL),
+    "f1_drop_noise": (f1_drop_noise, F1_SQL),
+    "f2_keep_ground": (f2_keep_ground, F2_SQL),
+    "a13_zone_pixel_counts": (a13_zone_pixel_counts, A13_SQL),
 }
