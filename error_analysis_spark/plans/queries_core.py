@@ -250,10 +250,34 @@ FROM events
 # --------------------------------------------------------------------------
 
 def w2_positional_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase positional pick (J9/W2) — scale-safe global rank.
+
+    A bare `Window.orderBy` funnels the WHOLE table through one
+    partition. Instead: (1) per-date counts (map-side combined; output
+    cardinality = #distinct dates, ~2.4k for any TPC scale), (2) running
+    total over that tiny table finds the first date whose cumulative
+    count reaches the max wanted rank, (3) only the prefix of orders up
+    to that date (≤ max_rank + one day's rows) enters the global
+    row_number. The two windows run on bounded inputs, so the explicit
+    single partition (`partitionBy(lit(0))`) is correct, not a funnel.
+    """
+    max_rank = 1000
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w_dates = W.partitionBy(F.lit(0)).orderBy("o_orderdate") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cutoff = (
+        orders.groupBy("o_orderdate").agg(F.count("*").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(w_dates))
+        .agg(F.coalesce(
+            F.min(F.when(F.col("cum") >= max_rank, F.col("o_orderdate"))),
+            F.max("o_orderdate")).alias("cutoff"))
+    )
+    head = (orders.crossJoin(F.broadcast(cutoff))
+            .where(F.col("o_orderdate") <= F.col("cutoff")))
+    w = (W.partitionBy(F.lit(0))
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        head.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn").isin(1, 100, 1000))
         .select("rn", "o_orderkey",
                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
