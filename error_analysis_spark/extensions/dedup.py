@@ -192,6 +192,7 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     active = edges.select(F.col("a").alias("id")).distinct()
     labels = active.select("id", F.col("id").alias("component")) \
         .localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         msgs = (edges.join(labels.withColumnRenamed("id", "b")
                            .withColumnRenamed("component", "nb_comp"), "b")
@@ -208,6 +209,13 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # partially-propagated labels are silently WRONG components for
+        # chain graphs with diameter > max_iter — fail loud instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            f"max_iter (graph diameter exceeds it)")
     isolated = (vertices.join(active, "id", "left_anti")
                 .select("id", F.col("id").alias("component")))
     return labels.unionByName(isolated)

@@ -172,11 +172,12 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
                       n_blocks: int = 8, vec_col: str = "embedding",
                       id_col: str = "vec_id") -> DataFrame:
     """Exact all-pairs k-NN via the blocked-GEMM path: per block pair,
-    keep each row's block-local top-k (≥ global top-k is guaranteed:
-    every global neighbor appears in exactly one block pair), then one
-    global window prunes to k. Same output contract as
-    `pairwise_cosine_topk` (id_a, id_b, sim, rk) at a fraction of the
-    shuffle + expression cost."""
+    keep each row's block-local top-k PLUS all boundary ties (every
+    global neighbor appears in exactly one block pair, and the adaptive
+    ≥-cut can never evict a tied candidate), then one global window
+    prunes to k with the (sim desc, id asc) tie-break. Same output
+    contract as `pairwise_cosine_topk` (id_a, id_b, sim, rk) at a
+    fraction of the shuffle + expression cost."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
@@ -217,13 +218,16 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
         if ba != bb:
             directions.append((ids_b, ids_a, sims.T))
         for rows, cols, s in directions:
-            # +16 margin: block-local ties at the rounded-sim cut must
-            # not evict the candidate the global id-order tie-break keeps
-            kk = min(k + 16 + (1 if ba == bb else 0), s.shape[1])
-            idx = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-            ra = np.repeat(rows, kk)
-            cb = cols[idx.ravel()]
-            sv = np.take_along_axis(s, idx, axis=1).ravel()
+            # adaptive tie cut: keep EVERY entry ≥ the kk-th largest sim
+            # per row (sims are rounded, so boundary ties are exact) — a
+            # fixed margin could evict the candidate the global
+            # (sim desc, id asc) tie-break keeps
+            kk = min(k + (1 if ba == bb else 0), s.shape[1])
+            cut = -np.partition(-s, kk - 1, axis=1)[:, kk - 1]
+            ri, ci = np.nonzero(s >= cut[:, None])
+            ra = rows[ri]
+            cb = cols[ci]
+            sv = s[ri, ci]
             keep = ra != cb  # drop self-pairs on the diagonal block
             frames.append(pd.DataFrame(
                 {"id_a": ra[keep], "id_b": cb[keep], "sim": sv[keep]}))

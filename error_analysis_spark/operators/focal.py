@@ -198,9 +198,13 @@ def derive_tiled(pixels: DataFrame, res: float, which: str, tile: int = 256,
         orr = rows_np[own] - r0
         occ = cols_np[own] - c0
         vals = out[orr, occ]
+        # incomplete-stencil cells must surface as SQL NULL (exact parity
+        # with derive_join's F.when) — NaN in a float64 column stays NaN
+        # through Arrow, and NaN != NULL to every downstream isNotNull()
+        vals_obj = vals.astype(object)
+        vals_obj[~np.isfinite(vals)] = None
         return pd.DataFrame({
-            "row": rows_np[own], "col": cols_np[own],
-            "value": np.where(np.isfinite(vals), vals, np.nan),
+            "row": rows_np[own], "col": cols_np[own], "value": vals_obj,
         })
 
     # halo-only copies never emit (they fall outside `own`), so the
