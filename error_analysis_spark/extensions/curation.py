@@ -1,25 +1,34 @@
 """Document-curation pipeline — the training-data composition layer.
 
 `curate_documents` chains the extension operators the way a pretraining
-data pipeline does, as ONE lazy DataFrame DAG:
+data pipeline does:
 
-    1. quality gate       (text.quality_score ≥ min_quality)
+    1. quality gate       (text.quality_expr ≥ min_quality)
     2. language filter    (text.lang_scores argmax ∈ keep_langs)
-    3. exact dedup        (md5 groupBy; keep min doc_id per hash)
+    3. exact dedup        (window-min doc_id per md5 hash)
     4. near-dup dedup     (MinHash-LSH clusters via connected
                            components; keep the canonical = min id)
     5. token budgeting    (BPE-ish token counts on the survivors)
 
-Everything is a join/aggregate composition over the same `documents`
-long table — no collect, no driver loops; at 100 TB the only wide
-stages are the dedup shuffles, which key on well-distributed hashes.
+Each stage's lineage is computed EXACTLY ONCE: survivors are persisted
+at every stage boundary (MEMORY_AND_DISK — spills, never recomputes)
+and the upstream cache is released as soon as the next boundary is
+materialized, so at most two shrinking stage caches are live at a time.
+The funnel counts are one aggregate per boundary over the cache — the
+naive alternative (five eager `count()`s over an uncached DAG) re-runs
+quality scoring, language ID, and the dedup joins from the scan per
+count, which is catastrophic at 100 TB. Stage shapes: quality is pure
+per-row expressions; exact dedup is a window-min on the md5 hash (one
+shuffle, no self-join); the only remaining wide stages are the LSH
+dedup shuffles, which key on well-distributed hashes.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from error_analysis_spark.extensions import dedup as DD
@@ -41,44 +50,57 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     """Returns (kept_docs, stage_stats).
 
     kept_docs: the surviving rows of `docs` plus `quality`, `pred_lang`,
-    `n_bpe_tokens` columns. stage_stats: one row per pipeline stage with
-    rows_in/rows_out (the curation funnel — what a data team audits).
+    `n_bpe_tokens` columns (backed by the final stage cache). stage_stats:
+    one row per pipeline stage with rows_in/rows_out (the curation
+    funnel — what a data team audits).
     """
     cfg = cfg or CurationConfig()
     spark = docs.sparkSession
-    n0 = docs.count()
 
-    # 1. quality gate
-    q = TX.quality_score(docs, text_col, id_col).select(
-        F.col(id_col), "quality")
-    staged = docs.join(q, id_col).where(F.col("quality") >= cfg.min_quality)
-    n1 = staged.count()
+    # 1. quality gate — per-row expression, counted together with the
+    # input size in ONE aggregate that also fills the stage cache
+    s1df = docs.withColumn("quality", TX.quality_expr(text_col)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    passes_q = F.col("quality") >= cfg.min_quality
+    head = s1df.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(passes_q.cast("long")).alias("n1"),
+    ).first()
+    n0, n1 = head["n0"], head["n1"]
+    s1 = s1df.where(passes_q)
 
-    # 2. language filter
-    langs = TX.lang_scores(staged, text_col, id_col).select(
+    # 2. language filter — computed only on stage-1 survivors
+    langs = TX.lang_scores(s1, text_col, id_col).select(
         F.col(id_col), "pred_lang")
-    staged = staged.join(langs, id_col).where(
-        F.col("pred_lang").isin(*cfg.keep_langs))
-    n2 = staged.count()
+    s2 = (s1.join(langs, id_col)
+          .where(F.col("pred_lang").isin(*cfg.keep_langs))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    n2 = s2.count()
+    s1df.unpersist()
 
-    # 3. exact dedup — keep the canonical (min id) copy
-    canon = (staged.groupBy(F.md5(F.col(text_col)).alias("h"))
-             .agg(F.min(id_col).alias(id_col)))
-    staged = staged.join(canon.select(id_col), id_col, "left_semi")
-    n3 = staged.count()
+    # 3. exact dedup — keep the canonical (min id) copy per text hash:
+    # a window-min instead of groupBy+join-back keeps the plan linear
+    # (the cached stage subtree would otherwise appear on both join sides)
+    wh = Window.partitionBy(F.md5(F.col(text_col)))
+    s3 = (s2.withColumn("_min_id", F.min(id_col).over(wh))
+          .where(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    n3 = s3.count()
+    s2.unpersist()
 
     # 4. near-dup dedup: MinHash-LSH pairs → components → keep min id
-    pairs = DD.minhash_dedup(staged, text_col, id_col, cfg.num_perm,
+    # (pairs/vertices/final semi-join all read the stage-3 cache)
+    pairs = DD.minhash_dedup(s3, text_col, id_col, cfg.num_perm,
                              cfg.bands, cfg.near_dup_threshold)
-    vertices = staged.select(F.col(id_col).alias("id"))
+    vertices = s3.select(F.col(id_col).alias("id"))
     comp = DD.connected_components(pairs, vertices)
     keep = comp.where(F.col("id") == F.col("component")) \
         .select(F.col("id").alias(id_col))
-    staged = staged.join(keep, id_col, "left_semi")
-    n4 = staged.count()
+    s4 = s3.join(keep, id_col, "left_semi")
+    n4 = s4.count()
 
-    # 5. token budget on survivors
-    kept = staged.withColumn(
+    # 5. token budget on survivors (lazy — consumers read the s3 cache)
+    kept = s4.withColumn(
         "n_bpe_tokens", F.size(TX.bpe_ish_tokens(F.col(text_col))))
 
     stats = spark.createDataFrame(

@@ -60,17 +60,27 @@ def token_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The quality score as a single per-row Column — composable into any
+    projection without a join (the curation funnel annotates in place)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    alpha_ratio = n_alpha.cast("double") / F.length(text_col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(F.lit(0.4) * len_score + F.lit(0.3) * ttr
+                   + F.lit(0.3) * alpha_ratio, 6)
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Composite heuristic quality score in [0,1]: favors mid-length docs,
     lexical diversity, and high alpha ratio — the standard cheap pre-filter
     before expensive dedup/training steps."""
-    s = token_stats(df, text_col, id_col)
-    len_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-    return s.select(
-        id_col, "n_tokens",
-        F.round((F.lit(0.4) * len_score + F.lit(0.3) * F.col("ttr")
-                 + F.lit(0.3) * F.col("alpha_ratio")), 6).alias("quality"),
+    return df.select(
+        id_col, F.size(tokens(text_col)).alias("n_tokens"),
+        quality_expr(text_col).alias("quality"),
     )
 
 

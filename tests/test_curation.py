@@ -48,3 +48,31 @@ def test_curation_funnel(spark):
     assert s.loc["near_dup_dedup", "rows_out"] == 2    # dropped doc 3
     toks = kept.select("n_bpe_tokens").toPandas()
     assert (toks["n_bpe_tokens"] > 20).all()
+
+
+def test_curation_single_pass(spark):
+    """The funnel's stage caches must prevent lineage re-execution: an
+    accumulator counts how many times input rows are actually scanned.
+    The uncached naive funnel (one eager count per stage) scans the
+    input 5+ times; the cached funnel reads it once to fill the stage-1
+    cache (plus at most one warm-up partition re-run)."""
+    n_docs = 40
+    rows = [(i, GOOD + f" variant {i}") for i in range(n_docs)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = docs.repartition(4).mapInPandas(
+        counting, "doc_id long, text string")
+    kept, stats = curate_documents(
+        instrumented, CurationConfig(min_quality=0.2, keep_langs=("en",),
+                                     near_dup_threshold=0.99))
+    kept.count()
+    stats.collect()
+    assert acc.value <= 2 * n_docs, (
+        f"input scanned {acc.value / n_docs:.1f}x — stage caches are not "
+        f"preventing lineage re-execution")
