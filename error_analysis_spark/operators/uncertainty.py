@@ -103,6 +103,32 @@ def estimate_analytical(area: float, sills, ranges, nugget=0.0,
 # J5 + A9 — Monte Carlo pair sampling inside a polygon
 # --------------------------------------------------------------------------
 
+def _part_plan(n: int) -> list[tuple[int, int]]:
+    """Deterministic (part, want) split shared by the distributed and
+    per-zone-kernel samplers — identical streams either way."""
+    n_parts = max(1, min(32, n // 50_000 + 1))
+    per_part = -(-n // n_parts)  # ceil
+    wants = [(p, min(per_part, n - p * per_part)) for p in range(n_parts)]
+    return [(p, w) for p, w in wants if w > 0]
+
+
+def _sample_part(part: int, want: int, seed: int, rings, bounds):
+    """One part's rejection-sampled points (the single RNG-stream owner)."""
+    minx, miny, maxx, maxy = bounds
+    rng = np.random.RandomState(seed + 7919 * part)
+    xs, ys = [], []
+    got = 0
+    while got < want:
+        m = max(1024, int((want - got) * 2.2))
+        cx = rng.uniform(minx, maxx, m)
+        cy = rng.uniform(miny, maxy, m)
+        keep = pip_mask(cx, cy, rings)
+        xs.append(cx[keep])
+        ys.append(cy[keep])
+        got += int(keep.sum())
+    return np.concatenate(xs)[:want], np.concatenate(ys)[:want]
+
+
 def uniform_points_in_polygon(spark: SparkSession, wkt: str, n: int,
                               seed: int = 42) -> DataFrame:
     """U5 — rejection-sample exactly n uniform points inside the polygon
@@ -112,36 +138,43 @@ def uniform_points_in_polygon(spark: SparkSession, wkt: str, n: int,
     needs no global limit (a trailing `.limit(n)` would funnel every
     generated point through one partition just to trim the surplus)."""
     rings = parse_wkt_polygon(wkt)
-    minx, miny, maxx, maxy = polygon_bounds(wkt)
-    n_parts = max(1, min(32, n // 50_000 + 1))
-    per_part = -(-n // n_parts)  # ceil
-    wants = [(p, min(per_part, n - p * per_part)) for p in range(n_parts)]
-    wants = [(p, w) for p, w in wants if w > 0]
+    bounds = polygon_bounds(wkt)
+    wants = _part_plan(n)
+    per_part = -(-n // max(1, len(wants)))  # ceil, matches _part_plan
 
     def gen(iterator):
         for pdf in iterator:
             for part, want in zip(pdf["part"], pdf["want"]):
                 part, want = int(part), int(want)
-                rng = np.random.RandomState(seed + 7919 * part)
-                xs, ys = [], []
-                got = 0
-                while got < want:
-                    m = max(1024, int((want - got) * 2.2))
-                    cx = rng.uniform(minx, maxx, m)
-                    cy = rng.uniform(miny, maxy, m)
-                    keep = pip_mask(cx, cy, rings)
-                    xs.append(cx[keep])
-                    ys.append(cy[keep])
-                    got += int(keep.sum())
+                x, y = _sample_part(part, want, seed, rings, bounds)
                 yield pd.DataFrame({
                     "pair_id": part * per_part + np.arange(want, dtype=np.int64),
-                    "x": np.concatenate(xs)[:want],
-                    "y": np.concatenate(ys)[:want],
+                    "x": x, "y": y,
                 })
 
     base = spark.createDataFrame(wants, "part int, want int") \
         .repartition(len(wants))
     return base.mapInPandas(gen, "pair_id long, x double, y double")
+
+
+def estimate_monte_carlo_np(wkt: str, sills, ranges, nugget=0.0,
+                            n_pairs: int = 100_000, seed: int = 42) -> float:
+    """The J5+A9 Monte-Carlo estimator as a bounded numpy kernel — the
+    SAME sampling streams as `estimate_monte_carlo` (shared `_sample_part`
+    math), packaged for per-zone parallelism inside `sigma_a_by_zone`
+    (many zones × 25k pairs each: zone-parallel beats cluster-wide jobs
+    issued one zone at a time)."""
+    rings = parse_wkt_polygon(wkt)
+    bounds = polygon_bounds(wkt)
+    xa, ya, xb, yb = [], [], [], []
+    for part, want in _part_plan(n_pairs):
+        x1, y1 = _sample_part(part, want, seed, rings, bounds)
+        x2, y2 = _sample_part(part, want, seed + 1, rings, bounds)
+        xa.append(x1); ya.append(y1); xb.append(x2); yb.append(y2)
+    d = np.hypot(np.concatenate(xa) - np.concatenate(xb),
+                 np.concatenate(ya) - np.concatenate(yb))
+    cov = total_sill(sills, nugget) - gamma_np(d, sills, ranges, nugget)
+    return math.sqrt(max(float(cov.mean()), 0.0))
 
 
 def estimate_monte_carlo(spark: SparkSession, wkt: str, sills, ranges,
@@ -276,29 +309,34 @@ def estimate_fft(wkt: str, sills, ranges, nugget=0.0,
 def sigma_a_by_zone(zones: DataFrame, sills, ranges, nugget=0.0,
                     method: str = "fft", **kw) -> DataFrame:
     """Distributed per-zone σ_A: one `applyInPandas` task per zone runs
-    the bounded numpy kernel (fft / analytical) — the many-polygons
-    scale path (a landslide inventory has thousands of zones; each
-    kernel is O(grid_points²), so zone-parallelism is the right axis).
+    the bounded numpy kernel (fft / analytical / monte_carlo) — the
+    many-polygons scale path (a landslide inventory has thousands of
+    zones; each kernel is bounded by grid_points²/num_steps/n_pairs, so
+    zone-parallelism is the right axis — N zones = one job wave, not N
+    sequential cluster jobs).
 
-    MC / brute-force methods stay whole-cluster per zone (they are
-    themselves distributed) — use `estimate_sigma_a` in a loop for
-    those. Output: zone_id, sigma_a.
+    Brute-force stays whole-cluster per zone (it is itself distributed)
+    — use `estimate_sigma_a` in a loop for it. Output: zone_id, sigma_a.
     """
     import pandas as pd
 
-    if method not in ("fft", "analytical"):
+    if method not in ("fft", "analytical", "monte_carlo"):
         raise ValueError(
-            f"sigma_a_by_zone parallelizes driver-side kernels only "
-            f"(fft, analytical), got: {method}")
+            f"sigma_a_by_zone parallelizes bounded per-zone kernels only "
+            f"(fft, analytical, monte_carlo), got: {method}")
     s, r, n = list(sills), list(ranges), float(nugget)
     gp = kw.get("grid_points", 200)
     ns = kw.get("num_steps", 1000)
+    np_pairs = kw.get("n_pairs", 100_000)
+    seed = kw.get("seed", 42)
 
     def one(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for row in pdf.itertuples(index=False):
             if method == "fft":
                 v = estimate_fft(row.wkt, s, r, n, gp)
+            elif method == "monte_carlo":
+                v = estimate_monte_carlo_np(row.wkt, s, r, n, np_pairs, seed)
             else:
                 v = estimate_analytical(polygon_area(row.wkt), s, r, n, ns)
             out.append({"zone_id": row.zone_id, "sigma_a": v})

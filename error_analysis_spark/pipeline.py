@@ -106,11 +106,20 @@ def analyze_pair(reference: DataFrame, compare: DataFrame,
     sills = [float(v) for v in params[:n_comp]]
     ranges = [float(v) for v in params[n_comp:2 * n_comp]]
     nugget = float(params[-1]) if bool(best["nugget"]) else 0.0
-    sigma_a = {}
-    for z in zones.where(F.col("kind") == "unstable").collect():
-        sigma_a[z["zone_id"]] = UN.estimate_sigma_a(
-            reference.sparkSession, z["wkt"], sills, ranges, nugget,
-            method=sigma_method, seed=seed)
+    unstable = zones.where(F.col("kind") == "unstable")
+    if sigma_method in ("fft", "analytical", "monte_carlo"):
+        # one applyInPandas job wave covers ALL zones (bounded numpy
+        # kernel per zone) — 500 zones ≠ 500 sequential cluster jobs
+        out = UN.sigma_a_by_zone(unstable, sills, ranges, nugget,
+                                 method=sigma_method, seed=seed)
+        sigma_a = {r["zone_id"]: r["sigma_a"] for r in out.collect()}
+    else:
+        # brute_force: itself a distributed crossJoin — loop stays
+        sigma_a = {}
+        for z in unstable.collect():
+            sigma_a[z["zone_id"]] = UN.estimate_sigma_a(
+                reference.sparkSession, z["wkt"], sills, ranges, nugget,
+                method=sigma_method, seed=seed)
 
     return PairAnalysis(dod=corrected, bias=float(bias),
                         bias_std=float(bias_std), rms=float(rms),

@@ -114,6 +114,17 @@ def test_closed_form_and_quadrature():
     assert UN.mean_random_uncorrelated(0.05, 2500) == pytest.approx(0.001)
 
 
+def test_monte_carlo_np_matches_distributed(spark):
+    """The per-zone numpy MC kernel (used by sigma_a_by_zone) shares the
+    exact sampling streams with the distributed estimator — same seeds
+    must give the same estimate up to float summation order."""
+    mc = UN.estimate_monte_carlo(spark, RECT, SILLS, RANGES, NUGGET,
+                                 n_pairs=30_000, seed=7)
+    mc_np = UN.estimate_monte_carlo_np(RECT, SILLS, RANGES, NUGGET,
+                                       n_pairs=30_000, seed=7)
+    assert mc_np == pytest.approx(mc, rel=1e-9)
+
+
 def test_uniform_points_deterministic(spark):
     a = UN.uniform_points_in_polygon(spark, RECT, 5000, seed=9).toPandas()
     b = UN.uniform_points_in_polygon(spark, RECT, 5000, seed=9).toPandas()
