@@ -370,6 +370,92 @@ ORDER BY zone_id
 """
 
 
+# --------------------------------------------------------------------------
+# SC16/U7 — UTM transform round-trip: the DuckDB oracle cannot restate
+# the Krüger series, but it CAN assert the round-trip identity to 1e-9
+# degrees (~0.1 mm) — the series round-trips at ~1e-14 deg, so forward∘
+# inverse must reproduce the inputs bit-stably after round(·, 9). The
+# ABSOLUTE accuracy of the forward leg is pinned by tests/test_crs.py
+# against an independent numerical meridian-arc integral.
+# --------------------------------------------------------------------------
+
+def sc16_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.functions import crs as CRS
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 10000)
+    pts = ev.select(
+        "event_id",
+        (F.lit(-108.0) + (F.col("event_id") % 600) / 100.0).alias("lon"),
+        (F.lit(-40.0) + (F.col("event_id") % 1600) / 20.0).alias("lat"),
+    )
+    fwd = CRS.utm_forward_udf(13)
+    inv = CRS.utm_inverse_udf(13)
+    utm = pts.withColumn("p", fwd(F.col("lon"), F.col("lat")))
+    back = utm.withColumn("g", inv(F.col("p.x"), F.col("p.y")))
+    return back.select(
+        "event_id",
+        F.round("g.lon", 9).alias("lon_rt"),
+        F.round("g.lat", 9).alias("lat_rt"),
+    )
+
+
+SC16_SQL = """
+SELECT event_id,
+       round(-108.0 + (event_id % 600) / 100.0, 9) AS lon_rt,
+       round(-40.0 + (event_id % 1600) / 20.0, 9) AS lat_rt
+FROM events WHERE event_id < 10000
+"""
+
+
+# --------------------------------------------------------------------------
+# R1 (vertical leg) — geoid-offset shift: value + undulation via the
+# broadcast geoid-cell join (GeoidTransformer semantics,
+# differencing_functions.py:2239-2277). Geoid grid 12×12 @ res 10 with a
+# deterministic undulation field both engines restate arithmetically.
+# --------------------------------------------------------------------------
+
+def r1_geoid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.fixtures import GridSpec
+    from error_analysis_spark.functions import crs as CRS
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.where((F.col("event_id") < 10000) & F.col("value").isNotNull()) \
+        .select(
+            (F.col("event_id") % 100).cast("int").alias("row"),
+            (F.col("event_id") / 100).cast("int").alias("col"),
+            F.round(F.col("value"), 3).alias("value"),
+    ).withColumn("x", F.col("col") + 0.5) \
+     .withColumn("y", F.lit(100.0) - (F.col("row") + 0.5))
+    grid = GridSpec("geoid", width=12, height=12, x0=0.0, y0=120.0, res=10.0)
+    geoid = spark.range(144).select(
+        (F.col("id") / 12).cast("int").alias("row"),
+        (F.col("id") % 12).cast("int").alias("col"),
+        (((F.col("id") / 12).cast("int") * 7 + (F.col("id") % 12) * 13) % 50
+         / 100.0 - 0.25).alias("offset"),
+    )
+    out = CRS.apply_geoid_offset(px, geoid, grid)
+    return out.select("row", "col", F.round("value", 6).alias("shifted"))
+
+
+R1_GEOID_SQL = """
+WITH px AS (
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col,
+         round(value, 3) AS value,
+         CAST(event_id // 100 AS INTEGER) + 0.5 AS x,
+         100.0 - (CAST(event_id % 100 AS INTEGER) + 0.5) AS y
+  FROM events WHERE event_id < 10000 AND value IS NOT NULL
+),
+g AS (
+  SELECT CAST(i // 12 AS INTEGER) AS grow, CAST(i % 12 AS INTEGER) AS gcol,
+         ((i // 12) * 7 + (i % 12) * 13) % 50 / 100.0 - 0.25 AS offset
+  FROM (SELECT range AS i FROM range(144))
+)
+SELECT px.row, px.col, round(px.value + g.offset, 6) AS shifted
+FROM px JOIN g
+  ON CAST(floor((120.0 - px.y) / 10.0) AS INTEGER) = g.grow
+ AND CAST(floor(px.x / 10.0) AS INTEGER) = g.gcol
+"""
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
@@ -380,4 +466,6 @@ MISC_QUERIES: dict[str, tuple] = {
     "f1_drop_noise": (f1_drop_noise, F1_SQL),
     "f2_keep_ground": (f2_keep_ground, F2_SQL),
     "a13_zone_pixel_counts": (a13_zone_pixel_counts, A13_SQL),
+    "sc16_utm_roundtrip": (sc16_utm_roundtrip, SC16_SQL),
+    "r1_geoid_shift": (r1_geoid_shift, R1_GEOID_SQL),
 }
