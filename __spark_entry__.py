@@ -34,9 +34,13 @@ _ALL.update(EXT_QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    j1_r4_dod is the engine's raison d'être: align (regrid + pair join)
+    → difference → median-bias subtract → zonal stats in one lazy DAG
+    (notebook cells [60]-[74])."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fn, _ = _ALL["q01_pricing_summary"]
+    fn, _ = _ALL["j1_r4_dod"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

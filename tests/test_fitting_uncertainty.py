@@ -114,6 +114,59 @@ def test_closed_form_and_quadrature():
     assert UN.mean_random_uncorrelated(0.05, 2500) == pytest.approx(0.001)
 
 
+def _vario_from(sills, ranges, nugget, noise=0.0, n_bins=40, bw=5.0, seed=3):
+    lag = np.arange(n_bins) * bw + bw / 2
+    gamma = UN.gamma_np(lag, sills, ranges, nugget)
+    if noise:
+        gamma = gamma + np.random.RandomState(seed).standard_normal(n_bins) \
+            * noise
+    return pd.DataFrame({"lag": lag, "gamma_mean": gamma,
+                         "gamma_std": np.full(n_bins, 0.002)})
+
+
+def test_aic_ranking_fixture(spark):
+    """Pins the U2 model-search AIC semantics the reference gets from
+    scipy curve_fit (variography_uncertainty.py:784-844): the RANKING,
+    not raw params.
+
+    (a) data generated exactly by 1-comp/no-nugget → every nesting
+    config fits ~perfectly, so AIC ranks by parsimony: config 0 wins and
+    its AIC equals the analytic 2k − 2·loglik(cost≈0) value;
+    (b) data with a real nugget → the nugget variant of the 1-comp model
+    must beat the no-nugget variant;
+    (c) data from 2 well-separated components → some 2-comp config must
+    beat every 1-comp config."""
+    # (a) parsimony under nesting
+    v1 = _vario_from([0.05], [60.0], 0.0)
+    fits, best = FT.fit_best_spherical_model(spark, v1, sigma_type="std",
+                                             seed=42)
+    assert best["config_id"] == 0 and best["n_comp"] == 1 \
+        and not best["nugget"]
+    sigma = np.full(len(v1), 0.002)
+    aic_expect = 2 * 2 + float(np.sum(np.log(2 * np.pi * sigma ** 2)))
+    assert best["aic"] == pytest.approx(aic_expect, abs=0.05)
+    per_cfg = fits.groupby("config_id")["aic"].min()
+    assert per_cfg.idxmin() == 0
+
+    # (b) real nugget demands the nugget term
+    v2 = _vario_from([0.04], [50.0], 0.02)
+    fits2, best2 = FT.fit_best_spherical_model(spark, v2,
+                                               sigma_type="std", seed=42)
+    per2 = fits2.groupby("config_id")["aic"].min()
+    assert per2[1] < per2[0]  # (1comp, nugget) beats (1comp, none)
+    assert bool(best2["nugget"])
+
+    # (c) two separated structures demand two components
+    v3 = _vario_from([0.03, 0.05], [20.0, 160.0], 0.0, noise=1e-4)
+    fits3, best3 = FT.fit_best_spherical_model(spark, v3,
+                                               sigma_type="std", seed=42)
+    per3 = fits3.groupby("config_id")["aic"].min()
+    best_2comp = min(per3[2], per3[3])
+    best_1comp = min(per3[0], per3[1])
+    assert best_2comp < best_1comp
+    assert int(best3["n_comp"]) >= 2
+
+
 def test_monte_carlo_np_matches_distributed(spark):
     """The per-zone numpy MC kernel (used by sigma_a_by_zone) shares the
     exact sampling streams with the distributed estimator — same seeds
