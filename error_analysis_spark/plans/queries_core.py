@@ -19,6 +19,8 @@ geospatial fixtures covered in tests/.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -262,27 +264,48 @@ def w2_positional_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     single partition (`partitionBy(lit(0))`) is correct, not a funnel.
     """
     max_rank = 1000
+    wanted = (1, 100, 1000)
     orders = load_table(spark, sf_dir, "orders")
-    w_dates = W.partitionBy(F.lit(0)).orderBy("o_orderdate") \
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    cutoff = (
-        orders.groupBy("o_orderdate").agg(F.count("*").alias("cnt"))
-        .withColumn("cum", F.sum("cnt").over(w_dates))
-        .agg(F.coalesce(
-            F.min(F.when(F.col("cum") >= max_rank, F.col("o_orderdate"))),
-            F.max("o_orderdate")).alias("cutoff"))
-    )
+
+    def find_cutoff(batches):
+        # single sorted partition of per-date counts; emits one row
+        total, last = 0, None
+        for pdf in batches:
+            for d, c in zip(pdf["o_orderdate"], pdf["cnt"]):
+                total += int(c)
+                last = d
+                if total >= max_rank:
+                    yield pd.DataFrame({"cutoff": [d]})
+                    return
+        yield pd.DataFrame({"cutoff": [last]})
+
+    cutoff = (orders.groupBy("o_orderdate").agg(F.count("*").alias("cnt"))
+              .repartition(1).sortWithinPartitions("o_orderdate")
+              .mapInPandas(find_cutoff, "cutoff timestamp"))
     head = (orders.crossJoin(F.broadcast(cutoff))
-            .where(F.col("o_orderdate") <= F.col("cutoff")))
-    w = (W.partitionBy(F.lit(0))
-         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
-    return (
-        head.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn").isin(1, 100, 1000))
-        .select("rn", "o_orderkey",
-                F.col("o_orderdate").cast("date").alias("o_orderdate"),
-                F.round("o_totalprice", 4).alias("o_totalprice"))
-    )
+            .where(F.col("o_orderdate") <= F.col("cutoff"))
+            .select("o_orderkey", "o_orderdate", "o_totalprice"))
+
+    def assign_rn(batches):
+        # single sorted partition (≤ max_rank + one day's rows); running
+        # offset across Arrow batches = the global row number
+        off = 0
+        for pdf in batches:
+            rn = off + np.arange(1, len(pdf) + 1)
+            off += len(pdf)
+            out = pdf.assign(rn=rn)
+            yield out[out["rn"].isin(wanted)]
+
+    picked = (head.repartition(1)
+              .sortWithinPartitions(F.col("o_orderdate").asc(),
+                                    F.col("o_orderkey").asc())
+              .mapInPandas(assign_rn,
+                           "o_orderkey long, o_orderdate timestamp, "
+                           "o_totalprice double, rn int"))
+    return picked.select(
+        "rn", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.round("o_totalprice", 4).alias("o_totalprice"))
 
 
 W2_SQL = """
