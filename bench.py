@@ -45,6 +45,12 @@ HEADLINE = [
     "sim_pairwise_topk",
     "text_quality",
     "mm_features",
+    # round 2 additions — the flagship chain + new oracle-gated operators
+    "j1_r4_dod",
+    "a13_zone_pixel_counts",
+    "sigma_a_zones",
+    "sc16_utm_roundtrip",
+    "r1_geoid_shift",
 ]
 
 

@@ -69,3 +69,127 @@ def zone_pixel_counts(member: DataFrame) -> DataFrame:
     """A13 — valid-pixel count per zone (stable_unstable_areas.py:445-454)."""
     return (member.where(F.col("value").isNotNull())
             .groupBy("zone_id").agg(F.count("*").alias("n_pixels")))
+
+
+def rasterize_membership(spark, zones: DataFrame, grid,
+                         tile: int = 256) -> DataFrame:
+    """R8 — burn zones into the grid by SCANLINE fill, distributed over
+    (zone × intersecting tile) tasks.
+
+    Per-pixel ray casting costs O(V) per cell; a scanline pass costs
+    O(V·rows + cells) per tile — the classic rasterizer
+    (stable_unstable_areas.py:598-638 delegates to rasterio's C version
+    of exactly this). Semantics match `membership`'s even-odd pip_mask
+    bit-for-bit: a cell belongs iff its CENTER is inside under the same
+    half-open crossing convention, so the two strategies are
+    interchangeable (asserted in tests). Output: row, col, zone_id, kind.
+
+    Scale shape: tasks are (zone, tile) pairs — output per task is
+    bounded by tile², huge zones parallelize across their tiles, and the
+    pixel side joins this table on (row, col) with no geometry work.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from error_analysis_spark.functions.geometry import (
+        parse_wkt_polygon, polygon_bounds,
+    )
+
+    x0, y0, res = float(grid.x0), float(grid.y0), float(grid.res)
+    H, W_ = int(grid.height), int(grid.width)
+    tasks = []
+    for z in zones.select("zone_id", "kind", "wkt").collect():
+        minx, miny, maxx, maxy = polygon_bounds(z["wkt"])
+        # tiles whose cell-center range intersects the bbox
+        r_lo = max(0, int(np.floor((y0 - maxy) / res - 0.5)))
+        r_hi = min(H - 1, int(np.ceil((y0 - miny) / res)))
+        c_lo = max(0, int(np.floor((minx - x0) / res - 0.5)))
+        c_hi = min(W_ - 1, int(np.ceil((maxx - x0) / res)))
+        if r_lo > r_hi or c_lo > c_hi:
+            continue
+        for ty in range(r_lo // tile, r_hi // tile + 1):
+            for tx in range(c_lo // tile, c_hi // tile + 1):
+                tasks.append((z["zone_id"], z["kind"], z["wkt"], ty, tx))
+    if not tasks:
+        return spark.createDataFrame(
+            [], "row int, col int, zone_id string, kind string")
+    tdf = spark.createDataFrame(
+        tasks, "zone_id string, kind string, wkt string, ty int, tx int")
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in pdf.itertuples(index=False):
+            rings = parse_wkt_polygon(t.wkt)
+            r0, r1 = t.ty * tile, min((t.ty + 1) * tile, H) - 1
+            cl, ch = t.tx * tile, min((t.tx + 1) * tile, W_) - 1
+            segs = np.vstack([np.column_stack([r[:-1], r[1:]]) for r in rings])
+            x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+            keep = y1 != y2
+            x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+            if x1.size == 0:
+                continue
+            ymin = np.minimum(y1, y2)
+            ymax = np.maximum(y1, y2)
+            # candidate rows: center y ∈ [ymin, ymax) widened by one row
+            # each side — the EXACT pip predicate below is the sole
+            # filter, so float rounding in this range formula can never
+            # drop (or double-count) a boundary crossing
+            rs = np.maximum(np.floor((y0 - ymax) / res - 0.5).astype(np.int64),
+                            r0)
+            re_ = np.minimum(np.floor((y0 - ymin) / res - 0.5).astype(np.int64)
+                             + 1, r1)
+            n_rows = re_ - rs + 1
+            ok = n_rows > 0
+            if not ok.any():
+                continue
+            x1, y1, x2, y2, rs, n_rows = (a[ok] for a in
+                                          (x1, y1, x2, y2, rs, n_rows))
+            # expand (segment → covered rows) without a Python loop
+            rows = np.repeat(rs, n_rows) + (
+                np.arange(int(n_rows.sum())) -
+                np.repeat(np.cumsum(n_rows) - n_rows, n_rows))
+            yr = y0 - (rows + 0.5) * res
+            sx1 = np.repeat(x1, n_rows)
+            sy1 = np.repeat(y1, n_rows)
+            cx = sx1 + (yr - sy1) / np.repeat(y2 - y1, n_rows) \
+                * np.repeat(x2 - x1, n_rows)
+            # re-apply the exact pip predicate: keep crossings whose row
+            # center satisfies (y1>y)!=(y2>y) (guards float-boundary rows)
+            sy2 = np.repeat(y2, n_rows)
+            good = (sy1 > yr) != (sy2 > yr)
+            rows, cx = rows[good], cx[good]
+            order = np.lexsort((cx, rows))
+            rows, cx = rows[order], cx[order]
+            if rows.size % 2:  # defensive: parity must hold per closed ring
+                continue
+            # each row block has an even crossing count, so global
+            # alternate-element pairing pairs within rows
+            ca, cb, rr = cx[0::2], cx[1::2], rows[0::2]
+            col_a = np.maximum(np.ceil((ca - x0) / res - 0.5).astype(np.int64),
+                               cl)
+            col_b = np.minimum(np.ceil((cb - x0) / res - 0.5).astype(np.int64)
+                               - 1, ch)
+            n_cols = col_b - col_a + 1
+            ok2 = n_cols > 0
+            if not ok2.any():
+                continue
+            col_a, rr, n_cols = col_a[ok2], rr[ok2], n_cols[ok2]
+            cols = np.repeat(col_a, n_cols) + (
+                np.arange(int(n_cols.sum())) -
+                np.repeat(np.cumsum(n_cols) - n_cols, n_cols))
+            out_rows = np.repeat(rr, n_cols)
+            frames.append(pd.DataFrame({
+                "row": out_rows.astype(np.int32),
+                "col": cols.astype(np.int32),
+                "zone_id": t.zone_id, "kind": t.kind,
+            }))
+        if not frames:
+            return pd.DataFrame({"row": pd.Series(dtype="int32"),
+                                 "col": pd.Series(dtype="int32"),
+                                 "zone_id": pd.Series(dtype="object"),
+                                 "kind": pd.Series(dtype="object")})
+        return pd.concat(frames)
+
+    return (tdf.groupBy("zone_id", "ty", "tx")
+            .applyInPandas(scan, "row int, col int, zone_id string, "
+                                 "kind string"))

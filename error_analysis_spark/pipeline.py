@@ -69,9 +69,14 @@ def analyze_pair(reference: DataFrame, compare: DataFrame,
     dod = AL.difference(AL.align_pair(reference, compare, ref_grid, cmp_grid))
     dodv = dod.select("row", "col", "x", "y", F.col("dz").alias("value"))
 
-    # 3: zone membership + stable derivation (J2/SO2) — one PIP pass;
-    # stable = valid − unstable reuses the cached membership keys
-    member = ZN.membership(dodv, zones).cache()
+    # 3: zone membership + stable derivation (J2/R8/SO2) — zones are
+    # scanline-rasterized onto the common grid (O(V·rows + cells) per
+    # tile vs O(V) ray casts per PIXEL), then membership is a plain
+    # (row, col) join with zero geometry work on the big side
+    common = ref_grid if (ref_grid.width * ref_grid.height
+                          <= cmp_grid.width * cmp_grid.height) else cmp_grid
+    burned = ZN.rasterize_membership(reference.sparkSession, zones, common)
+    member = dodv.join(burned, ["row", "col"]).cache()
     foi = (member.where(F.col("kind") == "unstable")
            .select("row", "col").distinct())
     stable = (dodv.join(foi, ["row", "col"], "left_anti")
