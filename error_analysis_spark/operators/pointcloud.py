@@ -29,6 +29,7 @@ window cell key — Catalyst plans a plain shuffle join, no theta join.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,6 +183,178 @@ def fill_nodata_idw(pixels: DataFrame, grid: GridSpec,
                            F.lit(False).alias("filled")))
     keep = valid.select("row", "col", "value").withColumn("filled", F.lit(False))
     return keep.unionByName(filled).unionByName(unreachable)
+
+
+def fill_nodata_nearest(pixels: DataFrame, grid: GridSpec,
+                        max_dist: float = 100.0) -> DataFrame:
+    """R3 (nearest variant) — fill NULL cells with the value of the
+    nearest valid pixel within `max_dist` (griddata(method='nearest')
+    semantics, differencing_functions.py:1796-1797, distance-bounded
+    like gdal.FillNodata). Same bucketed donor join as the IDW path;
+    the pick is one `min_by` with a (d², row, col) struct key so ties
+    resolve deterministically on any cluster."""
+    valid = pixels.where(F.col("value").isNotNull())
+    missing = pixels.where(F.col("value").isNull()).select("row", "col")
+    b = int(max(1, max_dist))
+    donors = (
+        valid.select("row", "col", "value")
+        .withColumn("o", F.explode(F.array(*[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])))
+        .select(
+            ((F.col("row") / b).cast("int") + F.col("o.dy")).alias("by"),
+            ((F.col("col") / b).cast("int") + F.col("o.dx")).alias("bx"),
+            F.col("row").alias("s_row"), F.col("col").alias("s_col"), "value",
+        )
+    )
+    targets = missing.select(
+        (F.col("row") / b).cast("int").alias("by"),
+        (F.col("col") / b).cast("int").alias("bx"),
+        "row", "col",
+    )
+    d2 = ((F.col("row") - F.col("s_row")) ** 2
+          + (F.col("col") - F.col("s_col")) ** 2)
+    key = F.struct(d2.alias("d2"), F.col("s_row"), F.col("s_col"))
+    filled = (
+        targets.join(donors, ["by", "bx"])
+        .where(d2 <= F.lit(float(max_dist) ** 2))
+        .groupBy("row", "col")
+        .agg(F.min_by(F.col("value"), key).alias("value"))
+        .withColumn("filled", F.lit(True))
+    )
+    unreachable = (missing.join(filled.select("row", "col"),
+                                ["row", "col"], "left_anti")
+                   .select("row", "col",
+                           F.lit(None).cast("double").alias("value"),
+                           F.lit(False).alias("filled")))
+    keep = valid.select("row", "col", "value").withColumn("filled", F.lit(False))
+    return keep.unionByName(filled).unionByName(unreachable)
+
+
+def tps_solve_eval(dx: np.ndarray, dy: np.ndarray, dv: np.ndarray,
+                   qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    """Thin-plate-spline interpolation, scipy-free: solve K·w = v with
+    K_ij = r²·log r (U(0) = 0) over donor points, evaluate at queries —
+    the same system scipy's `Rbf(function='thin_plate')` solves
+    (reference fallback, differencing_functions.py:1798-1800)."""
+    def kernel(r2):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = 0.5 * r2 * np.log(r2)  # r² log r = ½ r² log r²
+        return np.where(r2 > 0, out, 0.0)
+
+    r2 = ((dx[:, None] - dx[None, :]) ** 2
+          + (dy[:, None] - dy[None, :]) ** 2)
+    k = kernel(r2)
+    try:
+        w = np.linalg.solve(k, dv)
+    except np.linalg.LinAlgError:
+        w = np.linalg.lstsq(k, dv, rcond=None)[0]
+    rq = ((qx[:, None] - dx[None, :]) ** 2
+          + (qy[:, None] - dy[None, :]) ** 2)
+    return kernel(rq) @ w
+
+
+def fill_nodata_tps(pixels: DataFrame, grid: GridSpec,
+                    max_dist: float = 100.0,
+                    max_donors: int = 1500) -> DataFrame:
+    """R3 (spline variant) — thin-plate-spline fill (reference 'spline'
+    method, Rbf thin_plate, differencing_functions.py:1798-1800), made
+    distributable: missing cells group by coarse bucket (side =
+    max_dist), donors fan to the 9 neighboring buckets, and one
+    `applyInPandas` task per bucket solves a TPS over its ≤ max_donors
+    nearest donors then evaluates every hole in the bucket.
+
+    The reference solves ONE dense system over all valid pixels — O(N³)
+    and single-node-only; bucketing bounds each solve while keeping
+    every donor within max_dist of any hole it informs. Deterministic:
+    donor cap keeps the smallest (d²-to-bucket-center, row, col)."""
+    import pandas as pd
+
+    valid = pixels.where(F.col("value").isNotNull())
+    missing = pixels.where(F.col("value").isNull()).select("row", "col")
+    b = int(max(1, max_dist))
+    donors = (
+        valid.select("row", "col", "value")
+        .withColumn("o", F.explode(F.array(*[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])))
+        .select(
+            ((F.col("row") / b).cast("int") + F.col("o.dy")).alias("by"),
+            ((F.col("col") / b).cast("int") + F.col("o.dx")).alias("bx"),
+            F.col("row").alias("s_row"), F.col("col").alias("s_col"), "value",
+        )
+        .withColumn("is_donor", F.lit(True))
+    )
+    targets = missing.select(
+        (F.col("row") / b).cast("int").alias("by"),
+        (F.col("col") / b).cast("int").alias("bx"),
+        F.col("row").alias("s_row"), F.col("col").alias("s_col"),
+    ).withColumn("value", F.lit(None).cast("double")) \
+     .withColumn("is_donor", F.lit(False))
+    both = donors.unionByName(targets)
+
+    def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by, bx = int(key[0]), int(key[1])
+        dn = pdf[pdf["is_donor"]]
+        q = pdf[~pdf["is_donor"]]
+        if len(q) == 0:
+            return pd.DataFrame({"row": pd.Series(dtype="int32"),
+                                 "col": pd.Series(dtype="int32"),
+                                 "value": pd.Series(dtype="float64")})
+        if len(dn) == 0:
+            return pd.DataFrame({"row": q["s_row"].astype("int32"),
+                                 "col": q["s_col"].astype("int32"),
+                                 "value": np.nan})
+        dx = dn["s_row"].to_numpy(np.float64)
+        dy = dn["s_col"].to_numpy(np.float64)
+        dv = dn["value"].to_numpy(np.float64)
+        if len(dn) > max_donors:
+            cy, cx = (by + 0.5) * b, (bx + 0.5) * b
+            d2c = (dx - cy) ** 2 + (dy - cx) ** 2
+            order = np.lexsort((dy, dx, d2c))[:max_donors]
+            dx, dy, dv = dx[order], dy[order], dv[order]
+        vals = tps_solve_eval(dx, dy, dv,
+                              q["s_row"].to_numpy(np.float64),
+                              q["s_col"].to_numpy(np.float64))
+        return pd.DataFrame({"row": q["s_row"].astype("int32"),
+                             "col": q["s_col"].astype("int32"),
+                             "value": vals})
+
+    filled = (both.groupBy("by", "bx")
+              .applyInPandas(solve, "row int, col int, value double")
+              .withColumn("filled", F.lit(True)))
+    keep = valid.select("row", "col", "value").withColumn("filled", F.lit(False))
+    return keep.unionByName(filled)
+
+
+def fill_nodata(pixels: DataFrame, grid: GridSpec, method: str = "idw",
+                max_dist: float = 100.0, **kw) -> DataFrame:
+    """R3 dispatcher mirroring the reference's `_fill_nodata(method=...)`
+    (differencing_functions.py:1766-1807): idw (default), nearest, and
+    spline are native engine paths; linear/cubic need scipy's Delaunay
+    triangulation and are gated behind an import-try (this container
+    ships no scipy — the error says exactly what to install)."""
+    if method == "idw":
+        return fill_nodata_idw(pixels, grid, max_dist)
+    if method == "nearest":
+        return fill_nodata_nearest(pixels, grid, max_dist)
+    if method == "spline":
+        return fill_nodata_tps(pixels, grid, max_dist,
+                               kw.get("max_donors", 1500))
+    if method in ("linear", "cubic"):
+        try:
+            import scipy.interpolate  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                f"fill method {method!r} requires scipy.interpolate."
+                f"griddata (Delaunay); install scipy or use "
+                f"idw/nearest/spline") from e
+        raise NotImplementedError(
+            "scipy present but griddata tile kernel not wired; use "
+            "idw/nearest/spline")
+    raise ValueError(f"unknown fill method: {method}")
 
 
 def classify_ground_smrf(points: DataFrame, grid: GridSpec,

@@ -351,6 +351,48 @@ SELECT row, col, round(value, 3) AS z_fill FROM fill
 """
 
 
+def r3_fill_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 nearest variant on the same holed grid: the engine's min_by
+    pick vs DuckDB arg_min over the identical integer order key
+    (d²·2²⁰ + row·2¹⁰ + col — bounded, so the key fits a BIGINT and the
+    deterministic tie-break is byte-identical across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 37 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    )
+    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
+    out = PC.fill_nodata_nearest(px, grid, max_dist=_FILL_DIST)
+    return (out.where(F.col("filled"))
+            .select("row", "col", F.round("value", 3).alias("z_near")))
+
+
+R3NEAR_SQL = f"""
+WITH px AS (
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col,
+         CASE WHEN event_id % 37 <> 0 THEN round(value, 3) END AS value
+  FROM events
+),
+valid AS (SELECT * FROM px WHERE value IS NOT NULL),
+missing AS (SELECT row, col FROM px WHERE value IS NULL),
+cand AS (
+  SELECT m.row, m.col, v.value,
+         (power(m.row - v.row, 2) + power(m.col - v.col, 2)) * 1048576
+           + v.row * 1024 + v.col AS okey,
+         power(m.row - v.row, 2) + power(m.col - v.col, 2) AS d2
+  FROM missing m JOIN valid v
+    ON v.row BETWEEN m.row - {int(_FILL_DIST)} AND m.row + {int(_FILL_DIST)}
+   AND v.col BETWEEN m.col - {int(_FILL_DIST)} AND m.col + {int(_FILL_DIST)}
+)
+SELECT row, col, round(arg_min(value, okey), 3) AS z_near
+FROM cand WHERE d2 <= {_FILL_DIST} * {_FILL_DIST}
+GROUP BY row, col
+"""
+
+
 # --------------------------------------------------------------------------
 # J1+R4 — the flagship chain: align (regrid + pair join) → difference →
 # median-bias subtract → zonal stats, in ONE lazy DAG.
@@ -463,5 +505,6 @@ RASTER_QUERIES: dict[str, tuple] = {
     "s8_grid_max": (s8_grid_max, S8MAX_SQL),
     "s8_grid_idw": (s8_grid_idw, S8IDW_SQL),
     "r3_fill_nodata": (r3_fill_nodata, R3_SQL),
+    "r3_fill_nearest": (r3_fill_nearest, R3NEAR_SQL),
     "j1_r4_dod": (j1_r4_dod, DOD_SQL),
 }

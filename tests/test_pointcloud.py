@@ -107,6 +107,70 @@ def test_fill_nodata_idw(spark, grid):
         assert abs(row["value"] - z[int(row["row"]), int(row["col"])]) < 0.25
 
 
+def _holed_field(n=40, hole_frac=0.05, seed=9):
+    g = GridSpec("f", width=n, height=n, x0=0.0, y0=float(n), res=1.0)
+    rr, cc = np.mgrid[0:n, 0:n].astype(float)
+    z = np.sin(cc / 6.0) + np.cos(rr / 5.0)
+    rs = np.random.RandomState(seed)
+    holes = rs.uniform(size=(n, n)) < hole_frac
+    vals = z.copy(); vals[holes] = np.nan
+    pdf = pd.DataFrame({
+        "row": np.mgrid[0:n, 0:n][0].ravel().astype(np.int32),
+        "col": np.mgrid[0:n, 0:n][1].ravel().astype(np.int32),
+        "value": vals.ravel(),
+    })
+    return g, z, holes, pdf
+
+
+def test_fill_nodata_nearest(spark):
+    """Nearest fill matches a brute-force numpy nearest oracle with the
+    same deterministic (d², row, col) tie-break."""
+    g, z, holes, pdf = _holed_field()
+    out = PC.fill_nodata_nearest(spark.createDataFrame(pdf), g,
+                                 max_dist=6.0).toPandas()
+    filled = out[out["filled"]]
+    assert len(filled) == int(holes.sum())
+    vr, vc = np.where(~holes)
+    for _, row in filled.iterrows():
+        d2 = (vr - row["row"]) ** 2 + (vc - row["col"]) ** 2
+        order = np.lexsort((vc, vr, d2))
+        best = order[0]
+        assert d2[best] <= 36.0
+        np.testing.assert_allclose(row["value"], z[vr[best], vc[best]],
+                                   rtol=0)
+
+
+def test_fill_nodata_tps(spark):
+    """Single-bucket TPS fill must equal the direct dense numpy solve
+    (same donors → same system); values near truth on a smooth field."""
+    g, z, holes, pdf = _holed_field(n=30, hole_frac=0.04, seed=4)
+    out = PC.fill_nodata_tps(spark.createDataFrame(pdf), g,
+                             max_dist=64.0).toPandas()
+    filled = out[out["filled"]].sort_values(["row", "col"])
+    assert len(filled) == int(holes.sum())
+    vr, vc = np.where(~holes)
+    hr, hc = np.where(holes)
+    expect = PC.tps_solve_eval(vr.astype(float), vc.astype(float),
+                               z[~holes].astype(float),
+                               hr.astype(float), hc.astype(float))
+    got = filled.set_index(["row", "col"])["value"]
+    exp = pd.Series(expect, index=pd.MultiIndex.from_arrays([hr, hc]))
+    for k in exp.index:
+        np.testing.assert_allclose(got.loc[k], exp.loc[k], rtol=1e-8)
+        assert abs(got.loc[k] - z[k]) < 0.2  # close to the true surface
+
+
+def test_fill_nodata_dispatcher(spark):
+    g, z, holes, pdf = _holed_field(n=20)
+    px = spark.createDataFrame(pdf)
+    assert PC.fill_nodata(px, g, "idw", max_dist=6.0).count() == 400
+    assert PC.fill_nodata(px, g, "nearest", max_dist=6.0).count() == 400
+    with pytest.raises((NotImplementedError, ValueError)):
+        PC.fill_nodata(px, g, "cubic")
+    with pytest.raises(ValueError):
+        PC.fill_nodata(px, g, "kriging")
+
+
 def test_dem_pipeline_recovers_ground(spark, points, grid):
     """E1 chain: DTM from ground returns ≈ the generating ground plane."""
     dem = PC.dem_pipeline(points, grid, kind="dtm").toPandas()
