@@ -602,9 +602,16 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# Curation funnel (rows-only: the connected-components stage over the
-# driver's dense near-dup graph has no tractable SQL restatement)
+# Curation funnel — the full 5-stage pipeline, oracle-gated: the DuckDB
+# restatement composes the already-verified stage oracles (quality expr,
+# lang argmax, md5 window-min dedup, seed-42 MinHash banding + exact
+# Jaccard, recursive-CTE transitive closure). A MATCH proves the cached
+# multi-stage Spark funnel (incl. the distributed label-propagation
+# components) produces the exact per-stage survivor counts.
 # --------------------------------------------------------------------------
+
+_CF_MINQ, _CF_PERM, _CF_BANDS, _CF_THRESH = 0.3, 32, 8, 0.9
+
 
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from error_analysis_spark.extensions.curation import (
@@ -612,9 +619,123 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     _kept, stats = curate_documents(
-        docs, CurationConfig(min_quality=0.3, keep_langs=("en",),
-                             near_dup_threshold=0.9))
+        docs, CurationConfig(min_quality=_CF_MINQ, keep_langs=("en",),
+                             near_dup_threshold=_CF_THRESH,
+                             num_perm=_CF_PERM, bands=_CF_BANDS))
     return stats
+
+
+CURATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, text, toks FROM t
+  WHERE round(0.4 * least(len(toks) / 100.0, 1.0)
+          + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+          + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS DOUBLE) / length(text)), 6) >= {_CF_MINQ}
+),
+lt AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+             AS ltoks
+  FROM s1
+),
+s2 AS (
+  SELECT s1.doc_id, s1.text, s1.toks
+  FROM s1 JOIN (
+    SELECT doc_id
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(ltoks, x -> x IN ({_SW_SQL['en']})))
+                  AS DOUBLE) / len(ltoks) AS score_en,
+             CAST(len(list_filter(ltoks, x -> x IN ({_SW_SQL['fr']})))
+                  AS DOUBLE) / len(ltoks) AS score_fr,
+             CAST(len(list_filter(ltoks, x -> x IN ({_SW_SQL['de']})))
+                  AS DOUBLE) / len(ltoks) AS score_de,
+             CAST(len(list_filter(ltoks, x -> x IN ({_SW_SQL['es']})))
+                  AS DOUBLE) / len(ltoks) AS score_es,
+             CAST(length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]',
+                                        '', 'g'))
+                  AS DOUBLE) / length(text) AS score_zh
+      FROM lt
+    ) WHERE score_en >= greatest(score_fr, score_de, score_es, score_zh)
+  ) lang USING (doc_id)
+),
+s3 AS (
+  SELECT doc_id, text, toks FROM s2
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+),
+toks3 AS (SELECT DISTINCT doc_id AS id, tk.token FROM s3, unnest(toks) AS tk(token)),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(token), 1, 7))::BIGINT % {_M31} AS th FROM toks3
+),
+perms AS (
+  SELECT range AS perm,
+         ('0x' || substr(md5('a42_' || range), 1, 7))::BIGINT
+             % ({_M31} - 1) + 1 AS pa,
+         ('0x' || substr(md5('b42_' || range), 1, 7))::BIGINT
+             % {_M31} AS pb
+  FROM range({_CF_PERM})
+),
+sigs AS (
+  SELECT id, perm, min((pa * th + pb) % {_M31}) AS minhash
+  FROM hashed CROSS JOIN perms GROUP BY id, perm
+),
+banded AS (
+  SELECT id, perm // {_CF_PERM // _CF_BANDS} AS band,
+         md5(string_agg(perm || ':' || minhash, ','
+             ORDER BY perm || ':' || minhash)) AS sig
+  FROM sigs GROUP BY id, perm // {_CF_PERM // _CF_BANDS}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM toks3 GROUP BY id),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cands c
+    JOIN toks3 ta ON ta.id = c.id_a
+    JOIN toks3 tb ON tb.id = c.id_b AND tb.token = ta.token
+    GROUP BY c.id_a, c.id_b
+  ) i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {_CF_THRESH}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, node) AS (
+    SELECT doc_id, doc_id FROM s3
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.node = e.a
+  )
+  SELECT src, node FROM r
+),
+counts AS (
+  SELECT (SELECT count(*) FROM t) AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3,
+         (SELECT count(*) FROM (
+            SELECT src FROM reach GROUP BY src HAVING src = min(node))) AS n4
+)
+SELECT 'input' AS stage, n0 AS rows_in, n0 AS rows_out FROM counts
+UNION ALL SELECT 'quality_gate', n0, n1 FROM counts
+UNION ALL SELECT 'language_filter', n1, n2 FROM counts
+UNION ALL SELECT 'exact_dedup', n2, n3 FROM counts
+UNION ALL SELECT 'near_dup_dedup', n3, n4 FROM counts
+"""
 
 
 EXT_QUERIES: dict[str, tuple] = {
@@ -634,5 +755,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_features": (mm_features, MM_FEATURES_SQL),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
     "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
-    "curation_funnel": (curation_funnel, None),
+    "curation_funnel": (curation_funnel, CURATION_SQL),
 }
