@@ -329,13 +329,134 @@ def fill_nodata_tps(pixels: DataFrame, grid: GridSpec,
     return keep.unionByName(filled)
 
 
+def _axis_estimate(pixels: DataFrame, part: str, ordc: str,
+                   max_dist: float, cubic: bool) -> DataFrame:
+    """One directional interpolation pass: for every NULL cell, the
+    nearest valid neighbor on each side along `ordc` within the
+    partition `part` (a single grid row or column), plus — for the
+    cubic form — each neighbor's own next-outward valid support point.
+
+    Shuffle-safe by construction: the window partitions on the grid
+    line (one raster row/column per partition, bounded by the raster
+    width), never globally. Returns (row, col, est) with est NULL where
+    the direction has no bracketing donors within max_dist."""
+    from pyspark.sql import Window
+
+    valid = pixels.where(F.col("value").isNotNull())
+    wv = Window.partitionBy(part).orderBy(ordc)
+    donor = valid.select(
+        "row", "col",
+        F.struct(
+            F.col(ordc).cast("double").alias("pos"),
+            F.col("value").alias("val"),
+            F.lag(ordc).over(wv).cast("double").alias("o_pos"),
+            F.lag("value").over(wv).alias("o_val"),
+            F.lead(ordc).over(wv).cast("double").alias("i_pos"),
+            F.lead("value").over(wv).alias("i_val"),
+        ).alias("d"),
+    )
+    target = (pixels.where(F.col("value").isNull())
+              .select("row", "col",
+                      F.lit(None).cast(donor.schema["d"].dataType).alias("d")))
+    u = donor.unionByName(target)
+    w = Window.partitionBy(part).orderBy(ordc)
+    lft = F.last("d", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    rgt = F.first("d", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing))
+    c = F.col(ordc).cast("double")
+    scanned = (u.withColumn("_l", lft).withColumn("_r", rgt)
+               .where(F.col("d").isNull())
+               .select("row", "col", c.alias("_c"), "_l", "_r"))
+
+    cpos = F.col("_c")
+    l, r = F.col("_l"), F.col("_r")
+    inner_ok = (l.isNotNull() & r.isNotNull()
+                & ((cpos - l["pos"]) <= F.lit(float(max_dist)))
+                & ((r["pos"] - cpos) <= F.lit(float(max_dist))))
+    linear = l["val"] + (r["val"] - l["val"]) * (cpos - l["pos"]) \
+        / (r["pos"] - l["pos"])
+    if not cubic:
+        est = F.when(inner_ok, linear)
+    else:
+        outer_ok = l["o_pos"].isNotNull() & r["i_pos"].isNotNull()
+        xs = [l["o_pos"], l["pos"], r["pos"], r["i_pos"]]
+        ys = [l["o_val"], l["val"], r["val"], r["i_val"]]
+        terms = []
+        for i in range(4):
+            num, den = None, None
+            for j in range(4):
+                if j == i:
+                    continue
+                num = (cpos - xs[j]) if num is None else num * (cpos - xs[j])
+                den = (xs[i] - xs[j]) if den is None else den * (xs[i] - xs[j])
+            terms.append(ys[i] * num / den)
+        lagrange = ((terms[0] + terms[1]) + terms[2]) + terms[3]
+        est = (F.when(inner_ok & outer_ok, lagrange)
+               .when(inner_ok, linear))
+    return scanned.select("row", "col", est.alias("est"))
+
+
+def _fill_directional(pixels: DataFrame, grid: GridSpec,
+                      max_dist: float, cubic: bool) -> DataFrame:
+    """Shared body of the linear/cubic fills: interpolate along grid
+    rows and along grid columns independently, average the directions
+    that bracket the hole. A hole bracketed in neither direction stays
+    nodata (the directional analog of griddata's convex-hull rule)."""
+    h = _axis_estimate(pixels, "row", "col", max_dist, cubic) \
+        .withColumnRenamed("est", "est_h")
+    v = _axis_estimate(pixels, "col", "row", max_dist, cubic) \
+        .withColumnRenamed("est", "est_v")
+    eh, ev = F.col("est_h"), F.col("est_v")
+    combined = (h.join(v, ["row", "col"], "outer")
+                .select("row", "col",
+                        F.when(eh.isNotNull() & ev.isNotNull(),
+                               (eh + ev) / 2.0)
+                        .otherwise(F.coalesce(eh, ev)).alias("value")))
+    filled = (combined.where(F.col("value").isNotNull())
+              .withColumn("filled", F.lit(True)))
+    unreachable = (combined.where(F.col("value").isNull())
+                   .select("row", "col",
+                           F.lit(None).cast("double").alias("value"),
+                           F.lit(False).alias("filled")))
+    keep = (pixels.where(F.col("value").isNotNull())
+            .select("row", "col", "value")
+            .withColumn("filled", F.lit(False)))
+    return keep.unionByName(filled).unionByName(unreachable)
+
+
+def fill_nodata_linear(pixels: DataFrame, grid: GridSpec,
+                       max_dist: float = 100.0) -> DataFrame:
+    """R3 (linear variant) — scipy-free stand-in for
+    `griddata(method='linear')` (differencing_functions.py:1766-1807):
+    each hole is linearly interpolated between its nearest valid
+    neighbors along its grid row and along its grid column (both
+    donors within `max_dist`), and the two directional estimates are
+    averaged. Interior-only, like griddata: a hole with no bracketing
+    pair in either direction stays nodata. Windows partition on single
+    grid lines, so the scan parallelizes across rows/columns with no
+    global sort."""
+    return _fill_directional(pixels, grid, max_dist, cubic=False)
+
+
+def fill_nodata_cubic(pixels: DataFrame, grid: GridSpec,
+                      max_dist: float = 100.0) -> DataFrame:
+    """R3 (cubic variant) — scipy-free stand-in for
+    `griddata(method='cubic')`: per direction, a 4-point Lagrange
+    cubic through the two nearest valid neighbors on each side
+    (inner pair within `max_dist`; outer supports unbounded), falling
+    back to linear where an outer support is missing; directional
+    estimates averaged as in the linear fill."""
+    return _fill_directional(pixels, grid, max_dist, cubic=True)
+
+
 def fill_nodata(pixels: DataFrame, grid: GridSpec, method: str = "idw",
                 max_dist: float = 100.0, **kw) -> DataFrame:
     """R3 dispatcher mirroring the reference's `_fill_nodata(method=...)`
-    (differencing_functions.py:1766-1807): idw (default), nearest, and
-    spline are native engine paths; linear/cubic need scipy's Delaunay
-    triangulation and are gated behind an import-try (this container
-    ships no scipy — the error says exactly what to install)."""
+    (differencing_functions.py:1766-1807): idw (default), nearest,
+    spline (thin-plate), linear, and cubic — all native engine paths
+    (the linear/cubic grid-axis forms substitute for scipy griddata's
+    Delaunay interpolation, which this container cannot run)."""
     if method == "idw":
         return fill_nodata_idw(pixels, grid, max_dist)
     if method == "nearest":
@@ -343,17 +464,10 @@ def fill_nodata(pixels: DataFrame, grid: GridSpec, method: str = "idw",
     if method == "spline":
         return fill_nodata_tps(pixels, grid, max_dist,
                                kw.get("max_donors", 1500))
-    if method in ("linear", "cubic"):
-        try:
-            import scipy.interpolate  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                f"fill method {method!r} requires scipy.interpolate."
-                f"griddata (Delaunay); install scipy or use "
-                f"idw/nearest/spline") from e
-        raise NotImplementedError(
-            "scipy present but griddata tile kernel not wired; use "
-            "idw/nearest/spline")
+    if method == "linear":
+        return fill_nodata_linear(pixels, grid, max_dist)
+    if method == "cubic":
+        return fill_nodata_cubic(pixels, grid, max_dist)
     raise ValueError(f"unknown fill method: {method}")
 
 

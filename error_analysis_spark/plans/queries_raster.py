@@ -393,6 +393,117 @@ GROUP BY row, col
 """
 
 
+def r3_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 linear variant: directional (row+col) bracket interpolation —
+    the engine's window-scan form vs an IGNORE-NULLS window oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 37 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    )
+    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
+    out = PC.fill_nodata_linear(px, grid, max_dist=_FILL_DIST)
+    return (out.where(F.col("filled"))
+            .select("row", "col", F.round("value", 3).alias("z_lin")))
+
+
+def r3_fill_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 cubic variant: 4-point directional Lagrange (linear fallback
+    at row/column ends), same window-scan plan as the linear fill."""
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 37 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    )
+    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
+    out = PC.fill_nodata_cubic(px, grid, max_dist=_FILL_DIST)
+    return (out.where(F.col("filled"))
+            .select("row", "col", F.round("value", 3).alias("z_cub")))
+
+
+def _dir_fill_sql(part: str, ordc: str, est: str, cubic: bool) -> str:
+    """One direction of the linear/cubic fill oracle, mirroring
+    `pointcloud._axis_estimate` term-for-term (same association order,
+    so doubles agree to the ulp)."""
+    md = float(_FILL_DIST)
+    lin = ("(l).val + ((r).val - (l).val) * (c - (l).pos) "
+           "/ ((r).pos - (l).pos)")
+    inner = (f"l IS NOT NULL AND r IS NOT NULL AND c - (l).pos <= {md!r} "
+             f"AND (r).pos - c <= {md!r}")
+    if not cubic:
+        case = f"CASE WHEN {inner} THEN {lin} END"
+    else:
+        xs = ["(l).o_pos", "(l).pos", "(r).pos", "(r).i_pos"]
+        ys = ["(l).o_val", "(l).val", "(r).val", "(r).i_val"]
+        terms = []
+        for i in range(4):
+            num = " * ".join(f"(c - {xs[j]})" for j in range(4) if j != i)
+            den = " * ".join(f"({xs[i]} - {xs[j]})" for j in range(4)
+                             if j != i)
+            terms.append(f"{ys[i]} * ({num}) / ({den})")
+        lagr = " + ".join(terms)
+        case = (f"CASE WHEN {inner} AND (l).o_pos IS NOT NULL "
+                f"AND (r).i_pos IS NOT NULL THEN {lagr} "
+                f"WHEN {inner} THEN {lin} END")
+    return f"""
+v_{est} AS (
+  SELECT row, col, value,
+         CAST(lag({ordc})  OVER w AS DOUBLE) AS o_pos,
+         lag(value)  OVER w AS o_val,
+         CAST(lead({ordc}) OVER w AS DOUBLE) AS i_pos,
+         lead(value) OVER w AS i_val
+  FROM px WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY {part} ORDER BY {ordc})
+),
+u_{est} AS (
+  SELECT p.row, p.col, p.value,
+         CASE WHEN p.value IS NOT NULL THEN struct_pack(
+           pos := CAST(p.{ordc} AS DOUBLE), val := p.value,
+           o_pos := v.o_pos, o_val := v.o_val,
+           i_pos := v.i_pos, i_val := v.i_val) END AS d
+  FROM px p LEFT JOIN v_{est} v ON p.row = v.row AND p.col = v.col
+),
+s_{est} AS (
+  SELECT row, col, value, CAST({ordc} AS DOUBLE) AS c,
+         last_value(d IGNORE NULLS) OVER
+           (PARTITION BY {part} ORDER BY {ordc}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l,
+         first_value(d IGNORE NULLS) OVER
+           (PARTITION BY {part} ORDER BY {ordc}
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS r
+  FROM u_{est}
+),
+e_{est} AS (
+  SELECT row, col, {case} AS {est}
+  FROM s_{est} WHERE value IS NULL
+)"""
+
+
+def _fill_dir_sql(alias: str, cubic: bool) -> str:
+    return f"""
+WITH px AS (
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col,
+         CASE WHEN event_id % 37 <> 0 THEN round(value, 3) END AS value
+  FROM events
+),{_dir_fill_sql('row', 'col', 'est_h', cubic)},{_dir_fill_sql('col', 'row', 'est_v', cubic)}
+SELECT h.row, h.col,
+       round(CASE WHEN h.est_h IS NOT NULL AND v.est_v IS NOT NULL
+                  THEN (h.est_h + v.est_v) / 2.0
+                  ELSE coalesce(h.est_h, v.est_v) END, 3) AS {alias}
+FROM e_est_h h JOIN e_est_v v ON h.row = v.row AND h.col = v.col
+WHERE coalesce(h.est_h, v.est_v) IS NOT NULL
+"""
+
+
+R3LIN_SQL = _fill_dir_sql("z_lin", cubic=False)
+R3CUB_SQL = _fill_dir_sql("z_cub", cubic=True)
+
+
 # --------------------------------------------------------------------------
 # J1+R4 — the flagship chain: align (regrid + pair join) → difference →
 # median-bias subtract → zonal stats, in ONE lazy DAG.
@@ -506,5 +617,7 @@ RASTER_QUERIES: dict[str, tuple] = {
     "s8_grid_idw": (s8_grid_idw, S8IDW_SQL),
     "r3_fill_nodata": (r3_fill_nodata, R3_SQL),
     "r3_fill_nearest": (r3_fill_nearest, R3NEAR_SQL),
+    "r3_fill_linear": (r3_fill_linear, R3LIN_SQL),
+    "r3_fill_cubic": (r3_fill_cubic, R3CUB_SQL),
     "j1_r4_dod": (j1_r4_dod, DOD_SQL),
 }
