@@ -193,3 +193,92 @@ def rasterize_membership(spark, zones: DataFrame, grid,
     return (tdf.groupBy("zone_id", "ty", "tx")
             .applyInPandas(scan, "row int, col int, zone_id string, "
                                  "kind string"))
+
+
+def polygonize(valid_pixels: DataFrame, max_iter: int = 50) -> DataFrame:
+    """R7 — connected regions (4-connectivity) of the valid mask →
+    per-region bounding polygons (`rasterio.features.shapes` analog,
+    variography_uncertainty.py:79-91, stable_unstable_areas.py:412-442,
+    differencing_functions.py:2024-2047).
+
+    Scanline-run decomposition, fully relational:
+
+    1. maximal column-consecutive RUNS per grid row — one bounded
+       window per row (partition = one raster row, never global);
+    2. run-adjacency edges: runs on neighboring rows whose column
+       spans overlap (equi-join on the row, overlap as residual
+       predicate);
+    3. hash-min connected components over the RUN graph (reused from
+       extensions/dedup.py) — runs ≪ pixels, so the iterative step
+       touches a tiny fraction of the data;
+    4. one aggregate per region: pixel count, bbox, bbox WKT ring.
+
+    Output: region_id (canonical = min run key = topmost-then-leftmost
+    run), n_px, min/max row/col, wkt. The exact cell-boundary ring
+    (vs bbox) is a driver-side refinement the reference only needs for
+    plotting; every downstream consumer (SO1/SO2/J2) joins on the
+    labeled pixels, which `region_labels` exposes.
+    """
+    lab = _labeled_runs(valid_pixels, max_iter)
+    ring = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        F.col("min_col"), F.col("min_row"),
+        F.col("max_col") + 1, F.col("min_row"),
+        F.col("max_col") + 1, F.col("max_row") + 1,
+        F.col("min_col"), F.col("max_row") + 1,
+        F.col("min_col"), F.col("min_row"))
+    return (lab.groupBy(F.col("component").alias("region_id"))
+            .agg(F.sum("n_px").alias("n_px"),
+                 F.min("row").alias("min_row"), F.max("row").alias("max_row"),
+                 F.min("start_col").alias("min_col"),
+                 F.max("end_col").alias("max_col"))
+            .withColumn("wkt", ring))
+
+
+def region_runs(valid_pixels: DataFrame) -> DataFrame:
+    """Scanline runs: maximal spans of column-consecutive valid cells in
+    each row. run_id packs (row, start_col) into one BIGINT so the min
+    label is the topmost-then-leftmost run."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("row").orderBy("col")
+    cells = (valid_pixels.select("row", "col")
+             .withColumn("_gap", F.when(
+                 F.col("col") - F.lag("col").over(w) == 1, 0).otherwise(1))
+             .withColumn("_seq", F.sum("_gap").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (cells.groupBy("row", "_seq")
+            .agg(F.min("col").alias("start_col"),
+                 F.max("col").alias("end_col"),
+                 F.count("*").alias("n_px"))
+            .select("row", "start_col", "end_col", "n_px",
+                    (F.col("row").cast("bigint") * F.lit(1 << 32)
+                     + F.col("start_col")).alias("run_id")))
+
+
+def _labeled_runs(valid_pixels: DataFrame, max_iter: int) -> DataFrame:
+    """Runs annotated with their region component: run-adjacency edges
+    (equi-join on the row pair, span overlap as residual predicate) →
+    hash-min CC over the run graph."""
+    from error_analysis_spark.extensions.dedup import connected_components
+
+    runs = region_runs(valid_pixels)
+    a, b = runs.alias("a"), runs.alias("b")
+    edges = (a.join(b, (F.col("a.row") + 1 == F.col("b.row"))
+                    & (F.col("a.start_col") <= F.col("b.end_col"))
+                    & (F.col("b.start_col") <= F.col("a.end_col")))
+             .select(F.col("a.run_id").alias("id_a"),
+                     F.col("b.run_id").alias("id_b")))
+    labels = connected_components(
+        edges, runs.select(F.col("run_id").alias("id")), max_iter=max_iter)
+    return runs.join(labels.withColumnRenamed("id", "run_id"), "run_id")
+
+
+def region_labels(valid_pixels: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Per-pixel region labels — the join surface SO1/SO2/J2 consume
+    when they need the polygonized regions back on the grid. One
+    explode over each run's span; no per-pixel CC iterations."""
+    lab = _labeled_runs(valid_pixels, max_iter)
+    return (lab.select("row", "start_col", "end_col", "component")
+            .withColumn("col", F.explode(F.sequence("start_col", "end_col")))
+            .select("row", "col", F.col("component").alias("region_id")))

@@ -505,6 +505,81 @@ R3CUB_SQL = _fill_dir_sql("z_cub", cubic=True)
 
 
 # --------------------------------------------------------------------------
+# R7 — polygonize: connected regions of a sparse valid mask (~30% fill,
+# md5-seeded so both engines build the identical mask; subcritical
+# density keeps regions small, which also bounds the oracle's
+# recursive-CTE closure to ~|runs|·avg-region-size rows)
+# --------------------------------------------------------------------------
+
+def r7_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.operators import zones as ZN
+    ev = load_table(spark, sf_dir, "events")
+    px = (ev.where(F.col("event_id") < 10000)
+          .where(F.expr("conv(substr(md5(cast(event_id as string)), 1, 4),"
+                        " 16, 10) % 10 < 3"))
+          .select((F.col("event_id") % 100).cast("int").alias("row"),
+                  (F.col("event_id") / 100).cast("int").alias("col")))
+    return ZN.polygonize(px).select(
+        "region_id", "n_px", "min_row", "max_row", "min_col", "max_col",
+        "wkt")
+
+
+R7_SQL = """
+WITH px AS (
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col
+  FROM events
+  WHERE event_id < 10000
+    AND ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+        % 10 < 3
+),
+cells AS (
+  SELECT row, col,
+         CASE WHEN col - lag(col) OVER w = 1 THEN 0 ELSE 1 END AS gap
+  FROM px WINDOW w AS (PARTITION BY row ORDER BY col)
+),
+seqd AS (
+  SELECT row, col, sum(gap) OVER (PARTITION BY row ORDER BY col
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM cells
+),
+runs AS (
+  SELECT row, min(col) AS start_col, max(col) AS end_col,
+         count(*) AS n_px,
+         CAST(row AS BIGINT) * 4294967296 + min(col) AS run_id
+  FROM seqd GROUP BY row, seq
+),
+e0 AS (
+  SELECT a.run_id AS ra, b.run_id AS rb
+  FROM runs a JOIN runs b ON a.row + 1 = b.row
+   AND a.start_col <= b.end_col AND b.start_col <= a.end_col
+),
+edges AS (SELECT ra, rb FROM e0 UNION SELECT rb, ra FROM e0),
+reach AS (
+  WITH RECURSIVE r(src, node) AS (
+    SELECT run_id, run_id FROM runs
+    UNION
+    SELECT r.src, e.rb FROM r JOIN edges e ON r.node = e.ra
+  ) SELECT src, node FROM r
+),
+comp AS (SELECT src AS run_id, min(node) AS component FROM reach
+         GROUP BY src)
+SELECT c.component AS region_id,
+       CAST(sum(r.n_px) AS BIGINT) AS n_px,
+       min(r.row) AS min_row, max(r.row) AS max_row,
+       min(r.start_col) AS min_col, max(r.end_col) AS max_col,
+       printf('POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))',
+              min(r.start_col), min(r.row),
+              max(r.end_col) + 1, min(r.row),
+              max(r.end_col) + 1, max(r.row) + 1,
+              min(r.start_col), max(r.row) + 1,
+              min(r.start_col), min(r.row)) AS wkt
+FROM runs r JOIN comp c USING (run_id)
+GROUP BY c.component
+"""
+
+
+# --------------------------------------------------------------------------
 # J1+R4 — the flagship chain: align (regrid + pair join) → difference →
 # median-bias subtract → zonal stats, in ONE lazy DAG.
 # Reference semantics: RasterPairProcessor.process
@@ -619,5 +694,6 @@ RASTER_QUERIES: dict[str, tuple] = {
     "r3_fill_nearest": (r3_fill_nearest, R3NEAR_SQL),
     "r3_fill_linear": (r3_fill_linear, R3LIN_SQL),
     "r3_fill_cubic": (r3_fill_cubic, R3CUB_SQL),
+    "r7_polygonize": (r7_polygonize, R7_SQL),
     "j1_r4_dod": (j1_r4_dod, DOD_SQL),
 }

@@ -52,3 +52,58 @@ def test_scanline_matches_pip(spark):
     # the hole's interior is actually excluded
     assert not any(110 < c + 0.5 < 130 and 20 < 150 - (r + 0.5) < 40
                    for r, c, z in k_scan if z == "withhole")
+
+
+# --------------------------------------------------------------------------
+# R7 polygonize — scanline runs + run-graph CC
+# --------------------------------------------------------------------------
+
+def _mask_df(spark, cells):
+    return spark.createDataFrame(
+        pd.DataFrame(sorted(cells), columns=["row", "col"]))
+
+
+def test_polygonize_u_shape_merges_arms(spark):
+    # two vertical arms joined only at the bottom — labels must merge
+    # across the run graph, not just between adjacent runs
+    cells = {(r, 0) for r in range(6)} | {(r, 4) for r in range(6)} \
+        | {(6, c) for c in range(5)}
+    out = ZN.polygonize(_mask_df(spark, cells)).collect()
+    assert len(out) == 1
+    reg = out[0]
+    assert reg["n_px"] == len(cells)
+    assert (reg["min_row"], reg["max_row"]) == (0, 6)
+    assert (reg["min_col"], reg["max_col"]) == (0, 4)
+    assert reg["region_id"] == 0  # run (0,0) is canonical
+    assert reg["wkt"] == "POLYGON ((0 0, 5 0, 5 7, 0 7, 0 0))"
+
+
+def test_polygonize_diagonal_cells_are_separate(spark):
+    # 4-connectivity: diagonal touching does NOT connect
+    cells = {(0, 0), (1, 1), (2, 2)}
+    out = ZN.polygonize(_mask_df(spark, cells)).collect()
+    assert len(out) == 3
+    assert all(r["n_px"] == 1 for r in out)
+
+
+def test_polygonize_snake_region(spark):
+    # serpentine path spanning many rows: stresses CC iteration depth
+    cells = set()
+    for r in range(0, 20, 2):
+        cells |= {(r, c) for c in range(10)}
+        cells.add((r + 1, 9 if (r // 2) % 2 == 0 else 0))
+    out = ZN.polygonize(_mask_df(spark, cells)).collect()
+    assert len(out) == 1
+    assert out[0]["n_px"] == len(cells)
+
+
+def test_region_labels_partition_pixels(spark):
+    cells = {(r, 0) for r in range(6)} | {(r, 4) for r in range(6)} \
+        | {(6, c) for c in range(5)} | {(0, 2)}
+    lab = ZN.region_labels(_mask_df(spark, cells)).collect()
+    assert {(r["row"], r["col"]) for r in lab} == cells
+    by_label = {}
+    for r in lab:
+        by_label.setdefault(r["region_id"], set()).add((r["row"], r["col"]))
+    assert len(by_label) == 2
+    assert by_label[2] == {(0, 2)}  # isolated cell keeps its own run key
