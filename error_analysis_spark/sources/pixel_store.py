@@ -87,3 +87,46 @@ def prune_to_bbox(pixels: DataFrame, min_row: int, max_row: int,
         & (F.col("row") >= min_row) & (F.col("row") <= max_row)
         & (F.col("col") >= min_col) & (F.col("col") <= max_col)
     )
+
+
+def write_points(points: DataFrame, path: str,
+                 tile_size: float = 1024.0) -> None:
+    """S7 — point-cloud sink (PDAL writers.las analog,
+    differencing_functions.py:708-735). The engine's archival format is
+    Parquet, laid out in spatial tiles of `tile_size` map units so a
+    later crop (F4) or EPT-style windowed read (S4) prunes directories
+    instead of scanning the cloud. LAS/LAZ export, when needed, is the
+    same driver-side codec shim as ingest (sources/ingest.py)."""
+    (points
+     .withColumn("px", F.floor(F.col("x") / tile_size).cast("int"))
+     .withColumn("py", F.floor(F.col("y") / tile_size).cast("int"))
+     .repartition("px", "py")
+     .write.mode("overwrite")
+     .partitionBy("px", "py")
+     .parquet(path))
+
+
+def read_points(spark: SparkSession, path: str,
+                bbox: tuple[float, float, float, float] | None = None,
+                tile_size: float = 1024.0) -> DataFrame:
+    """S3/S4 — point scan with optional bbox pushdown: tile predicates
+    prune partition directories, x/y predicates prune row groups."""
+    df = spark.read.parquet(path)
+    if bbox is not None:
+        minx, miny, maxx, maxy = bbox
+        df = df.where(
+            (F.col("px") >= int(minx // tile_size))
+            & (F.col("px") <= int(maxx // tile_size))
+            & (F.col("py") >= int(miny // tile_size))
+            & (F.col("py") <= int(maxy // tile_size))
+            & (F.col("x") >= minx) & (F.col("x") <= maxx)
+            & (F.col("y") >= miny) & (F.col("y") <= maxy))
+    return df
+
+
+def write_catalog_json(catalog: DataFrame, path: str) -> None:
+    """S9 — JSON sink for catalog/metadata rows (the reference saves the
+    raw OT response, differencing_functions.py:459-460; the engine
+    persists the parsed rows as JSON lines, one file per partition —
+    `coalesce(1)` upstream if a single file is required)."""
+    catalog.write.mode("overwrite").json(path)

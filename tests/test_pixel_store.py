@@ -57,3 +57,37 @@ def test_bucketed_join_has_no_exchange(spark, fx):
     expected = int((~fx.truth["mask_ref"] & ~fx.truth["mask_cmp"]).sum())
     assert joined.count() == expected
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_point_sink_roundtrip_and_bbox_prune(spark, tmp_path_factory):
+    import pandas as pd
+
+    path = str(tmp_path_factory.mktemp("pts") / "cloud.parquet")
+    pdf = pd.DataFrame({
+        "x": [10.0, 1030.0, 2050.0, 10.5],
+        "y": [5.0, 1500.0, 300.0, 6.5],
+        "z": [1.0, 2.0, 3.0, 4.0],
+        "classification": [2, 7, 2, 2],
+        "gps_time": [1e9, 1e9 + 1, 1e9 + 2, 1e9 + 3],
+    })
+    PS.write_points(spark.createDataFrame(pdf), path)
+    back = PS.read_points(spark, path)
+    assert back.count() == 4
+    got = {(r["x"], r["z"]) for r in back.collect()}
+    assert got == set(zip(pdf["x"], pdf["z"]))
+    # bbox read prunes to the matching spatial tile only
+    win = PS.read_points(spark, path, bbox=(0.0, 0.0, 100.0, 100.0))
+    assert {r["z"] for r in win.collect()} == {1.0, 4.0}
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan or "PartitionFilters" in plan
+
+
+def test_catalog_json_sink_roundtrip(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cat") / "catalog.json")
+    cat = spark.createDataFrame(
+        [("d1", "usgs", "2020-01-01"), ("d2", "noaa", "2021-06-15")],
+        ["identifier", "source", "start_date"])
+    PS.write_catalog_json(cat, path)
+    back = spark.read.json(path)
+    assert back.count() == 2
+    assert {r["identifier"] for r in back.collect()} == {"d1", "d2"}
