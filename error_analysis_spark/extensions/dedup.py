@@ -171,22 +171,35 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         local_threshold: int = 200_000) -> DataFrame:
     """Near-dup clusters via hash-min label propagation: every vertex
     starts labeled with its own id; each iteration pushes the min label
     across edges until fixpoint. Output: (id, component) with component
     = min id in the cluster — the canonical-document rule (keep
     `component`, drop the rest).
 
-    Iterations ≤ graph diameter; near-dup graphs are unions of small
-    dense cliques, so convergence is fast. Each iteration is one
-    join + one groupBy (all shuffles on `id`); the loop checks
+    Adaptive strategy (the AQE-broadcast analog for graphs): the edge
+    list is already materialized to decide — at or below
+    `local_threshold` edges the component structure is solved with a
+    driver-side union-find in one pass (the run/near-dup graph is the
+    COMPRESSED representation, typically orders of magnitude smaller
+    than the data, and a tiny fixpoint loop of cluster job waves would
+    cost far more than one collect); above it, distributed hash-min
+    propagation with pointer jumping. Both paths produce the identical
+    fixpoint labeling.
+
+    Distributed path: iterations ≤ log₂(diameter) thanks to path
+    compression. Each iteration is one neighbor join + one groupBy +
+    one relabel join (all shuffles on `id`); the loop checks
     convergence with a cheap count instead of checkpointing every pass.
     """
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
              .unionByName(pairs.select(F.col("id_b").alias("a"),
                                        F.col("id_a").alias("b")))
              .distinct().localCheckpoint())
+    if edges.count() <= local_threshold:
+        return _components_local(edges, vertices)
     # only vertices touching an edge participate in the loop; isolated
     # vertices keep their own label and rejoin at the end
     active = edges.select(F.col("a").alias("id")).distinct()
@@ -198,10 +211,20 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                            .withColumnRenamed("component", "nb_comp"), "b")
                 .select(F.col("a").alias("id"), F.col("nb_comp")
                         .alias("component")))
+        stepped = (labels.unionByName(msgs)
+                   .groupBy("id").agg(F.min("component").alias("component")))
+        # pointer jumping (path compression): relabel through the
+        # label's own label — m(m(x)) ≤ m(x), so chains collapse in
+        # O(log diameter) rounds instead of O(diameter). One extra
+        # equi-join per round buys exponentially fewer job waves on
+        # long thin components (rasters, chain-shaped near-dup graphs).
+        hop = (stepped.select(F.col("id").alias("component"),
+                              F.col("component").alias("c2")))
         # localCheckpoint truncates lineage each pass — the iterative
         # plan would otherwise grow without bound
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("id").agg(F.min("component").alias("component"))
+        new_labels = (stepped.join(hop, "component", "left")
+                      .select("id", F.coalesce("c2", "component")
+                              .alias("component"))
                       .localCheckpoint())
         changed = (new_labels.join(labels.withColumnRenamed(
             "component", "old"), "id")
@@ -219,6 +242,36 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     isolated = (vertices.join(active, "id", "left_anti")
                 .select("id", F.col("id").alias("component")))
     return labels.unionByName(isolated)
+
+
+def _components_local(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Small-graph fast path: one collect of the (bounded) edge list,
+    union-find with min-id roots and path halving on the driver, labels
+    re-parallelized. Isolated vertices never leave the cluster."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:            # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra                  # min id stays the root
+    spark = edges.sparkSession
+    id_type = edges.schema["a"].dataType.simpleString()
+    labeled = spark.createDataFrame(
+        [(x, find(x)) for x in parent], f"id {id_type}, component {id_type}")
+    isolated = (vertices.join(labeled.select("id"), "id", "left_anti")
+                .select("id", F.col("id").alias("component")))
+    return labeled.unionByName(isolated)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

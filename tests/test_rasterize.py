@@ -107,3 +107,26 @@ def test_region_labels_partition_pixels(spark):
         by_label.setdefault(r["region_id"], set()).add((r["row"], r["col"]))
     assert len(by_label) == 2
     assert by_label[2] == {(0, 2)}  # isolated cell keeps its own run key
+
+
+def test_cc_distributed_path_matches_local(spark):
+    # force the distributed hash-min loop (local_threshold=0) and check
+    # it produces the identical fixpoint labeling as the union-find
+    # fast path on a chain + clique + isolated-vertex graph
+    from error_analysis_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30)]          # chain 0..30
+        + [(100, 101), (101, 102), (100, 102)],     # clique
+        ["id_a", "id_b"])
+    verts = spark.createDataFrame([(i,) for i in range(0, 31)]
+                                  + [(100,), (101,), (102,), (999,)], ["id"])
+    local = {(r["id"], r["component"])
+             for r in connected_components(pairs, verts).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(
+                pairs, verts, local_threshold=0).collect()}
+    assert local == dist
+    assert (999, 999) in local
+    assert all(c == 0 for i, c in local if i <= 30)
+    assert all(c == 100 for i, c in local if 100 <= i <= 102)
