@@ -144,3 +144,88 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         fp.alias("fingerprint"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition signals for training-data curation (the
+    Gopher/MassiveText repetition-filter family):
+
+    - `dup_line_frac` — fraction of non-blank lines that repeat an
+      earlier line (1 − distinct/total);
+    - `top_2gram_frac` — occurrences of the document's most frequent
+      token bigram over all bigram occurrences;
+    - `dup_5gram_frac` — fraction of 5-gram occurrences that are
+      repeats (1 − distinct/total).
+
+    Line stats are pure array expressions; n-gram stats are one
+    explode → two-level hash aggregate per n (map-side partials, keyed
+    by (doc, gram) — no per-doc data ever collects). Docs too short for
+    an n-gram get NULL for that signal.
+    """
+    doc = F.col(id_col)
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda t: F.trim(t) != "")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines)
+    base = df.select(doc.alias("doc_id"), tokens(text_col).alias("t"),
+                     dup_line.alias("dup_line_frac"))
+
+    def grams(n: int):
+        parts = ", ".join(f"t[i+{k}]" for k in range(n))
+        return F.expr(f"transform(sequence(0, size(t) - {n}), "
+                      f"i -> concat_ws(' ', {parts}))")
+
+    def gram_agg(n: int, out):
+        counts = (base.select("doc_id", F.explode(grams(n)).alias("g"))
+                  .groupBy("doc_id", "g").count())
+        if n == 2:
+            frac = F.max("count").cast("double") / F.sum("count")
+        else:
+            frac = (F.sum("count") - F.count("*")).cast("double") \
+                / F.sum("count")
+        return counts.groupBy("doc_id").agg(frac.alias(out))
+
+    return (base.select("doc_id", "dup_line_frac")
+            .join(gram_agg(2, "top_2gram_frac"), "doc_id", "left")
+            .join(gram_agg(5, "dup_5gram_frac"), "doc_id", "left"))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 retrieval over the corpus for a fixed query-term set:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    All corpus statistics (N, avgdl, df) come from single aggregates;
+    the term filter broadcasts the tiny query list so only matching
+    postings survive the explode. Top-k is a TakeOrderedAndProject
+    (score desc, id asc) — no global sort materializes. Scale shape:
+    one explode + two hash aggregates + broadcast joins; the corpus
+    never collects.
+    """
+    doc = F.col(id_col)
+    base = df.select(doc.alias("doc_id"), tokens(text_col).alias("t"))
+    lens = base.select("doc_id", F.size("t").alias("dl"))
+    corpus = lens.agg(F.count("*").alias("n_docs"),
+                      F.avg("dl").alias("avgdl"))
+    postings = (base.select("doc_id", F.explode("t").alias("term"))
+                .where(F.col("term").isin(*query_terms))
+                .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = (postings.groupBy("term")
+             .agg(F.countDistinct("doc_id").alias("df")))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    part = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (postings
+              .join(F.broadcast(dfreq), "term")
+              .join(lens, "doc_id")
+              .crossJoin(F.broadcast(corpus))
+              .groupBy("doc_id").agg(F.sum(part).alias("score")))
+    return (scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(k))

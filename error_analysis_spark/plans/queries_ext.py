@@ -165,6 +165,121 @@ FROM t
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (dup lines, top bigram,
+    duplicate 5-grams) — extensions/text.py:repetition_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = TX.repetition_stats(docs)
+    return s.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+    )
+
+
+_BM25_TERMS = ("data", "model", "quality")
+_BM25_K = 15
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (extensions/text.py:bm25_topk) for a
+    fixed query — corpus stats via single aggregates, postings via
+    broadcast term filter, TakeOrderedAndProject top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+postings AS (
+  SELECT doc_id, tk.term, count(*) AS tf
+  FROM t, unnest(toks) AS tk(term)
+  WHERE tk.term IN ({_BM25_TERM_LIST})
+  GROUP BY doc_id, tk.term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings
+          GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum(ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)))
+           AS score
+  FROM postings p
+  JOIN dfreq d ON p.term = d.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id LIMIT {_BM25_K})
+"""
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             AS toks,
+         list_filter(regexp_split_to_array(text, chr(10)),
+                     x -> trim(x) <> '') AS lines
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0 THEN
+           1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         END AS dup_line_frac
+  FROM t
+),
+b2c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM t)
+  GROUP BY doc_id, g
+),
+b2 AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_frac
+  FROM b2c GROUP BY doc_id
+),
+g5c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 4),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+        FROM t)
+  GROUP BY doc_id, g
+),
+g5 AS (
+  SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c)
+           AS dup_5gram_frac
+  FROM g5c GROUP BY doc_id
+)
+SELECT l.doc_id,
+       round(l.dup_line_frac, 6) AS dup_line_frac,
+       round(b2.top_2gram_frac, 6) AS top_2gram_frac,
+       round(g5.dup_5gram_frac, 6) AS dup_5gram_frac
+FROM l
+LEFT JOIN b2 ON l.doc_id = b2.doc_id
+LEFT JOIN g5 ON l.doc_id = g5.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Language-ID heuristic (stopword hit rates + CJK char rate, argmax)
 # --------------------------------------------------------------------------
@@ -755,5 +870,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_features": (mm_features, MM_FEATURES_SQL),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
     "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
+    "text_repetition": (text_repetition, REPETITION_SQL),
+    "text_bm25_topk": (text_bm25_topk, BM25_SQL),
     "curation_funnel": (curation_funnel, CURATION_SQL),
 }
