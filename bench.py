@@ -51,6 +51,12 @@ HEADLINE = [
     "sigma_a_zones",
     "sc16_utm_roundtrip",
     "r1_geoid_shift",
+    # round 2 wave 2 — completed R3 family, R7 region labeling,
+    # Gopher-style repetition signals
+    "r3_fill_linear",
+    "r7_polygonize",
+    "text_repetition",
+    "text_bm25_topk",
 ]
 
 

@@ -165,10 +165,30 @@ def test_fill_nodata_dispatcher(spark):
     px = spark.createDataFrame(pdf)
     assert PC.fill_nodata(px, g, "idw", max_dist=6.0).count() == 400
     assert PC.fill_nodata(px, g, "nearest", max_dist=6.0).count() == 400
-    with pytest.raises((NotImplementedError, ValueError)):
-        PC.fill_nodata(px, g, "cubic")
+    assert PC.fill_nodata(px, g, "linear", max_dist=6.0).count() == 400
+    assert PC.fill_nodata(px, g, "cubic", max_dist=6.0).count() == 400
     with pytest.raises(ValueError):
         PC.fill_nodata(px, g, "kriging")
+
+
+def test_fill_linear_cubic_recover_smooth_field(spark):
+    """Directional interpolation must reconstruct a bilinear surface
+    exactly (linear) and a smooth cubic-ish surface closely (cubic)."""
+    import numpy as np
+
+    g, z, holes, pdf = _holed_field(n=20)
+    # overwrite with an exactly-bilinear field: linear interp is exact
+    plane = lambda r, c: 2.0 + 0.5 * r + 0.25 * c  # noqa: E731
+    pdf = pdf.copy()
+    pdf["value"] = [None if v is None else plane(r, c)
+                    for r, c, v in zip(pdf["row"], pdf["col"], pdf["value"])]
+    px = spark.createDataFrame(pdf)
+    for method in ("linear", "cubic"):
+        out = (PC.fill_nodata(px, g, method, max_dist=6.0)
+               .where(F.col("filled")).toPandas())
+        got = out.set_index(["row", "col"])["value"]
+        for (r, c), v in got.items():
+            assert abs(v - plane(r, c)) < 1e-9, (method, r, c, v)
 
 
 def test_dem_pipeline_recovers_ground(spark, points, grid):
