@@ -229,3 +229,30 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
               .groupBy("doc_id").agg(F.sum(part).alias("score")))
     return (scored.orderBy(F.col("score").desc(), F.col("doc_id"))
             .limit(k))
+
+
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d()\- ]{7,}\d",
+}
+PII_TOKENS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction stage for training-data curation: count and
+    replace emails / IPv4 addresses / phone-like numbers with typed
+    placeholder tokens. Pure JVM regexp expressions — one projection,
+    no shuffle, no Python. Counts are taken on the ORIGINAL text;
+    replacements apply in a fixed order (email → ip → phone) so the
+    scrubbed output is deterministic."""
+    text = F.col(text_col)
+    counts = [F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+              .alias(f"n_{name}") for name, p in PII_PATTERNS.items()]
+    scrubbed = text
+    for name, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, PII_TOKENS[name])
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

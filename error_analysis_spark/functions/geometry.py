@@ -167,3 +167,59 @@ def point_in_wkt(x: pd.Series, y: pd.Series, wkt: pd.Series) -> pd.Series:
 def wkt_area(wkt: pd.Series) -> pd.Series:
     """Polygon area UDF (F9 min-area filter)."""
     return wkt.map(lambda w: polygon_area(w) if isinstance(w, str) else np.nan)
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification of one closed ring
+    (first point == last point): drop vertices whose perpendicular
+    distance to the kept chord is ≤ tol. Iterative stack (no recursion
+    limit); endpoints always kept, and a degenerate result falls back
+    to the original ring so output stays a valid closed ring."""
+    n = len(ring)
+    if n <= 4:
+        return ring
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = ring[i], ring[j]
+        seg = b - a
+        pts = ring[i + 1:j]
+        L2 = float(seg @ seg)
+        if L2 == 0.0:
+            d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+        else:
+            # perpendicular distance to the infinite line through a-b
+            d = np.abs(np.cross(seg, pts - a)) / np.sqrt(L2)
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            mid = i + 1 + kmax
+            keep[mid] = True
+            stack.append((i, mid))
+            stack.append((mid, j))
+    out = ring[keep]
+    if len(out) < 4:          # collapsed below a closed triangle
+        return ring
+    return out
+
+
+def simplify_wkt(wkt: str, tol: float) -> str:
+    """F9 — `geom.simplify(tol)` analog (stable_unstable_areas.py:
+    388-394): Douglas–Peucker on every ring of the polygon, WKT in/out.
+    Zone tables are tiny by design (broadcast side), so this runs
+    driver-side or in the zone-table map — never on the pixel side."""
+    groups = parse_wkt_ring_groups(wkt)
+    multi = len(groups) > 1
+    parts = []
+    for rings in groups:
+        rs = []
+        for r in rings:
+            s = simplify_ring(r, tol)
+            rs.append(", ".join(f"{p[0]:.10g} {p[1]:.10g}" for p in s))
+        parts.append("(" + ", ".join(f"({r})" for r in rs) + ")")
+    if multi:
+        return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+    return "POLYGON " + parts[0]

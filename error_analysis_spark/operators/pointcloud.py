@@ -403,16 +403,13 @@ def _fill_directional(pixels: DataFrame, grid: GridSpec,
     rows and along grid columns independently, average the directions
     that bracket the hole. A hole bracketed in neither direction stays
     nodata (the directional analog of griddata's convex-hull rule)."""
-    h = _axis_estimate(pixels, "row", "col", max_dist, cubic) \
-        .withColumnRenamed("est", "est_h")
-    v = _axis_estimate(pixels, "col", "row", max_dist, cubic) \
-        .withColumnRenamed("est", "est_v")
-    eh, ev = F.col("est_h"), F.col("est_v")
-    combined = (h.join(v, ["row", "col"], "outer")
-                .select("row", "col",
-                        F.when(eh.isNotNull() & ev.isNotNull(),
-                               (eh + ev) / 2.0)
-                        .otherwise(F.coalesce(eh, ev)).alias("value")))
+    h = _axis_estimate(pixels, "row", "col", max_dist, cubic)
+    v = _axis_estimate(pixels, "col", "row", max_dist, cubic)
+    # avg of two doubles ≡ (h+v)/2 and ignores a NULL side — one
+    # union + aggregate instead of an outer join (one shuffle fewer)
+    combined = (h.unionByName(v)
+                .groupBy("row", "col")
+                .agg(F.avg("est").alias("value")))
     filled = (combined.where(F.col("value").isNotNull())
               .withColumn("filled", F.lit(True)))
     unreachable = (combined.where(F.col("value").isNull())

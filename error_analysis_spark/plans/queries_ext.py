@@ -178,6 +178,48 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (extensions/text.py:pii_scrub) over documents with
+    deterministic synthetic PII injected into every 7th doc (both
+    engines build the identical augmented text); md5 of the scrubbed
+    text proves byte-identical redaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 or +12 345 678 901 now"))).otherwise(F.lit(""))
+    aug = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    out = TX.pii_scrub(aug)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      F.md5("scrubbed").alias("scrub_md5"))
+
+
+_PII_E, _PII_I, _PII_P = (TX.PII_PATTERNS["email"], TX.PII_PATTERNS["ipv4"],
+                          TX.PII_PATTERNS["phone"])
+
+PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN
+           ' contact user' || doc_id || '@example.com at 10.0.'
+           || (doc_id % 256) || '.7 or +12 345 678 901 now'
+         ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_E}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_I}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_P}')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_E}', '<EMAIL>', 'g'),
+           '{_PII_I}', '<IP>', 'g'),
+           '{_PII_P}', '<PHONE>', 'g')) AS scrub_md5
+FROM aug
+"""
+
+
 _BM25_TERMS = ("data", "model", "quality")
 _BM25_K = 15
 
@@ -872,5 +914,6 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_bm25_topk": (text_bm25_topk, BM25_SQL),
+    "text_pii_scrub": (text_pii_scrub, PII_SQL),
     "curation_funnel": (curation_funnel, CURATION_SQL),
 }

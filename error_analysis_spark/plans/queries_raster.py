@@ -491,12 +491,11 @@ WITH px AS (
          CASE WHEN event_id % 37 <> 0 THEN round(value, 3) END AS value
   FROM events
 ),{_dir_fill_sql('row', 'col', 'est_h', cubic)},{_dir_fill_sql('col', 'row', 'est_v', cubic)}
-SELECT h.row, h.col,
-       round(CASE WHEN h.est_h IS NOT NULL AND v.est_v IS NOT NULL
-                  THEN (h.est_h + v.est_v) / 2.0
-                  ELSE coalesce(h.est_h, v.est_v) END, 3) AS {alias}
-FROM e_est_h h JOIN e_est_v v ON h.row = v.row AND h.col = v.col
-WHERE coalesce(h.est_h, v.est_v) IS NOT NULL
+SELECT row, col, round(avg(est), 3) AS {alias}
+FROM (SELECT row, col, est_h AS est FROM e_est_h
+      UNION ALL SELECT row, col, est_v FROM e_est_v)
+GROUP BY row, col
+HAVING avg(est) IS NOT NULL
 """
 
 

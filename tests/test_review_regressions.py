@@ -97,3 +97,29 @@ def test_cross_validate_tiny_variogram(spark):
     out = cross_validate(spark, vario, n_comp=3, nugget=True, k_folds=5)
     assert len(out) == 5  # no crash; undersized folds report NaN
     assert out["rmse"].isna().all()
+
+
+def test_simplify_wkt_douglas_peucker():
+    from error_analysis_spark.functions.geometry import (
+        polygon_area, simplify_wkt,
+    )
+    # collinear midpoints collapse; area preserved
+    w = "POLYGON ((0 0, 5 0, 10 0, 10 5, 10 10, 5 10, 0 10, 0 5, 0 0))"
+    s = simplify_wkt(w, 0.01)
+    assert s == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert polygon_area(s) == pytest.approx(100.0)
+    # jag below tolerance flattened, above kept
+    w2 = "POLYGON ((0 0, 5 0.4, 10 0, 10 10, 0 10, 0 0))"
+    assert simplify_wkt(w2, 0.5) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert "5 0.4" in simplify_wkt(w2, 0.3)
+    # holes simplified independently, MULTIPOLYGON round-trips
+    hole = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(2 2, 4 2, 6 2, 6 6, 2 6, 2 2))")
+    hs = simplify_wkt(hole, 0.01)
+    assert hs == ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                  "(2 2, 6 2, 6 6, 2 6, 2 2))")
+    multi = ("MULTIPOLYGON (((0 0, 1 0, 2 0, 2 2, 0 2, 0 0)), "
+             "((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    ms = simplify_wkt(multi, 0.01)
+    assert ms == ("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+                  "((5 5, 6 5, 6 6, 5 6, 5 5)))")
