@@ -220,6 +220,57 @@ FROM aug
 """
 
 
+_CONTAM_N = 5
+_CONTAM_THRESH = 0.3
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (extensions/contamination.py): docs with
+    doc_id % 13 == 0 act as the held-out benchmark; every other doc is
+    scored by the fraction of its distinct 5-grams that appear in the
+    benchmark. Broadcast bench-gram set + semi-join (the 100 TB shape)."""
+    from error_analysis_spark.extensions import contamination as CT
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    train = docs.where(F.col("doc_id") % 13 != 0)
+    return CT.contamination_report(train, bench, n=_CONTAM_N,
+                                   threshold=_CONTAM_THRESH)
+
+
+CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {_CONTAM_N} THEN
+           list_transform(range(1, len(t) - {_CONTAM_N} + 2),
+                          i -> array_to_string(t[i:i+{_CONTAM_N - 1}], ' '))
+         ELSE []::VARCHAR[] END) AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT g FROM grams, unnest(gs) AS u(g) WHERE doc_id % 13 = 0
+),
+train AS (SELECT doc_id, gs FROM grams WHERE doc_id % 13 <> 0),
+tg AS (SELECT doc_id, u.g FROM train, unnest(gs) AS u(g)),
+m AS (
+  SELECT tg.doc_id, count(*) AS n_matched
+  FROM tg JOIN bench b ON tg.g = b.g GROUP BY tg.doc_id
+)
+SELECT t.doc_id, len(t.gs) AS n_grams,
+       coalesce(m.n_matched, 0) AS n_matched,
+       round(CASE WHEN len(t.gs) > 0
+             THEN coalesce(m.n_matched, 0)::DOUBLE / len(t.gs) END,
+             6) AS contam_frac,
+       coalesce(coalesce(m.n_matched, 0)::DOUBLE / len(t.gs)
+                >= {_CONTAM_THRESH}, FALSE) AS contaminated
+FROM train t LEFT JOIN m USING (doc_id)
+"""
+
+
 _BM25_TERMS = ("data", "model", "quality")
 _BM25_K = 15
 
@@ -915,5 +966,6 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_bm25_topk": (text_bm25_topk, BM25_SQL),
     "text_pii_scrub": (text_pii_scrub, PII_SQL),
+    "text_contamination": (text_contamination, CONTAM_SQL),
     "curation_funnel": (curation_funnel, CURATION_SQL),
 }
