@@ -25,12 +25,40 @@ from error_analysis_spark.plans.queries_misc import MISC_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_raster import RASTER_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_vario import VARIO_QUERIES  # noqa: E402
 
+_MERGED: dict[str, tuple] = {}
+_MERGED.update(CORE_QUERIES)
+_MERGED.update(VARIO_QUERIES)
+_MERGED.update(RASTER_QUERIES)
+_MERGED.update(MISC_QUERIES)
+_MERGED.update(EXT_QUERIES)
+
+# The driver oracle-checks the FIRST 50 declared queries, so declaration
+# order is a verification budget. Policy (COVERAGE.md "verification
+# rotation"): (1) queries with no green CORRECTNESS row last round come
+# first, (2) then queries new or changed this round, (3) then the stable
+# body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
+# in COVERAGE.md as next round's re-verification set.
+_FRONT = [
+    # unverified in r02 (registry positions 51-59)
+    "mm_payload_stats", "mm_features", "dedup_components",
+    "text_token_count_bpe", "text_repetition", "text_bm25_topk",
+    "text_pii_scrub", "text_contamination", "curation_funnel",
+    # new or changed in r03
+    "r2_focal_all", "r3_fill_all", "sigma_a_brute", "sigma_a_hugonnet",
+    "w2_positional_pick", "dedup_jaccard",
+]
+_ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
+               "f5_valid_filter", "so2_anti_join"]
+
 _ALL: dict[str, tuple] = {}
-_ALL.update(CORE_QUERIES)
-_ALL.update(VARIO_QUERIES)
-_ALL.update(RASTER_QUERIES)
-_ALL.update(MISC_QUERIES)
-_ALL.update(EXT_QUERIES)
+for _n in _FRONT:
+    _ALL[_n] = _MERGED[_n]
+for _n in _MERGED:
+    if _n not in _ALL and _n not in _ROTATE_OUT:
+        _ALL[_n] = _MERGED[_n]
+for _n in _ROTATE_OUT:
+    _ALL[_n] = _MERGED[_n]
+assert len(_ALL) == len(_MERGED), "registry reorder dropped a query"
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -5,11 +5,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Query choice notes:
-- `dedup_jaccard` is excluded from the headline set: the synthetic
-  documents share a ~30-word vocabulary, so token-posting joins are
-  degenerate at sf0.1 (every doc pairs with every doc). The MinHash
-  signature path (`dedup_minhash_sigs`) is the scale-path dedup
-  representative; Jaccard correctness is still gated at sf0.01.
+- `dedup_jaccard` re-entered the headline set in round 3: the query now
+  runs the max_df-pruned candidate+verify path (tokens in >50% of docs
+  leave the inverted index; pairs are exactly re-verified), which is
+  the form you'd run at scale and is no longer degenerate on the
+  shared-vocabulary synthetic corpus.
+- `streaming_dedup_ingest` is a wall-clock micro-bench of the
+  Structured Streaming exact-dedup stage (file-source micro-batches →
+  dropDuplicatesWithinWatermark → noop sink, availableNow), so state
+  store growth/regression shows up as time per round.
 """
 
 from __future__ import annotations
@@ -36,10 +40,10 @@ HEADLINE = [
     "sim_cosine_topk",
     "sc4_json_extract",
     "w2_positional_pick",
-    "r2_focal_roughness",
+    "r2_focal_all",
     "s8_grid_max",
     "s8_grid_idw",
-    "r3_fill_nodata",
+    "r3_fill_all",
     "dedup_simhash",
     "dedup_embedding",
     "sim_pairwise_topk",
@@ -51,13 +55,50 @@ HEADLINE = [
     "sigma_a_zones",
     "sc16_utm_roundtrip",
     "r1_geoid_shift",
-    # round 2 wave 2 — completed R3 family, R7 region labeling,
-    # Gopher-style repetition signals
-    "r3_fill_linear",
+    # round 2 wave 2 — R7 region labeling, Gopher-style repetition
+    # signals (the four R3 fills now run consolidated as r3_fill_all)
     "r7_polygonize",
     "text_repetition",
     "text_bm25_topk",
+    # round 3 — oracle-gated uncertainty estimators + pruned jaccard
+    "sigma_a_brute",
+    "sigma_a_hugonnet",
+    "dedup_jaccard",
 ]
+
+
+def bench_streaming_dedup(spark, sf_dir: str) -> float:
+    """Time the streaming exact-dedup stage over the documents table
+    re-shipped as 8 parquet micro-batch files (2 files per trigger,
+    availableNow): measures source listing + state-store insert/lookup +
+    watermark bookkeeping, not sink IO."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.streaming import dedup as SD
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = (docs.select(
+        "doc_id", "text",
+        (docs.doc_id % 4).cast("string").alias("source"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + docs.doc_id % 3600)
+        .alias("ingest_time")))
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src.repartition(8).write.mode("overwrite").parquet(tmp + "/in")
+        t0 = time.perf_counter()
+        stream = SD.stream_documents(spark, tmp + "/in",
+                                     max_files_per_trigger=2)
+        kept = SD.stream_dedup_exact(stream)
+        q = (kept.writeStream.format("noop")
+             .option("checkpointLocation", tmp + "/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -83,6 +124,10 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             _ = n
+    # one-shot streaming micro-bench (its own checkpoint each run, so
+    # min-of-2 double-counts listing; a single availableNow drain is
+    # the steady-state shape)
+    timings["streaming_dedup_ingest"] = bench_streaming_dedup(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -110,14 +110,11 @@ def neighbors(pixels: DataFrame) -> DataFrame:
     return contrib.groupBy("row", "col").agg(*agg)
 
 
-def derive_join(pixels: DataFrame, res: float, which: str,
-                azimuth: float = 315.0, altitude: float = 45.0) -> DataFrame:
-    """R2 via the relational stencil. Output: row, col, value (NULL where
-    the stencil is incomplete — GDAL edge convention). Restricted to
-    cells whose CENTER pixel exists (z_11 non-null ⇔ a source row fed
-    the center slot) — without this the stencil gather creates phantom
-    (row±1, col±1) groups outside the raster, and the filter costs
-    nothing vs. a key join."""
+def _stencil_parts(pixels: DataFrame):
+    """Shared prep for the relational R2 forms: gathered stencil (center
+    pixels only — without the z_11 filter the gather creates phantom
+    (row±1, col±1) groups outside the raster), the z-offset column map,
+    and the complete-window predicate (GDAL edge convention)."""
     nb = neighbors(pixels).where(F.col("z_11").isNotNull())
     z = {(dy, dx): F.col(f"z_{dy + 1}{dx + 1}")
          for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
@@ -125,33 +122,62 @@ def derive_join(pixels: DataFrame, res: float, which: str,
     for c in z.values():
         cc = c.isNotNull()
         complete = cc if complete is None else (complete & cc)
+    return nb, z, complete
+
+
+def _stencil_exprs(z: dict, res: float, azimuth: float,
+                   altitude: float) -> dict:
+    """All four Horn-stencil derivatives as column expressions over the
+    gathered 3×3 window — shared so the single-derivative and the
+    one-pass all-derivatives forms stay term-for-term identical."""
     dzdx = ((z[(-1, 1)] + 2 * z[(0, 1)] + z[(1, 1)])
             - (z[(-1, -1)] + 2 * z[(0, -1)] + z[(1, -1)])) / (8.0 * res)
     dzdy = ((z[(1, -1)] + 2 * z[(1, 0)] + z[(1, 1)])
             - (z[(-1, -1)] + 2 * z[(-1, 0)] + z[(-1, 1)])) / (8.0 * res)
     slope_rad = F.atan(F.hypot(dzdx, dzdy))
-    if which == "slope":
-        out = F.degrees(slope_rad)
-    elif which == "aspect":
-        asp = F.degrees(F.atan2(dzdy, -dzdx))
-        asp = (F.when(asp < 0, 90.0 - asp)
-               .when(asp > 90.0, 360.0 - asp + 90.0)
-               .otherwise(90.0 - asp))
-        out = F.when((dzdx == 0) & (dzdy == 0), 0.0).otherwise(asp)
-    elif which == "hillshade":
-        az = math.radians(360.0 - azimuth + 90.0)
-        alt = math.radians(altitude)
-        asp_rad = F.atan2(dzdy, -dzdx)
-        shade = (F.lit(math.sin(alt)) * F.cos(slope_rad)
-                 + F.lit(math.cos(alt)) * F.sin(slope_rad)
-                 * F.cos(F.lit(az) - asp_rad))
-        out = F.greatest(F.lit(0.0), F.least(F.lit(1.0), shade)) * 254.0 + 1.0
-    elif which == "roughness":
+    asp = F.degrees(F.atan2(dzdy, -dzdx))
+    asp = (F.when(asp < 0, 90.0 - asp)
+           .when(asp > 90.0, 360.0 - asp + 90.0)
+           .otherwise(90.0 - asp))
+    az = math.radians(360.0 - azimuth + 90.0)
+    alt = math.radians(altitude)
+    asp_rad = F.atan2(dzdy, -dzdx)
+    shade = (F.lit(math.sin(alt)) * F.cos(slope_rad)
+             + F.lit(math.cos(alt)) * F.sin(slope_rad)
+             * F.cos(F.lit(az) - asp_rad))
+    return {
+        "slope": F.degrees(slope_rad),
+        "aspect": F.when((dzdx == 0) & (dzdy == 0), 0.0).otherwise(asp),
+        "hillshade": (F.greatest(F.lit(0.0), F.least(F.lit(1.0), shade))
+                      * 254.0 + 1.0),
         # GDAL semantics: window max − window min (center included)
-        out = F.greatest(*z.values()) - F.least(*z.values())
-    else:
+        "roughness": F.greatest(*z.values()) - F.least(*z.values()),
+    }
+
+
+def derive_join(pixels: DataFrame, res: float, which: str,
+                azimuth: float = 315.0, altitude: float = 45.0) -> DataFrame:
+    """R2 via the relational stencil. Output: row, col, value (NULL where
+    the stencil is incomplete — GDAL edge convention)."""
+    nb, z, complete = _stencil_parts(pixels)
+    exprs = _stencil_exprs(z, res, azimuth, altitude)
+    if which not in exprs:
         raise ValueError(f"unknown derivative: {which}")
-    return nb.select("row", "col", F.when(complete, out).alias("value"))
+    return nb.select("row", "col",
+                     F.when(complete, exprs[which]).alias("value"))
+
+
+def derive_join_all(pixels: DataFrame, res: float,
+                    azimuth: float = 315.0,
+                    altitude: float = 45.0) -> DataFrame:
+    """All four R2 derivatives from ONE stencil gather — the shuffle that
+    dominates the relational form is paid once instead of four times.
+    Output: row, col, slope, aspect, hillshade, roughness."""
+    nb, z, complete = _stencil_parts(pixels)
+    exprs = _stencil_exprs(z, res, azimuth, altitude)
+    return nb.select("row", "col",
+                     *[F.when(complete, e).alias(k)
+                       for k, e in exprs.items()])
 
 
 # --------------------------------------------------------------------------

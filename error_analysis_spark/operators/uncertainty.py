@@ -267,6 +267,78 @@ def estimate_brute_force(spark: SparkSession, wkt: str, sills, ranges,
     return math.sqrt(max(total / (n * n), 0.0))
 
 
+def brute_force_rect_by_zone(zones: DataFrame, sills, ranges, nugget=0.0,
+                             grid_points: int = 12) -> DataFrame:
+    """J7+A11, all-zones relational form: the full double sum
+    σ_A² = ΣᵢΣⱼ C(dᵢⱼ)/N² over a g×g grid per zone, every zone in ONE
+    distributed plan (grid explode → within-zone self-join → covariance
+    sum). `zones`: (zone_id, width, height) axis-aligned rectangles at
+    the origin — the grid is then fully inside the polygon, keeping the
+    plan relational end-to-end (the general-polygon single-zone form is
+    `estimate_brute_force`; variography_uncertainty.py:1197-1234).
+    Output: zone_id, sigma_a."""
+    g = int(grid_points)
+    idx = F.sequence(F.lit(0), F.lit(g - 1))
+    pts = (zones.select("zone_id", "width", "height")
+           .withColumn("i", F.explode(idx))
+           .withColumn("j", F.explode(idx))
+           .select("zone_id",
+                   (F.col("i") * F.col("width") / (g - 1)).alias("x"),
+                   (F.col("j") * F.col("height") / (g - 1)).alias("y")))
+    a = pts.select("zone_id", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select("zone_id", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    # sqrt(dx²+dy²) instead of hypot: bit-identical to the SQL oracle
+    # (coords are bounded, so the overflow guard hypot adds is moot)
+    dist = F.sqrt(dx * dx + dy * dy)
+    same = (F.col("xa") == F.col("xb")) & (F.col("ya") == F.col("yb"))
+    # diagonal pairs carry the FULL sill — C(0) = σ², not σ² − nugget
+    # (variography_uncertainty.py:1229-1230)
+    cov = (F.when(same, F.lit(total_sill(sills, nugget)))
+           .otherwise(cov_expr(dist, sills, ranges, nugget)))
+    n2 = float(g * g) ** 2
+    return (a.join(b, "zone_id")
+            .groupBy("zone_id")
+            .agg(F.sum(cov).alias("s"))
+            .select("zone_id",
+                    F.sqrt(F.greatest(F.col("s") / F.lit(n2), F.lit(0.0)))
+                    .alias("sigma_a")))
+
+
+def estimate_hugonnet_df(pixels: DataFrame, sills, ranges, nugget=0.0,
+                         k_centers: int = 100, seed: int = 42,
+                         order_col=None) -> DataFrame:
+    """J6+A12 as one lazy plan returning a 1-row DataFrame(sigma_a) —
+    the oracle-checkable form of `estimate_hugonnet` (same math,
+    variography_uncertainty.py:1322-1378; no driver-side `.first()`
+    round-trips, so it composes into larger DAGs).
+
+    `order_col`: expression ranking pixels for the k-center draw.
+    Defaults to xxhash64(x, y, seed) like `estimate_hugonnet`; pass an
+    md5-based expression for cross-engine-reproducible selection."""
+    sill = total_sill(sills, nugget)
+    if order_col is None:
+        order_col = F.xxhash64("x", "y", F.lit(seed))
+    centers = (pixels.withColumn("_u", order_col)
+               .orderBy("_u").limit(k_centers)
+               .select(F.col("x").alias("cx"), F.col("y").alias("cy"),
+                       F.col("_u").alias("center_id")))
+    nrow = pixels.agg(F.count("*").alias("n"))
+    joined = pixels.crossJoin(F.broadcast(centers))
+    dx = F.col("x") - F.col("cx")
+    dy = F.col("y") - F.col("cy")
+    dist = F.sqrt(dx * dx + dy * dy)
+    rho = F.greatest(F.lit(-1.0), F.least(
+        F.lit(1.0), cov_expr(dist, sills, ranges, nugget) / F.lit(sill)))
+    per_center = joined.groupBy("center_id").agg(F.sum(rho).alias("sum_rho"))
+    mean_rho = per_center.agg(F.avg("sum_rho").alias("mean_sum_rho"))
+    return (mean_rho.crossJoin(nrow)
+            .select(F.sqrt(F.greatest(
+                F.lit(sill) * F.col("mean_sum_rho") / F.col("n"),
+                F.lit(0.0))).alias("sigma_a")))
+
+
 # --------------------------------------------------------------------------
 # A10 — FFT footprint estimator (per-zone numpy kernel)
 # --------------------------------------------------------------------------

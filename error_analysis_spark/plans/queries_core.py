@@ -19,8 +19,6 @@ geospatial fixtures covered in tests/.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -252,56 +250,41 @@ FROM events
 # --------------------------------------------------------------------------
 
 def w2_positional_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase positional pick (J9/W2) — scale-safe global rank.
+    """Two-phase positional pick (J9/W2) — scale-safe global rank, JVM-only.
 
     A bare `Window.orderBy` funnels the WHOLE table through one
     partition. Instead: (1) per-date counts (map-side combined; output
-    cardinality = #distinct dates, ~2.4k for any TPC scale), (2) running
-    total over that tiny table finds the first date whose cumulative
-    count reaches the max wanted rank, (3) only the prefix of orders up
-    to that date (≤ max_rank + one day's rows) enters the global
-    row_number. The two windows run on bounded inputs, so the explicit
-    single partition (`partitionBy(lit(0))`) is correct, not a funnel.
+    cardinality = #distinct dates, ~2.4k for any TPC scale), (2) a
+    running total over that tiny table finds the first date whose
+    cumulative count reaches the max wanted rank, (3) only the prefix of
+    orders up to that date (≤ max_rank + one day's rows) enters the
+    global row_number. Both windows run on *bounded* inputs, so the
+    explicit single partition (`partitionBy(lit(0))`) is correct, not a
+    funnel — and everything stays inside whole-stage codegen (no Python
+    workers, one pass over the count table, one over the pruned head).
     """
     max_rank = 1000
     wanted = (1, 100, 1000)
     orders = load_table(spark, sf_dir, "orders")
 
-    def find_cutoff(batches):
-        # single sorted partition of per-date counts; emits one row
-        total, last = 0, None
-        for pdf in batches:
-            for d, c in zip(pdf["o_orderdate"], pdf["cnt"]):
-                total += int(c)
-                last = d
-                if total >= max_rank:
-                    yield pd.DataFrame({"cutoff": [d]})
-                    return
-        yield pd.DataFrame({"cutoff": [last]})
-
-    cutoff = (orders.groupBy("o_orderdate").agg(F.count("*").alias("cnt"))
-              .repartition(1).sortWithinPartitions("o_orderdate")
-              .mapInPandas(find_cutoff, "cutoff timestamp"))
+    counts = orders.groupBy("o_orderdate").agg(F.count("*").alias("cnt"))
+    w_run = (W.partitionBy(F.lit(0)).orderBy("o_orderdate")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # first date whose running count reaches max_rank; if the table has
+    # fewer rows than max_rank, fall back to the last date (keep all).
+    cutoff = (counts.withColumn("cum", F.sum("cnt").over(w_run))
+              .agg(F.min(F.when(F.col("cum") >= max_rank,
+                                F.col("o_orderdate"))).alias("hit"),
+                   F.max("o_orderdate").alias("last"))
+              .select(F.coalesce("hit", "last").alias("cutoff")))
     head = (orders.crossJoin(F.broadcast(cutoff))
             .where(F.col("o_orderdate") <= F.col("cutoff"))
             .select("o_orderkey", "o_orderdate", "o_totalprice"))
 
-    def assign_rn(batches):
-        # single sorted partition (≤ max_rank + one day's rows); running
-        # offset across Arrow batches = the global row number
-        off = 0
-        for pdf in batches:
-            rn = off + np.arange(1, len(pdf) + 1)
-            off += len(pdf)
-            out = pdf.assign(rn=rn)
-            yield out[out["rn"].isin(wanted)]
-
-    picked = (head.repartition(1)
-              .sortWithinPartitions(F.col("o_orderdate").asc(),
-                                    F.col("o_orderkey").asc())
-              .mapInPandas(assign_rn,
-                           "o_orderkey long, o_orderdate timestamp, "
-                           "o_totalprice double, rn int"))
+    w_rank = (W.partitionBy(F.lit(0))
+              .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
+    picked = (head.withColumn("rn", F.row_number().over(w_rank))
+              .where(F.col("rn").isin(*wanted)))
     return picked.select(
         "rn", "o_orderkey",
         F.col("o_orderdate").cast("date").alias("o_orderdate"),

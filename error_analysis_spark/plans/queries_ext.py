@@ -39,11 +39,20 @@ FROM documents GROUP BY md5(text)
 # --------------------------------------------------------------------------
 
 _J_THRESH = 0.5
+# Candidate pruning: drop tokens present in more than this fraction of
+# the corpus from the inverted index (pairs are still EXACTLY verified
+# on the full token sets). This is the form you'd run at 100 TB — the
+# unpruned join is quadratic in posting-list length on hot tokens — so
+# the oracle pins the pruned candidate+verify semantics, not the naive
+# all-shared-tokens join.
+_J_MAXDF_FRAC = 0.5
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(docs, threshold=_J_THRESH)
+    n_docs = docs.count()
+    return DD.jaccard_pairs(docs, threshold=_J_THRESH,
+                            max_df=max(1, int(n_docs * _J_MAXDF_FRAC)))
 
 
 DEDUP_JACCARD_SQL = f"""
@@ -54,10 +63,27 @@ WITH toks AS (
        AS t(token)
 ),
 sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+tok_df AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+nd AS (
+  SELECT greatest(1, CAST(floor(count(*) * {_J_MAXDF_FRAC}) AS BIGINT))
+         AS max_df
+  FROM documents
+),
+posting AS (
+  SELECT t.id, t.token
+  FROM toks t JOIN tok_df d ON t.token = d.token, nd
+  WHERE d.df <= nd.max_df
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM posting a JOIN posting b ON a.token = b.token AND a.id < b.id
+),
 inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
-  GROUP BY a.id, b.id
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks ta ON ta.id = c.id_a
+  JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
        round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard

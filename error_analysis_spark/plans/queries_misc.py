@@ -273,6 +273,119 @@ FROM cov GROUP BY zone_id, area
 
 
 # --------------------------------------------------------------------------
+# J7+A11 / J6+A12 — the brute-force and Hugonnet σ_A estimators,
+# oracle-gated (r2 ADVICE #5): deterministic grids / md5-ranked centers
+# so DuckDB restates the full computation, not just a row count.
+# --------------------------------------------------------------------------
+
+def sigma_a_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed J7 double sum over 12×12 in-rectangle grids for the
+    25 nation-derived zones (same zone dims + fitted model as
+    sigma_a_zones), all zones in one plan."""
+    from error_analysis_spark.operators.uncertainty import (
+        brute_force_rect_by_zone,
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    zones = nat.select(
+        F.concat(F.lit("z"), F.col("n_nationkey")).alias("zone_id"),
+        (F.lit(60) + F.col("n_nationkey") % 5 * 10).cast("double")
+        .alias("width"),
+        (F.lit(40) + F.col("n_nationkey") % 3 * 10).cast("double")
+        .alias("height"),
+    )
+    out = brute_force_rect_by_zone(zones, [0.04], [25.0], 0.002,
+                                   grid_points=12)
+    return out.select("zone_id", F.round("sigma_a", 6).alias("sigma_a"))
+
+
+# grid x = i·w/11, i ∈ 0..11 (both endpoints, linspace convention);
+# C(d) = (0.04+0.002) − γ(d); diagonal pairs carry the full sill;
+# σ_A = √(ΣΣ C / N²), N = 144. The sill is written (0.04 + 0.002), not
+# 0.042 — the engines must add the same two doubles, not parse a
+# different nearest-double literal.
+SIGMA_BRUTE_SQL = """
+WITH z AS (
+  SELECT 'z' || n_nationkey AS zone_id,
+         CAST(60 + (n_nationkey % 5) * 10 AS DOUBLE) AS w,
+         CAST(40 + (n_nationkey % 3) * 10 AS DOUBLE) AS h
+  FROM nation
+),
+pts AS (
+  SELECT zone_id, i * w / 11 AS x, j * h / 11 AS y
+  FROM z, range(12) a(i), range(12) b(j)
+),
+pairs AS (
+  SELECT p.zone_id,
+         sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d,
+         (p.x = q.x AND p.y = q.y) AS same
+  FROM pts p JOIN pts q USING (zone_id)
+),
+cv AS (
+  SELECT zone_id,
+         CASE WHEN same THEN (0.04 + 0.002)
+              ELSE (0.04 + 0.002) - (0.002 + CASE WHEN d <= 25.0
+                THEN 0.04 * (1.5 * (d / 25.0) - 0.5 * power(d / 25.0, 3))
+                ELSE 0.04 END) END AS c
+  FROM pairs
+)
+SELECT zone_id,
+       round(sqrt(greatest(sum(c) / 20736.0, 0.0)), 6) AS sigma_a
+FROM cv GROUP BY zone_id
+"""
+
+
+def sigma_a_hugonnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+A12 over event-derived pixel centers: 60 centers ranked by
+    md5(event_id) (cross-engine-reproducible draw), ρ(d) summed per
+    center, averaged, scaled by σ²/N — one lazy plan, 1 row."""
+    from error_analysis_spark.operators.uncertainty import (
+        estimate_hugonnet_df,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.select(
+        F.col("event_id").cast("bigint").alias("px_id"),
+        (F.col("event_id") % 100).cast("double").alias("x"),
+        (F.col("event_id") / 100).cast("int").cast("double").alias("y"),
+    )
+    out = estimate_hugonnet_df(
+        px, [0.04], [25.0], 0.002, k_centers=60,
+        order_col=F.md5(F.col("px_id").cast("string")))
+    return out.select(F.round("sigma_a", 6).alias("sigma_a"))
+
+
+SIGMA_HUGONNET_SQL = """
+WITH px AS (
+  SELECT CAST(event_id AS BIGINT) AS px_id,
+         CAST(event_id % 100 AS DOUBLE) AS x,
+         CAST(event_id // 100 AS DOUBLE) AS y
+  FROM events
+),
+n AS (SELECT count(*) AS n FROM px),
+centers AS (
+  SELECT x AS cx, y AS cy, md5(CAST(px_id AS VARCHAR)) AS center_id
+  FROM px ORDER BY md5(CAST(px_id AS VARCHAR)) LIMIT 60
+),
+j AS (
+  SELECT center_id,
+         sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)) AS d
+  FROM px, centers
+),
+rho AS (
+  SELECT center_id, greatest(-1.0, least(1.0,
+    ((0.04 + 0.002) - (0.002 + CASE WHEN d <= 25.0
+       THEN 0.04 * (1.5 * (d / 25.0) - 0.5 * power(d / 25.0, 3))
+       ELSE 0.04 END)) / (0.04 + 0.002))) AS r
+  FROM j
+),
+pc AS (SELECT center_id, sum(r) AS sum_rho FROM rho GROUP BY center_id),
+m AS (SELECT avg(sum_rho) AS mean_sum_rho FROM pc)
+SELECT round(sqrt(greatest((0.04 + 0.002) * mean_sum_rho / n, 0.0)), 6)
+       AS sigma_a
+FROM m, n
+"""
+
+
+# --------------------------------------------------------------------------
 # F1/F2 — point-cloud class filters (noise drop, ground keep):
 # differencing_functions.py:794-798 (Classification![7:7],![18:18]),
 # :903-908 (class 2 DTM path). Classification synthesized from event_id.
@@ -463,6 +576,8 @@ MISC_QUERIES: dict[str, tuple] = {
     "a14_closed_form": (a14_closed_form, A14_SQL),
     "a15_param_percentiles": (a15_param_percentiles, A15_SQL),
     "sigma_a_zones": (sigma_a_zones, SIGMA_A_SQL),
+    "sigma_a_brute": (sigma_a_brute, SIGMA_BRUTE_SQL),
+    "sigma_a_hugonnet": (sigma_a_hugonnet, SIGMA_HUGONNET_SQL),
     "f1_drop_noise": (f1_drop_noise, F1_SQL),
     "f2_keep_ground": (f2_keep_ground, F2_SQL),
     "a13_zone_pixel_counts": (a13_zone_pixel_counts, A13_SQL),

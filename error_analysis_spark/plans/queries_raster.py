@@ -70,135 +70,39 @@ _PT_GRID = GridSpec("pts", width=48, height=48, x0=0.0, y0=16.0, res=5.0)
 
 
 # --------------------------------------------------------------------------
-# R2 — focal roughness via the 8-offset stencil join
+# R2 — focal derivatives (slope/aspect/hillshade/roughness) via the
+# 8-offset stencil join; ONE gather shuffle feeds all four (the four
+# per-derivative queries of rounds 1-2 were consolidated so the whole
+# family stays inside the driver's verification window — see COVERAGE.md)
 # --------------------------------------------------------------------------
-
-def r2_focal_roughness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    px = _event_pixels(spark, sf_dir)
-    out = FO.derive_join(px, res=1.0, which="roughness")
-    return (out.where(F.col("value").isNotNull())
-            .select("row", "col", F.round("value", 3).alias("rough")))
-
-
-R2_SQL = f"""
-WITH px AS ({_EVENT_PX_SQL}),
-nb AS (
-  SELECT a.row, a.col,
-         count(*) AS n_win,
-         max(b.value) - min(b.value) AS rough
-  FROM px a JOIN px b
-    ON b.row BETWEEN a.row - 1 AND a.row + 1
-   AND b.col BETWEEN a.col - 1 AND a.col + 1
-  GROUP BY a.row, a.col
-)
-SELECT row, col, round(rough, 3) AS rough
-FROM nb WHERE n_win = 9
-"""
-
-
-def r2_focal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Horn slope via the stencil join; rounded to 3 dp (atan/sqrt are
-    IEEE-identical across engines; rounding guards the last ulp)."""
-    px = _event_pixels(spark, sf_dir)
-    out = FO.derive_join(px, res=2.0, which="slope")
-    return (out.where(F.col("value").isNotNull())
-            .select("row", "col", F.round("value", 3).alias("slope_deg")))
-
-
-R2SLOPE_SQL = f"""
-WITH px AS ({_EVENT_PX_SQL}),
-nb AS (
-  SELECT a.row, a.col,
-         count(*) AS n_win,
-         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.value END) AS z_a,
-         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.value END) AS z_b,
-         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.value END) AS z_c,
-         sum(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.value END) AS z_d,
-         sum(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.value END) AS z_f,
-         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.value END) AS z_g,
-         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.value END) AS z_h,
-         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.value END) AS z_i
-  FROM px a JOIN px b
-    ON b.row BETWEEN a.row - 1 AND a.row + 1
-   AND b.col BETWEEN a.col - 1 AND a.col + 1
-  GROUP BY a.row, a.col
-)
-SELECT row, col,
-       round(degrees(atan(sqrt(
-         power(((z_c + 2 * z_f + z_i) - (z_a + 2 * z_d + z_g)) / 16.0, 2)
-       + power(((z_g + 2 * z_h + z_i) - (z_a + 2 * z_b + z_c)) / 16.0, 2)
-       ))), 3) AS slope_deg
-FROM nb WHERE n_win = 9
-"""
-
-
-
-
-def r2_focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GDAL hillshade (az 315, alt 45) via the stencil join; round 3."""
-    px = _event_pixels(spark, sf_dir)
-    out = FO.derive_join(px, res=2.0, which="hillshade")
-    return (out.where(F.col("value").isNotNull())
-            .select("row", "col", F.round("value", 3).alias("shade")))
-
 
 import math as _math
 
 _AZ = _math.radians(360.0 - 315.0 + 90.0)
 _ALT = _math.radians(45.0)
 
-R2SHADE_SQL = f"""
-WITH px AS ({_EVENT_PX_SQL}),
-nb AS (
-  SELECT a.row, a.col,
-         count(*) AS n_win,
-         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.value END) AS z_a,
-         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.value END) AS z_b,
-         sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.value END) AS z_c,
-         sum(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.value END) AS z_d,
-         sum(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.value END) AS z_f,
-         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.value END) AS z_g,
-         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.value END) AS z_h,
-         sum(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.value END) AS z_i
-  FROM px a JOIN px b
-    ON b.row BETWEEN a.row - 1 AND a.row + 1
-   AND b.col BETWEEN a.col - 1 AND a.col + 1
-  GROUP BY a.row, a.col
-),
-grad AS (
-  SELECT row, col, n_win,
-         ((z_c + 2 * z_f + z_i) - (z_a + 2 * z_d + z_g)) / 16.0 AS dzdx,
-         ((z_g + 2 * z_h + z_i) - (z_a + 2 * z_b + z_c)) / 16.0 AS dzdy
-  FROM nb
-),
-shade AS (
-  SELECT row, col, n_win,
-         {_math.sin(_ALT)!r} * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
-       + {_math.cos(_ALT)!r} * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
-         * cos({_AZ!r} - atan2(dzdy, -dzdx)) AS s
-  FROM grad
-)
-SELECT row, col,
-       round(least(greatest(s, 0.0), 1.0) * 254.0 + 1.0, 3) AS shade
-FROM shade WHERE n_win = 9
-"""
 
-
-
-
-def r2_focal_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GDAL aspect (azimuth degrees, zeroForFlat) via the stencil join."""
+def r2_focal_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four R2 derivatives from one stencil gather (Horn slope,
+    GDAL aspect zeroForFlat, GDAL hillshade az 315 / alt 45, roughness
+    = window max − min). Rounded to 3 dp (atan/sqrt are IEEE-identical
+    across engines; rounding guards the last ulp)."""
     px = _event_pixels(spark, sf_dir)
-    out = FO.derive_join(px, res=2.0, which="aspect")
-    return (out.where(F.col("value").isNotNull())
-            .select("row", "col", F.round("value", 3).alias("aspect_deg")))
+    out = FO.derive_join_all(px, res=2.0)
+    return (out.where(F.col("roughness").isNotNull())
+            .select("row", "col",
+                    F.round("slope", 3).alias("slope_deg"),
+                    F.round("aspect", 3).alias("aspect_deg"),
+                    F.round("hillshade", 3).alias("shade"),
+                    F.round("roughness", 3).alias("rough")))
 
 
-R2ASPECT_SQL = f"""
+R2ALL_SQL = f"""
 WITH px AS ({_EVENT_PX_SQL}),
 nb AS (
   SELECT a.row, a.col,
          count(*) AS n_win,
+         max(b.value) - min(b.value) AS rough,
          sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.value END) AS z_a,
          sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.value END) AS z_b,
          sum(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.value END) AS z_c,
@@ -213,22 +117,30 @@ nb AS (
   GROUP BY a.row, a.col
 ),
 grad AS (
-  SELECT row, col, n_win,
+  SELECT row, col, n_win, rough,
          ((z_c + 2 * z_f + z_i) - (z_a + 2 * z_d + z_g)) / 16.0 AS dzdx,
          ((z_g + 2 * z_h + z_i) - (z_a + 2 * z_b + z_c)) / 16.0 AS dzdy
   FROM nb
 ),
-asp AS (
-  SELECT row, col, n_win, dzdx, dzdy,
+d AS (
+  SELECT row, col, n_win, rough, dzdx, dzdy,
+         atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope_rad,
          degrees(atan2(dzdy, -dzdx)) AS a0
   FROM grad
 )
 SELECT row, col,
+       round(degrees(slope_rad), 3) AS slope_deg,
        round(CASE WHEN dzdx = 0 AND dzdy = 0 THEN 0.0
                   WHEN a0 < 0 THEN 90.0 - a0
                   WHEN a0 > 90.0 THEN 360.0 - a0 + 90.0
-                  ELSE 90.0 - a0 END, 3) AS aspect_deg
-FROM asp WHERE n_win = 9
+                  ELSE 90.0 - a0 END, 3) AS aspect_deg,
+       round(least(greatest(
+         {_math.sin(_ALT)!r} * cos(slope_rad)
+       + {_math.cos(_ALT)!r} * sin(slope_rad)
+         * cos({_AZ!r} - atan2(dzdy, -dzdx)), 0.0), 1.0) * 254.0 + 1.0,
+         3) AS shade,
+       round(rough, 3) AS rough
+FROM d WHERE n_win = 9
 """
 
 
@@ -310,20 +222,47 @@ FROM idw
 _FILL_DIST = 5.0
 
 
-def r3_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense 100×100 grid; holes (id % 37 = 0) filled by the engine's
-    bucketed donor range-join."""
+def _holed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 100×100 grid with holes at id % 37 = 0 — shared input for
+    every R3 fill variant."""
     ev = load_table(spark, sf_dir, "events")
-    px = ev.select(
+    return ev.select(
         (F.col("event_id") % 100).cast("int").alias("row"),
         (F.col("event_id") / 100).cast("int").alias("col"),
         F.when(F.col("event_id") % 37 != 0,
                F.round(F.col("value"), 3)).alias("value"),
     )
-    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
-    out = PC.fill_nodata_idw(px, grid, max_dist=_FILL_DIST)
-    return (out.where(F.col("filled"))
-            .select("row", "col", F.round("value", 3).alias("z_fill")))
+
+
+_R3_GRID = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
+
+
+def r3_fill_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four SQL-expressible R3 fill variants over the same holed
+    grid, one output row per filled cell (NULL where a method's donor
+    criterion leaves the hole unfilled): idw (bucketed donor
+    range-join), nearest (min_by donor pick over a deterministic
+    integer order key), linear + cubic (directional grid-line window
+    interpolation). Consolidated from four per-method queries so the
+    whole family stays inside the driver's verification window."""
+    px = _holed_grid(spark, sf_dir)
+    outs = {
+        "z_fill": PC.fill_nodata_idw(px, _R3_GRID, max_dist=_FILL_DIST),
+        "z_near": PC.fill_nodata_nearest(px, _R3_GRID, max_dist=_FILL_DIST),
+        "z_lin": PC.fill_nodata_linear(px, _R3_GRID, max_dist=_FILL_DIST),
+        "z_cub": PC.fill_nodata_cubic(px, _R3_GRID, max_dist=_FILL_DIST),
+    }
+    cols = list(outs)
+    tagged = []
+    for name, df in outs.items():
+        sel = [(F.round("value", 3) if c == name
+                else F.lit(None).cast("double")).alias(c) for c in cols]
+        tagged.append(df.where(F.col("filled")).select("row", "col", *sel))
+    un = tagged[0]
+    for t in tagged[1:]:
+        un = un.unionByName(t)
+    return (un.groupBy("row", "col")
+            .agg(*[F.max(c).alias(c) for c in cols]))
 
 
 R3_SQL = f"""
@@ -351,24 +290,6 @@ SELECT row, col, round(value, 3) AS z_fill FROM fill
 """
 
 
-def r3_fill_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 nearest variant on the same holed grid: the engine's min_by
-    pick vs DuckDB arg_min over the identical integer order key
-    (d²·2²⁰ + row·2¹⁰ + col — bounded, so the key fits a BIGINT and the
-    deterministic tie-break is byte-identical across engines)."""
-    ev = load_table(spark, sf_dir, "events")
-    px = ev.select(
-        (F.col("event_id") % 100).cast("int").alias("row"),
-        (F.col("event_id") / 100).cast("int").alias("col"),
-        F.when(F.col("event_id") % 37 != 0,
-               F.round(F.col("value"), 3)).alias("value"),
-    )
-    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
-    out = PC.fill_nodata_nearest(px, grid, max_dist=_FILL_DIST)
-    return (out.where(F.col("filled"))
-            .select("row", "col", F.round("value", 3).alias("z_near")))
-
-
 R3NEAR_SQL = f"""
 WITH px AS (
   SELECT CAST(event_id % 100 AS INTEGER) AS row,
@@ -391,38 +312,6 @@ SELECT row, col, round(arg_min(value, okey), 3) AS z_near
 FROM cand WHERE d2 <= {_FILL_DIST} * {_FILL_DIST}
 GROUP BY row, col
 """
-
-
-def r3_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 linear variant: directional (row+col) bracket interpolation —
-    the engine's window-scan form vs an IGNORE-NULLS window oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    px = ev.select(
-        (F.col("event_id") % 100).cast("int").alias("row"),
-        (F.col("event_id") / 100).cast("int").alias("col"),
-        F.when(F.col("event_id") % 37 != 0,
-               F.round(F.col("value"), 3)).alias("value"),
-    )
-    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
-    out = PC.fill_nodata_linear(px, grid, max_dist=_FILL_DIST)
-    return (out.where(F.col("filled"))
-            .select("row", "col", F.round("value", 3).alias("z_lin")))
-
-
-def r3_fill_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 cubic variant: 4-point directional Lagrange (linear fallback
-    at row/column ends), same window-scan plan as the linear fill."""
-    ev = load_table(spark, sf_dir, "events")
-    px = ev.select(
-        (F.col("event_id") % 100).cast("int").alias("row"),
-        (F.col("event_id") / 100).cast("int").alias("col"),
-        F.when(F.col("event_id") % 37 != 0,
-               F.round(F.col("value"), 3)).alias("value"),
-    )
-    grid = GridSpec("g", width=100, height=100, x0=0.0, y0=100.0, res=1.0)
-    out = PC.fill_nodata_cubic(px, grid, max_dist=_FILL_DIST)
-    return (out.where(F.col("filled"))
-            .select("row", "col", F.round("value", 3).alias("z_cub")))
 
 
 def _dir_fill_sql(part: str, ordc: str, est: str, cubic: bool) -> str:
@@ -501,6 +390,29 @@ HAVING avg(est) IS NOT NULL
 
 R3LIN_SQL = _fill_dir_sql("z_lin", cubic=False)
 R3CUB_SQL = _fill_dir_sql("z_cub", cubic=True)
+
+# Combined oracle: the four per-method oracles (each a standalone WITH
+# statement) composed as tagged subqueries, grouped per cell — same
+# shape as the Spark-side unionByName + groupBy-max.
+R3ALL_SQL = f"""
+SELECT row, col,
+       max(z_fill) AS z_fill, max(z_near) AS z_near,
+       max(z_lin) AS z_lin, max(z_cub) AS z_cub
+FROM (
+  SELECT row, col, z_fill,
+         CAST(NULL AS DOUBLE) AS z_near,
+         CAST(NULL AS DOUBLE) AS z_lin,
+         CAST(NULL AS DOUBLE) AS z_cub
+  FROM ({R3_SQL})
+  UNION ALL
+  SELECT row, col, NULL, z_near, NULL, NULL FROM ({R3NEAR_SQL})
+  UNION ALL
+  SELECT row, col, NULL, NULL, z_lin, NULL FROM ({R3LIN_SQL})
+  UNION ALL
+  SELECT row, col, NULL, NULL, NULL, z_cub FROM ({R3CUB_SQL})
+)
+GROUP BY row, col
+"""
 
 
 # --------------------------------------------------------------------------
@@ -683,16 +595,10 @@ GROUP BY 1
 
 
 RASTER_QUERIES: dict[str, tuple] = {
-    "r2_focal_roughness": (r2_focal_roughness, R2_SQL),
-    "r2_focal_slope": (r2_focal_slope, R2SLOPE_SQL),
-    "r2_focal_hillshade": (r2_focal_hillshade, R2SHADE_SQL),
-    "r2_focal_aspect": (r2_focal_aspect, R2ASPECT_SQL),
+    "r2_focal_all": (r2_focal_all, R2ALL_SQL),
     "s8_grid_max": (s8_grid_max, S8MAX_SQL),
     "s8_grid_idw": (s8_grid_idw, S8IDW_SQL),
-    "r3_fill_nodata": (r3_fill_nodata, R3_SQL),
-    "r3_fill_nearest": (r3_fill_nearest, R3NEAR_SQL),
-    "r3_fill_linear": (r3_fill_linear, R3LIN_SQL),
-    "r3_fill_cubic": (r3_fill_cubic, R3CUB_SQL),
+    "r3_fill_all": (r3_fill_all, R3ALL_SQL),
     "r7_polygonize": (r7_polygonize, R7_SQL),
     "j1_r4_dod": (j1_r4_dod, DOD_SQL),
 }

@@ -105,6 +105,50 @@ def test_sigma_a_methods_agree(spark):
     assert abs(hug - brute) / brute < 0.15
 
 
+def test_brute_rect_by_zone_matches_single_zone(spark):
+    """The all-zones relational J7 form: exact vs a numpy restatement of
+    the same grid/double-sum, and within discretization error of the
+    single-zone driver form (whose PIP mask drops the top/right boundary
+    points of the linspace grid, so the point sets differ slightly)."""
+    import pandas as pd
+    g = 12
+    w, h = 1000.0, 600.0
+    zones = spark.createDataFrame(
+        pd.DataFrame({"zone_id": ["r0"], "width": [w], "height": [h]}))
+    out = UN.brute_force_rect_by_zone(zones, SILLS, RANGES, NUGGET,
+                                      grid_points=g).collect()
+    assert len(out) == 1
+    # exact numpy replication of the relational form's grid + double sum
+    xs = np.arange(g) * w / (g - 1)
+    ys = np.arange(g) * h / (g - 1)
+    xx, yy = np.meshgrid(xs, ys)
+    px = np.c_[xx.ravel(), yy.ravel()]
+    d = np.hypot(px[:, None, 0] - px[None, :, 0],
+                 px[:, None, 1] - px[None, :, 1])
+    cov = UN.total_sill(SILLS, NUGGET) - UN.gamma_np(d, SILLS, RANGES, NUGGET)
+    np.fill_diagonal(cov, UN.total_sill(SILLS, NUGGET))
+    want = math.sqrt(max(cov.sum() / (g * g) ** 2, 0.0))
+    assert out[0]["sigma_a"] == pytest.approx(want, rel=1e-9)
+    # family agreement: converges to the single-zone J7 ground truth
+    fine = UN.estimate_brute_force(spark, RECT, SILLS, RANGES, NUGGET,
+                                   grid_points=60)
+    assert out[0]["sigma_a"] == pytest.approx(fine, rel=0.10)
+
+
+def test_hugonnet_df_matches_float_form(spark):
+    """estimate_hugonnet_df (lazy 1-row plan) ≡ estimate_hugonnet
+    (driver floats) with the identical xxhash64 center draw."""
+    xs = np.linspace(10, 990, 40)
+    ys = np.linspace(10, 590, 25)
+    xx, yy = np.meshgrid(xs, ys)
+    pix = spark.createDataFrame(
+        pd.DataFrame({"x": xx.ravel(), "y": yy.ravel()}))
+    want = UN.estimate_hugonnet(pix, SILLS, RANGES, NUGGET, k_centers=50)
+    got = UN.estimate_hugonnet_df(pix, SILLS, RANGES, NUGGET,
+                                  k_centers=50).collect()[0]["sigma_a"]
+    assert got == pytest.approx(want, rel=1e-9)
+
+
 def test_closed_form_and_quadrature():
     comps = UN.closed_form_correlated(SILLS, RANGES, n=10_000, res=1.0)
     # √(2·0.04)/100 · √(π·150²/5) ≈ 0.000283·118.8
