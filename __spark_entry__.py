@@ -45,10 +45,10 @@ _FRONT = [
     "text_pii_scrub", "text_contamination", "curation_funnel",
     # new or changed in r03
     "r2_focal_all", "r3_fill_all", "sigma_a_brute", "sigma_a_hugonnet",
-    "w2_positional_pick", "dedup_jaccard",
+    "w2_positional_pick", "dedup_jaccard", "so_mask_algebra",
 ]
 _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
-               "f5_valid_filter", "so2_anti_join"]
+               "f5_valid_filter", "so2_anti_join", "f1_drop_noise"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

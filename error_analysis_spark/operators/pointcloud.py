@@ -330,7 +330,8 @@ def fill_nodata_tps(pixels: DataFrame, grid: GridSpec,
 
 
 def _axis_estimate(pixels: DataFrame, part: str, ordc: str,
-                   max_dist: float, cubic: bool) -> DataFrame:
+                   max_dist: float, cubic: bool,
+                   both: bool = False) -> DataFrame:
     """One directional interpolation pass: for every NULL cell, the
     nearest valid neighbor on each side along `ordc` within the
     partition `part` (a single grid row or column), plus — for the
@@ -376,9 +377,8 @@ def _axis_estimate(pixels: DataFrame, part: str, ordc: str,
                 & ((r["pos"] - cpos) <= F.lit(float(max_dist))))
     linear = l["val"] + (r["val"] - l["val"]) * (cpos - l["pos"]) \
         / (r["pos"] - l["pos"])
-    if not cubic:
-        est = F.when(inner_ok, linear)
-    else:
+    est_lin = F.when(inner_ok, linear)
+    if cubic or both:
         outer_ok = l["o_pos"].isNotNull() & r["i_pos"].isNotNull()
         xs = [l["o_pos"], l["pos"], r["pos"], r["i_pos"]]
         ys = [l["o_val"], l["val"], r["val"], r["i_val"]]
@@ -392,8 +392,14 @@ def _axis_estimate(pixels: DataFrame, part: str, ordc: str,
                 den = (xs[i] - xs[j]) if den is None else den * (xs[i] - xs[j])
             terms.append(ys[i] * num / den)
         lagrange = ((terms[0] + terms[1]) + terms[2]) + terms[3]
-        est = (F.when(inner_ok & outer_ok, lagrange)
-               .when(inner_ok, linear))
+        est_cub = (F.when(inner_ok & outer_ok, lagrange)
+                   .when(inner_ok, linear))
+    if both:
+        # one scan feeds BOTH estimates (the cubic support is a
+        # superset of the linear one)
+        return scanned.select("row", "col", est_lin.alias("est_lin"),
+                              est_cub.alias("est_cub"))
+    est = est_cub if cubic else est_lin
     return scanned.select("row", "col", est.alias("est"))
 
 
@@ -445,6 +451,67 @@ def fill_nodata_cubic(pixels: DataFrame, grid: GridSpec,
     back to linear where an outer support is missing; directional
     estimates averaged as in the linear fill."""
     return _fill_directional(pixels, grid, max_dist, cubic=True)
+
+
+def fill_nodata_multi(pixels: DataFrame, grid: GridSpec,
+                      max_dist: float = 100.0) -> DataFrame:
+    """All four relational R3 fills with SHARED scans: one bucketed
+    donor join feeds both the idw and nearest aggregates (they differ
+    only in the aggregate function), and one directional window scan
+    per axis feeds both the linear and cubic estimates. Output:
+    (row, col, z_fill, z_near, z_lin, z_cub) for every hole at least
+    one method fills; a method's column is NULL where its donor
+    criterion leaves the hole unfilled. Per-method semantics are
+    pinned to the single-method fills by tests/test_pointcloud.py."""
+    valid = pixels.where(F.col("value").isNotNull())
+    missing = pixels.where(F.col("value").isNull()).select("row", "col")
+    b = int(max(1, max_dist))
+    donors = (
+        valid.select("row", "col", "value")
+        .withColumn("o", F.explode(F.array(*[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])))
+        .select(
+            ((F.col("row") / b).cast("int") + F.col("o.dy")).alias("by"),
+            ((F.col("col") / b).cast("int") + F.col("o.dx")).alias("bx"),
+            F.col("row").alias("s_row"), F.col("col").alias("s_col"), "value",
+        )
+    )
+    targets = missing.select(
+        (F.col("row") / b).cast("int").alias("by"),
+        (F.col("col") / b).cast("int").alias("bx"),
+        "row", "col",
+    )
+    d2 = ((F.col("row") - F.col("s_row")) ** 2
+          + (F.col("col") - F.col("s_col")) ** 2)
+    w = 1.0 / d2
+    key = F.struct(d2.alias("d2"), F.col("s_row"), F.col("s_col"))
+    dn = (targets.join(donors, ["by", "bx"])
+          .where(d2 <= F.lit(float(max_dist) ** 2))
+          .groupBy("row", "col")
+          .agg((F.sum(w * F.col("value")) / F.sum(w)).alias("z_fill"),
+               F.min_by(F.col("value"), key).alias("z_near")))
+    h = _axis_estimate(pixels, "row", "col", max_dist, cubic=False,
+                       both=True)
+    v = _axis_estimate(pixels, "col", "row", max_dist, cubic=False,
+                       both=True)
+    dirs = (h.unionByName(v)
+            .groupBy("row", "col")
+            .agg(F.avg("est_lin").alias("z_lin"),
+                 F.avg("est_cub").alias("z_cub")))
+    pad = F.lit(None).cast("double")
+    un = (dn.select("row", "col", "z_fill", "z_near",
+                    pad.alias("z_lin"), pad.alias("z_cub"))
+          .unionByName(dirs.select("row", "col", pad.alias("z_fill"),
+                                   pad.alias("z_near"), "z_lin", "z_cub")))
+    return (un.groupBy("row", "col")
+            .agg(F.max("z_fill").alias("z_fill"),
+                 F.max("z_near").alias("z_near"),
+                 F.max("z_lin").alias("z_lin"),
+                 F.max("z_cub").alias("z_cub"))
+            .where(F.coalesce("z_fill", "z_near", "z_lin", "z_cub")
+                   .isNotNull()))
 
 
 def fill_nodata(pixels: DataFrame, grid: GridSpec, method: str = "idw",

@@ -322,6 +322,58 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 # --------------------------------------------------------------------------
+# SO1 + SO4 + R9 — mask set algebra: union/dissolve of two valid-pixel
+# masks, their intersection, and detailed area = count × res²
+# (stable_unstable_areas.py:212-268 dissolve; differencing_functions.py
+# :2554-2601 intersect/area). One query upgrades all three from
+# tests-only to oracle-gated; pixel keys are bijective with event_id so
+# the masks are duplicate-free by construction and dropDuplicates
+# exercises the dissolve path without changing counts.
+# --------------------------------------------------------------------------
+
+_SO_RES = 1.5
+
+
+def so_mask_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    px = lambda pred: (ev.where(pred).select(
+        (F.col("event_id") % 500).cast("int").alias("row"),
+        (F.col("event_id") / 500).cast("int").alias("col")))
+    a = px(F.col("event_id") % 3 == 0)
+    b = px(F.col("event_id") % 4 == 0)
+    union = a.union(b).dropDuplicates(["row", "col"])
+    inter = a.join(b, ["row", "col"])
+    res2 = _SO_RES * _SO_RES
+    return (union.agg(F.count("*").alias("n_union"))
+            .crossJoin(inter.agg(F.count("*").alias("n_intersect")))
+            .crossJoin(a.agg(
+                F.round(F.count("*") * res2, 2).alias("area_a")))
+            .crossJoin(b.agg(
+                F.round(F.count("*") * res2, 2).alias("area_b"))))
+
+
+SO_MASK_SQL = f"""
+WITH a AS (
+  SELECT CAST(event_id % 500 AS INTEGER) AS row,
+         CAST(event_id // 500 AS INTEGER) AS col
+  FROM events WHERE event_id % 3 = 0
+),
+b AS (
+  SELECT CAST(event_id % 500 AS INTEGER) AS row,
+         CAST(event_id // 500 AS INTEGER) AS col
+  FROM events WHERE event_id % 4 = 0
+)
+SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT row, col
+                         FROM (SELECT * FROM a UNION ALL SELECT * FROM b)))
+    AS n_union,
+  (SELECT count(*) FROM a JOIN b USING (row, col)) AS n_intersect,
+  (SELECT round(count(*) * {_SO_RES * _SO_RES!r}, 2) FROM a) AS area_a,
+  (SELECT round(count(*) * {_SO_RES * _SO_RES!r}, 2) FROM b) AS area_b
+"""
+
+
+# --------------------------------------------------------------------------
 # SO3 — combined-mask full-outer coalesce (differencing_functions.py:2498-2552)
 # --------------------------------------------------------------------------
 
@@ -453,6 +505,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "w2_positional_pick": (w2_positional_pick, W2_SQL),
     "so2_anti_join": (so2_anti_join, SO2_SQL),
     "so3_full_outer": (so3_full_outer, SO3_SQL),
+    "so_mask_algebra": (so_mask_algebra, SO_MASK_SQL),
     "sc_scalar_pack": (sc_scalar_pack, SC_SQL),
     "sc4_json_extract": (sc4_json_extract, SC4_SQL),
     "f5_valid_filter": (f5_valid_filter, F5_SQL),

@@ -246,23 +246,13 @@ def r3_fill_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation). Consolidated from four per-method queries so the
     whole family stays inside the driver's verification window."""
     px = _holed_grid(spark, sf_dir)
-    outs = {
-        "z_fill": PC.fill_nodata_idw(px, _R3_GRID, max_dist=_FILL_DIST),
-        "z_near": PC.fill_nodata_nearest(px, _R3_GRID, max_dist=_FILL_DIST),
-        "z_lin": PC.fill_nodata_linear(px, _R3_GRID, max_dist=_FILL_DIST),
-        "z_cub": PC.fill_nodata_cubic(px, _R3_GRID, max_dist=_FILL_DIST),
-    }
-    cols = list(outs)
-    tagged = []
-    for name, df in outs.items():
-        sel = [(F.round("value", 3) if c == name
-                else F.lit(None).cast("double")).alias(c) for c in cols]
-        tagged.append(df.where(F.col("filled")).select("row", "col", *sel))
-    un = tagged[0]
-    for t in tagged[1:]:
-        un = un.unionByName(t)
-    return (un.groupBy("row", "col")
-            .agg(*[F.max(c).alias(c) for c in cols]))
+    out = PC.fill_nodata_multi(px, _R3_GRID, max_dist=_FILL_DIST)
+    return out.select(
+        "row", "col",
+        F.round("z_fill", 3).alias("z_fill"),
+        F.round("z_near", 3).alias("z_near"),
+        F.round("z_lin", 3).alias("z_lin"),
+        F.round("z_cub", 3).alias("z_cub"))
 
 
 R3_SQL = f"""

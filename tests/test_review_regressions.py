@@ -123,3 +123,18 @@ def test_simplify_wkt_douglas_peucker():
     ms = simplify_wkt(multi, 0.01)
     assert ms == ("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
                   "((5 5, 6 5, 6 6, 5 6, 5 5)))")
+
+
+def test_w2_positional_pick_stays_jvm_only(spark):
+    """r2→r3 regression guard: the two-phase positional pick must not
+    reintroduce Python stages (the r2 form paid two repartition(1) +
+    mapInPandas rounds, 7.75× the r1 floor) and must not funnel the
+    full orders table through an unbounded global window — the only
+    window inputs are the per-date count table and the pruned head."""
+    from error_analysis_spark.plans.queries_core import w2_positional_pick
+    df = w2_positional_pick(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "PythonMapInPandas" not in plan
+    assert "EvalPython" not in plan
+    rows = {r["rn"]: r for r in df.collect()}
+    assert 1 in rows
