@@ -120,3 +120,19 @@ def test_flat_plane_derivatives(spark):
     asp = (FO.derive_join(px, res, "aspect").where(F.col("value").isNotNull())
            .agg(F.min("value"), F.max("value")).collect()[0])
     assert abs(asp[0] - 270.0) < 1e-9 and abs(asp[1] - 270.0) < 1e-9
+
+
+def test_derive_join_all_matches_singles(pixels):
+    """The one-gather all-derivatives form is column-for-column
+    identical to the four single-derivative stencil joins (shared
+    expression builder, so this pins the consolidation refactor)."""
+    res = 2.0
+    allp = FO.derive_join_all(pixels, res).toPandas() \
+        .set_index(["row", "col"]).sort_index()
+    for which in FO.DERIVATIVES:
+        one = FO.derive_join(pixels, res, which).toPandas() \
+            .set_index(["row", "col"]).sort_index()["value"]
+        a = allp[which]
+        both = a.notna() & one.notna()
+        assert (a.isna() == one.isna()).all()
+        assert np.allclose(a[both], one[both], rtol=0, atol=0)
