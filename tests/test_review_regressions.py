@@ -138,3 +138,38 @@ def test_w2_positional_pick_stays_jvm_only(spark):
     assert "EvalPython" not in plan
     rows = {r["rn"]: r for r in df.collect()}
     assert 1 in rows
+
+
+def test_registry_window_policy():
+    """The driver oracle-checks only the FIRST 50 declared queries, so
+    declaration order is a verification budget (COVERAGE.md). Pin the
+    policy: every _FRONT query (unverified-last-round + new/changed)
+    sits inside the window, only the documented _ROTATE_OUT tail sits
+    outside it, and nothing is dropped or duplicated."""
+    import __spark_entry__ as E
+    names = list(E.queries())
+    assert len(names) == len(set(names))
+    window = set(names[:50])
+    for q in E._FRONT:
+        assert q in window, f"front-priority query {q} fell out of the window"
+    outside = set(names[50:])
+    assert outside <= set(E._ROTATE_OUT), \
+        f"unplanned queries outside the window: {outside - set(E._ROTATE_OUT)}"
+    oracles = E.oracle_sql()
+    assert set(oracles) == set(names), "every query needs an oracle entry"
+
+
+def test_minhash_signature_plan_has_no_exchange(spark):
+    """r03 optimization guard: MinHash signatures are pure row-local
+    expressions (array_min over token-hash transforms) — the physical
+    plan must contain no Exchange (the earlier tokens×perms crossJoin
+    and groupBy forms both shuffled)."""
+    import pandas as pd
+
+    from error_analysis_spark.extensions import dedup as DD
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "c d"]}))
+    sigs = DD.minhash_signatures(df, num_perm=8)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert sigs.count() == 16
