@@ -60,10 +60,12 @@ HEADLINE = [
     "r7_polygonize",
     "text_repetition",
     "text_bm25_topk",
-    # round 3 — oracle-gated uncertainty estimators + pruned jaccard
+    # round 3 — oracle-gated uncertainty estimators + pruned jaccard;
+    # dedup_minhash_lsh tracks the row-local signature+banding plan
     "sigma_a_brute",
     "sigma_a_hugonnet",
     "dedup_jaccard",
+    "dedup_minhash_lsh",
 ]
 
 
