@@ -79,13 +79,21 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         cand = (pa.join(pb, "token")
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
-        ta = toks.select(F.col("id").alias("id_a"), "token")
-        tb = toks.select(F.col("id").alias("id_b"), "token")
-        inter = (
-            cand.join(ta, "id_a").join(tb, ["id_b", "token"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
-        )
+        # exact verify via token-SET arrays + row-local array_intersect
+        # (two equi-joins ship one array per side per candidate; the
+        # explode form's candidates × tokens blow-up is exactly what
+        # max_df pruning is fighting)
+        tok_arr = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(text_col)).alias("toks"))
+        ja = tok_arr.select(F.col("id").alias("id_a"),
+                            F.col("toks").alias("toks_a"))
+        jb = tok_arr.select(F.col("id").alias("id_b"),
+                            F.col("toks").alias("toks_b"))
+        inter = (cand.join(ja, "id_a").join(jb, "id_b")
+                 .select("id_a", "id_b",
+                         F.size(F.array_intersect("toks_a", "toks_b"))
+                         .alias("inter")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -228,18 +236,25 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     cands = (a.join(b, ["band", "sig"])
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    toks = doc_tokens(df, text_col, id_col)
-    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col("id").alias("id_a"), "token")
-    tb = toks.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cands.join(ta, "id_a").join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-    )
+    # exact verify via per-doc token-SET arrays + row-local
+    # array_intersect: two equi-joins ship one array per side per
+    # candidate, vs the explode form's candidates × tokens
+    # intermediate (which is quadratic-ish when banding is permissive)
+    tok_arr = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("toks"))
+    ja = tok_arr.select(F.col("id").alias("id_a"),
+                        F.col("toks").alias("toks_a"))
+    jb = tok_arr.select(F.col("id").alias("id_b"),
+                        F.col("toks").alias("toks_b"))
+    inter = (cands.join(ja, "id_a").join(jb, "id_b")
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("toks_a", "toks_b"))
+                     .alias("inter"),
+                     F.size("toks_a").alias("sz_a"),
+                     F.size("toks_b").alias("sz_b")))
     return (
         inter
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn("jaccard", F.col("inter")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)

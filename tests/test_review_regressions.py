@@ -173,3 +173,28 @@ def test_minhash_signature_plan_has_no_exchange(spark):
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert sigs.count() == 16
+
+
+def test_banded_signatures_match_long_form(spark):
+    """Row-local banding (banded_signatures) is byte-identical to
+    aggregating the long signature format (lsh_candidate_pairs' input
+    contract): same (id, band, sig) set, so both forms yield the same
+    candidates."""
+    import pandas as pd
+
+    from error_analysis_spark.extensions import dedup as DD
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "a b c d", "x y z w", "p q r s"]}))
+    fast = set(map(tuple, DD.banded_signatures(
+        df, num_perm=8, bands=4).collect()))
+    sigs = DD.minhash_signatures(df, num_perm=8)
+    rows_per_band = 8 // 4
+    from pyspark.sql import functions as F
+    slow = set(map(tuple, (
+        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", "perm", "minhash"))))).alias("sig"))
+    ).collect()))
+    assert fast == slow
