@@ -84,16 +84,54 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def _argmax_lang(scored: DataFrame) -> DataFrame:
+    langs = list(STOPWORDS.keys()) + ["zh"]
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in langs:
+        cond = F.col(f"score_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None \
+            else pred.when(cond, F.lit(lg))
+    return scored.withColumn("pred_lang", pred)
+
+
 def lang_scores(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Language-ID heuristic: per-language stopword hit-rate over tokens,
-    CJK-character rate for zh; predicted = argmax score.
+    """Language-ID heuristic: per-language stopword hit-rate over tokens
+    (occurrence count, duplicates included), CJK-character rate for zh;
+    predicted = argmax score.
 
-    Shape: explode tokens → broadcast join against the (token, lang)
-    stopword table → pivot counts per language. One shuffle on doc id;
-    the stopword dim stays broadcast — scales to any corpus size (vs.
-    per-row array-filter expressions, which blow up codegen and
-    re-scan the token array once per language)."""
+    The built-in profiles are plan-time constants (~10 words/language),
+    so each language's hit count is one row-local
+    size(filter(array_contains)) expression — no explode, no join, no
+    shuffle. For a LARGE stopword dictionary (thousands of entries,
+    runtime-loaded) use `lang_scores_join`, which broadcasts the
+    (token, lang) table instead of inlining it into codegen."""
+    base = df.select(
+        "*",
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+        (F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+         .cast("double") / F.length(text_col)).alias("score_zh"),
+    )
+    n_tok = F.size("_toks")
+    for lg, ws in STOPWORDS.items():
+        lit_arr = F.array(*[F.lit(w) for w in ws])
+        hits = F.size(F.filter(
+            F.col("_toks"), lambda t: F.array_contains(lit_arr, t)))
+        base = base.withColumn(f"score_{lg}",
+                               hits.cast("double") / n_tok)
+    keep = [c for c in df.columns] + \
+        ["score_zh"] + [f"score_{lg}" for lg in STOPWORDS]
+    return _argmax_lang(base.select(*keep))
+
+
+def lang_scores_join(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Broadcast-join form of `lang_scores` for large runtime stopword
+    dictionaries: explode tokens → broadcast join against the
+    (token, lang) table → pivot counts per language. One shuffle on doc
+    id; the dictionary never inlines into codegen. Identical output to
+    `lang_scores` on the built-in profiles (pinned by test)."""
     spark = df.sparkSession
     sw_rows = [(w, lg) for lg, ws in STOPWORDS.items() for w in ws]
     sw_tbl = spark.createDataFrame(sw_rows, ["token", "lang"])
@@ -115,13 +153,7 @@ def lang_scores(df: DataFrame, text_col: str = "text",
             F.coalesce(F.col(lg), F.lit(0)).cast("double") / F.col("n_tok"),
         ).drop(lg)
     scored = scored.drop("n_tok")
-    langs = list(STOPWORDS.keys()) + ["zh"]
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-    pred = None
-    for lg in langs:
-        cond = F.col(f"score_{lg}") == best
-        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
-    return scored.withColumn("pred_lang", pred)
+    return _argmax_lang(scored)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

@@ -198,3 +198,23 @@ def test_banded_signatures_match_long_form(spark):
             F.concat_ws(":", "perm", "minhash"))))).alias("sig"))
     ).collect()))
     assert fast == slow
+
+
+def test_lang_scores_row_local_matches_join_form(spark):
+    """lang_scores (row-local array-filter over plan-time profiles) and
+    lang_scores_join (broadcast dictionary join) must score and predict
+    identically — the two are interchangeable by dictionary size."""
+    import pandas as pd
+
+    from error_analysis_spark.extensions import text as TX
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat of the house", "le chat et la maison",
+                 "der hund und die katze", "no stop words here xyz"]}))
+    cols = ["doc_id", "pred_lang", "score_en", "score_fr", "score_de",
+            "score_es", "score_zh"]
+    a = (TX.lang_scores(df).select(*cols).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (TX.lang_scores_join(df).select(*cols).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
