@@ -69,10 +69,10 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     n0, n1 = head["n0"], head["n1"]
     s1 = s1df.where(passes_q)
 
-    # 2. language filter — computed only on stage-1 survivors
-    langs = TX.lang_scores(s1, text_col, id_col).select(
-        F.col(id_col), "pred_lang")
-    s2 = (s1.join(langs, id_col)
+    # 2. language filter — lang_scores annotates in place (row-local
+    # scoring, no join-back), computed only on stage-1 survivors
+    s2 = (TX.lang_scores(s1, text_col, id_col)
+          .select(*s1.columns, "pred_lang")
           .where(F.col("pred_lang").isin(*cfg.keep_langs))
           .persist(StorageLevel.MEMORY_AND_DISK))
     n2 = s2.count()

@@ -8,9 +8,11 @@ and cluster sizes.
 
 Scale notes: the candidate-pair joins shuffle on token/band keys, which
 are high-cardinality and well-distributed; hot tokens (stopwords) are the
-skew risk, so `jaccard_candidates` drops tokens above a document-frequency
-cap before the join (standard posting-list pruning), and AQE skew-join
-covers the rest.
+skew risk, so `jaccard_pairs(max_df=...)` drops tokens above a
+document-frequency cap before the join (standard posting-list pruning),
+and AQE skew-join covers the rest. MinHash signatures and LSH banding are
+row-local expressions (no shuffle before the candidate join), and exact
+verification intersects per-doc token-set arrays row-locally.
 """
 
 from __future__ import annotations
