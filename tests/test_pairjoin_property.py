@@ -56,3 +56,47 @@ def test_bucketed_equals_exact(seed, n, max_lag, bin_width, boundary_frac):
         a[key + ["pair_count"]], b[key + ["pair_count"]])
     np.testing.assert_allclose(a["ssd"].astype(float),
                                b["ssd"].astype(float), rtol=1e-9)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+    min_size=2, max_size=24))
+def test_jaccard_pairs_match_python_reference(spark, corpora):
+    """Property: jaccard_pairs (unpruned AND max_df-pruned forms) agree
+    with a pure-Python token-set reference on random corpora — the
+    pruned form may only MISS pairs whose entire overlap is
+    above-max_df tokens, never invent or mis-score one."""
+    import pandas as pd
+
+    from error_analysis_spark.extensions import dedup as DD
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= 0.3:
+                    want[(a, b)] = round(j, 6)
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in DD.jaccard_pairs(df, threshold=0.3).collect()}
+    assert got == want
+    pruned = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in DD.jaccard_pairs(df, threshold=0.3,
+                                        max_df=max(1, len(docs) // 2))
+              .collect()}
+    for pair, j in pruned.items():
+        assert want.get(pair) == j  # never invents or mis-scores
+    df_counts = {}
+    for s in sets.values():
+        for t in s:
+            df_counts[t] = df_counts.get(t, 0) + 1
+    cap = max(1, len(docs) // 2)
+    for pair in set(want) - set(pruned):
+        # a missed pair must have had its whole overlap above the cap
+        a, b = pair
+        assert all(df_counts[t] > cap for t in sets[a] & sets[b])
