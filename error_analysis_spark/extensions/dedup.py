@@ -288,12 +288,20 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     one relabel join (all shuffles on `id`); the loop checks
     convergence with a cheap count instead of checkpointing every pass.
     """
-    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-             .unionByName(pairs.select(F.col("id_b").alias("a"),
-                                       F.col("id_a").alias("b")))
+    # probe with a bounded collect: for at-or-below-threshold graphs
+    # this is the ONLY job the edge list ever runs (the previous form
+    # paid localCheckpoint + count + collect — three jobs of pure
+    # overhead on the small graphs the fast path exists for)
+    und = pairs.select("id_a", "id_b").distinct()
+    probe = und.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        return _components_local(pairs.sparkSession, probe,
+                                 pairs.schema["id_a"].dataType
+                                 .simpleString(), vertices)
+    edges = (und.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .unionByName(und.select(F.col("id_b").alias("a"),
+                                     F.col("id_a").alias("b")))
              .distinct().localCheckpoint())
-    if edges.count() <= local_threshold:
-        return _components_local(edges, vertices)
     # only vertices touching an edge participate in the loop; isolated
     # vertices keep their own label and rejoin at the end
     active = edges.select(F.col("a").alias("id")).distinct()
@@ -338,9 +346,10 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     return labels.unionByName(isolated)
 
 
-def _components_local(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """Small-graph fast path: one collect of the (bounded) edge list,
-    union-find with min-id roots and path halving on the driver, labels
+def _components_local(spark, rows, id_type: str,
+                      vertices: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find with min-id roots and path
+    compression over the already-collected edge rows, labels
     re-parallelized. Isolated vertices never leave the cluster."""
     parent: dict = {}
 
@@ -352,15 +361,12 @@ def _components_local(edges: DataFrame, vertices: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.collect()
     for r in rows:
-        ra, rb = find(r["a"]), find(r["b"])
+        ra, rb = find(r["id_a"]), find(r["id_b"])
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra                  # min id stays the root
-    spark = edges.sparkSession
-    id_type = edges.schema["a"].dataType.simpleString()
     labeled = spark.createDataFrame(
         [(x, find(x)) for x in parent], f"id {id_type}, component {id_type}")
     isolated = (vertices.join(labeled.select("id"), "id", "left_anti")
