@@ -66,6 +66,10 @@ HEADLINE = [
     "sigma_a_hugonnet",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    # round 3 wave 2 — data-mixing layer (map-side stratified sampling,
+    # two-phase-prefix-scan training order and concat-and-chunk packing)
+    "curation_sample_mix",
+    "curation_pack_chunks",
 ]
 
 

@@ -972,7 +972,99 @@ UNION ALL SELECT 'near_dup_dedup', n3, n4 FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# Data mixing: stratified seeded sampling / global order / packing
+# (extensions/mixing.py — map-side sampling, two-phase prefix scans)
+# --------------------------------------------------------------------------
+
+_MIX_SEED = 42
+_MIX_RATES = {"src0": 0.25, "src1": 0.5, "src2": 1.0, "src3": 1.5,
+              "src4": 2.25, "src5": 0.75, "src6": 3.0, "src7": 0.1,
+              "src8": 1.0, "src9": 0.6}
+_PACK_B = 256
+
+_U_SQL = ("(('0x' || substr(md5('{seed}:' || CAST({col} AS VARCHAR)), 1, 15))"
+          "::BIGINT / 1152921504606846976.0)")
+_K_SQL = "md5('{seed}:' || CAST({col} AS VARCHAR))"
+
+
+def curation_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import mixing as MX
+    docs = load_table(spark, sf_dir, "documents")
+    return MX.stratified_sample(docs, _MIX_RATES, seed=_MIX_SEED) \
+        .select("doc_id", "source", "lang", "copy_nr")
+
+
+SAMPLE_MIX_SQL = f"""
+WITH rates(source, rate) AS (VALUES
+  {", ".join(f"('{k}', CAST({v} AS DOUBLE))"
+             for k, v in sorted(_MIX_RATES.items()))}
+),
+j AS (
+  SELECT d.doc_id, d.source, d.lang, r.rate,
+         {_U_SQL.format(seed=_MIX_SEED, col="d.doc_id")} AS u
+  FROM documents d JOIN rates r USING (source)
+),
+c AS (
+  SELECT doc_id, source, lang,
+         CAST(floor(rate) AS BIGINT)
+           + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+  FROM j
+)
+SELECT doc_id, source, lang, CAST(g.copy_nr AS BIGINT) AS copy_nr
+FROM c, unnest(generate_series(1, n_copies)) AS g(copy_nr)
+WHERE n_copies >= 1
+"""
+
+
+def curation_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import mixing as MX
+    docs = load_table(spark, sf_dir, "documents")
+    return MX.training_order(docs, seed=_MIX_SEED)
+
+
+TRAIN_ORDER_SQL = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY {_K_SQL.format(seed=_MIX_SEED, col="doc_id")}, doc_id)
+       AS position
+FROM documents
+"""
+
+
+def curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import mixing as MX
+    docs = load_table(spark, sf_dir, "documents")
+    return MX.pack_chunks(docs, chunk_tokens=_PACK_B, seed=_MIX_SEED)
+
+
+PACK_CHUNKS_SQL = f"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         {_K_SQL.format(seed=_MIX_SEED, col="doc_id")} AS k
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_tok
+  FROM lens WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, start_tok,
+       CAST(start_tok // {_PACK_B} AS BIGINT) AS first_chunk,
+       CAST(((start_tok + n_tok - 1) // {_PACK_B})
+         - (start_tok // {_PACK_B}) + 1 AS BIGINT) AS n_chunks
+FROM pos
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
+    "curation_sample_mix": (curation_sample_mix, SAMPLE_MIX_SQL),
+    "curation_train_order": (curation_train_order, TRAIN_ORDER_SQL),
+    "curation_pack_chunks": (curation_pack_chunks, PACK_CHUNKS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, MINHASH_SQL),
