@@ -70,6 +70,9 @@ HEADLINE = [
     # two-phase-prefix-scan training order and concat-and-chunk packing)
     "curation_sample_mix",
     "curation_pack_chunks",
+    "sketch_kmv_distinct",
+    "text_vocab_topk",
+    "emb_quantize_stats",
 ]
 
 

@@ -1061,7 +1061,111 @@ FROM pos
 """
 
 
+# --------------------------------------------------------------------------
+# Sketches: KMV distinct, vocabulary heavy hitters, int8 quantization
+# (extensions/sketches.py)
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_VOCAB_K, _VOCAB_MINDF = 50, 2
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import sketches as SK
+    ev = load_table(spark, sf_dir, "events")
+    return SK.kmv_distinct(ev, "event_type", "user_id", k=_KMV_K)
+
+
+KMV_SQL = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+           / 1152921504606846976.0 AS u
+  FROM d
+),
+r AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM h
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       round(CASE WHEN count(*) < {_KMV_K}
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE {_KMV_K - 1} / max(u) END, 4) AS est_distinct
+FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+"""
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import sketches as SK
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.vocab_topk(docs, k=_VOCAB_K, min_df=_VOCAB_MINDF)
+
+
+VOCAB_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id AS _id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+),
+stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT _id) AS BIGINT) AS df
+  FROM pairs GROUP BY token
+)
+SELECT token, tf, df FROM stats
+WHERE df >= {_VOCAB_MINDF}
+ORDER BY tf DESC, token ASC LIMIT {_VOCAB_K}
+"""
+
+
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import sketches as SK
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SK.quantize_embeddings(emb)
+
+
+QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_reduce(list_transform(v, x -> abs(x)),
+                     (a, b) -> greatest(a, b)) / 127.0 AS scale
+  FROM base
+),
+c AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(codes, (x, i) -> x * CAST(i AS BIGINT)))
+            AS BIGINT) AS code_checksum,
+       CAST(list_sum(list_transform(codes,
+              x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_sat,
+       round(CASE WHEN scale > 0 THEN
+               list_sum(list_transform(
+                 list_zip(v, codes),
+                 p -> pow(p[1] - p[2] * scale, 2.0))) / len(v)
+             ELSE 0.0 END, 9) AS mse
+FROM c
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
+    "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
+    "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),
+    "emb_quantize_stats": (emb_quantize_stats, QUANTIZE_SQL),
     "curation_sample_mix": (curation_sample_mix, SAMPLE_MIX_SQL),
     "curation_train_order": (curation_train_order, TRAIN_ORDER_SQL),
     "curation_pack_chunks": (curation_pack_chunks, PACK_CHUNKS_SQL),
