@@ -73,6 +73,7 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "text_vocab_topk",
     "emb_quantize_stats",
+    "sim_lsh_topk",
 ]
 
 

@@ -253,19 +253,26 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42
     """Random-hyperplane LSH bucket key per vector: bit_j = sign(v·h_j),
     h_j derived deterministically from md5(seed, j, dim) — reproducible on
     any cluster, no stored model. Output: (id, bucket)."""
+    import hashlib
+
     emb = _as_double(F.col(vec_col))
-    dim = F.size(emb)
-    idx = F.sequence(F.lit(0), dim - 1)
+    # The plane weights are pure functions of (seed, j, i) — md5-hex
+    # prefix scaled to [-0.5, 0.5), the same formula the DuckDB oracle
+    # evaluates — so they are folded to LITERAL arrays here instead of
+    # per-row md5 expressions (which cost N*n_planes*dim JVM md5 calls;
+    # folding cut sim_lsh_topk ~3x). A plain `lambda i, j=j:` transform
+    # is the wrong fix: PySpark passes the ARRAY INDEX as a second
+    # positional arg, shadowing j — every plane came out identical and
+    # the index collapsed to 2 buckets until the oracle caught it.
+    dim = len(embeddings.select(vec_col).first()[0])
+
+    def weight(j: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32) - 0.5
+
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        plane = F.transform(
-            idx,
-            lambda i, j=j: (
-                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.lit(j),
-                                                     i.cast("string"))), 1, 8),
-                       16, 10).cast("double") / F.lit(float(1 << 32)) - 0.5
-            ),
-        )
+        plane = F.array(*[F.lit(weight(j, i)) for i in range(dim)])
         proj = dot(emb, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(0)
     return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))

@@ -1062,6 +1062,74 @@ FROM pos
 
 
 # --------------------------------------------------------------------------
+# LSH ANN (random-hyperplane buckets -> candidate pairs -> exact cosine)
+# — the planes are md5-derived, so even the approximate index is
+# oracle-checked, pinning the bucketing semantics the 100 TB path uses.
+# --------------------------------------------------------------------------
+
+_LSH_K, _LSH_PLANES, _LSH_TABLES, _LSH_SEED = 5, 10, 2, 42
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, k=_LSH_K, n_planes=_LSH_PLANES,
+                        n_tables=_LSH_TABLES, seed=_LSH_SEED)
+
+
+LSH_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT b.vec_id, t.t, j.j,
+         list_sum(list_transform(v, (x, i) ->
+           x * (('0x' || substr(md5(
+                   CAST({_LSH_SEED} + 1000 * t.t AS VARCHAR) || '_' ||
+                   CAST(j.j AS VARCHAR) || '_' ||
+                   CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0 - 0.5))) AS p
+  FROM base b, range({_LSH_TABLES}) t(t), range({_LSH_PLANES}) j(j)
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+normed AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM base
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_sum(list_transform(list_zip(va.v, vb.v),
+                                       p -> p[1] * p[2]))
+               / (va.n * vb.n), 6) AS sim
+  FROM cand c
+  JOIN normed va ON va.vec_id = c.id_a
+  JOIN normed vb ON vb.vec_id = c.id_b
+),
+sym AS (
+  SELECT id_a, id_b, sim FROM scored
+  UNION ALL SELECT id_b, id_a, sim FROM scored
+)
+SELECT id_a, id_b, sim, rk FROM (
+  SELECT id_a, id_b, sim,
+         CAST(row_number() OVER (PARTITION BY id_a
+                ORDER BY sim DESC, id_b ASC) AS INTEGER) AS rk
+  FROM sym
+) WHERE rk <= {_LSH_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Sketches: KMV distinct, vocabulary heavy hitters, int8 quantization
 # (extensions/sketches.py)
 # --------------------------------------------------------------------------
@@ -1163,6 +1231,7 @@ FROM c
 
 
 EXT_QUERIES: dict[str, tuple] = {
+    "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),
     "emb_quantize_stats": (emb_quantize_stats, QUANTIZE_SQL),

@@ -141,3 +141,20 @@ def test_jaccard_max_df_pruning(spark):
     out = jaccard_pairs(docs, threshold=0.5, max_df=3).toPandas()
     assert set(zip(out["id_a"], out["id_b"])) == {(0, 1)}
     assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_hyperplane_buckets_use_all_planes(vectors):
+    """Regression (r03): a 2-arg transform lambda made PySpark pass the
+    ARRAY INDEX as the second arg, shadowing the plane id — every plane
+    was identical and n_planes buckets collapsed to {0, 2^n - 1},
+    turning LSH candidate generation into a near-all-pairs join. With
+    distinct planes the bucket space must actually be used."""
+    bk = SIM.hyperplane_buckets(vectors, n_planes=10, seed=7).toPandas()
+    n_buckets = bk["bucket"].nunique()
+    assert n_buckets > 10, f"index collapsed to {n_buckets} buckets"
+    # and candidate volume is subquadratic: sum of C(bucket_size, 2)
+    # must be far below the all-pairs count
+    sizes = bk.groupby("bucket").size()
+    cand = int((sizes * (sizes - 1) // 2).sum())
+    n = len(bk)
+    assert cand < 0.2 * n * (n - 1) // 2, cand
