@@ -74,6 +74,8 @@ HEADLINE = [
     "text_vocab_topk",
     "emb_quantize_stats",
     "sim_lsh_topk",
+    "w4_sessionize",
+    "j10_asof_join",
 ]
 
 

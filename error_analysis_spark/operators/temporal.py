@@ -1,0 +1,105 @@
+"""Temporal operators over event streams: session windows and as-of
+joins.
+
+These are the two standard event-time operations the reference's
+catalog/worklist layer never needed but any telemetry/training-data
+pipeline does:
+
+- `sessionize`: gap-based session windows per key. Spark-first: the
+  built-in `F.session_window` (a SessionWindow aggregate — state merges
+  map-side, one shuffle on the grouping key) rather than a hand-rolled
+  gaps-and-islands window chain; the same call works under Structured
+  Streaming with a watermark, which is why the operator takes a plain
+  DataFrame. Output bounds are epoch-micros longs so the result is
+  engine-portable (the DuckDB oracle reproduces the grouping with a
+  lag/prefix-sum gaps-and-islands formulation).
+- `asof_join`: for every left ("probe") row, the latest right
+  ("reference") row with ts <= probe ts for the same key. Implemented
+  as the union-and-carry-forward plan: tag both sides, sort within the
+  key partition by (ts, side, id) — reference rows first on ties — and
+  run `last(..., ignorenulls=True)` over an unbounded-preceding window.
+  ONE shuffle on the key, no range join, no per-row subquery; the
+  window partitions by key so there is no global-sort funnel. Ties are
+  broken deterministically (max ts, then max id), matching a LATERAL
+  `ORDER BY ts DESC, id DESC LIMIT 1` oracle.
+
+At 100 TB both operators shuffle once on the key column and their
+window/session state is bounded per key, so skew in the key histogram
+(one user with millions of events) is the only hazard — mitigate with
+AQE skew handling; the plans contain no single-partition stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               key_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Gap-based sessions per key via the native session_window
+    aggregate. A session's end is last-event + gap (Spark semantics:
+    an event exactly gap after the previous one opens a NEW session).
+    Returns per session: key, start/end epoch-micros, n_events,
+    rounded value sum."""
+    gap = f"{int(gap_minutes)} minutes"
+    # testdata timestamps are NTZ; unix_micros needs TIMESTAMP — callers
+    # pin spark.sql.session.timeZone=UTC so the cast is unambiguous.
+    # Only cast when needed: a cast would strip the watermark tag a
+    # streaming caller attached to the raw column.
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) != "timestamp":
+        ts = ts.cast("timestamp")
+    return (events
+            .groupBy(key_col, F.session_window(ts, gap).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(value_col), 6).alias("sum_value"))
+            .select(
+                key_col,
+                F.unix_micros("w.start").alias("session_start_us"),
+                F.unix_micros("w.end").alias("session_end_us"),
+                "n_events", "sum_value"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_col: str,
+              ts_col: str, id_col: str,
+              right_value_col: str) -> DataFrame:
+    """Latest-right-at-or-before-left as-of join.
+
+    Returns every `left` row with `asof_ts_us` / `asof_<value>` from
+    the matched right row (null when no right row precedes it).
+    Deterministic tie policy: equal timestamps match (right side wins
+    ties by larger id)."""
+    lt = (left.select(
+        F.col(key_col), F.col(id_col).alias("probe_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tus"))
+        .withColumn("_side", F.lit(1)))
+    rt = (right.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tus"),
+        F.col(id_col).alias("_rid"),
+        F.col(right_value_col).alias("_rval"))
+        .withColumn("_side", F.lit(0)))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    # reference rows sort before probes at equal ts (side 0 < 1) and
+    # among equal-ts references the larger id comes last, so a plain
+    # ignore-nulls `last` carry-forward realizes the tie policy.
+    w = (Window.partitionBy(key_col)
+         .orderBy("tus", "_side", F.coalesce("_rid", F.lit(-1)))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = (u
+               .withColumn("asof_ts_us",
+                           F.last(F.when(F.col("_side") == 0,
+                                         F.col("tus")),
+                                  ignorenulls=True).over(w))
+               .withColumn("asof_value",
+                           F.last(F.when(F.col("_side") == 0,
+                                         F.col("_rval")),
+                                  ignorenulls=True).over(w)))
+    return (carried.where(F.col("_side") == 1)
+            .select(key_col, "probe_id",
+                    F.col("tus").alias("probe_ts_us"),
+                    "asof_ts_us",
+                    F.round("asof_value", 6).alias("asof_value"),
+                    (F.col("tus") - F.col("asof_ts_us")).alias("lag_us")))

@@ -569,7 +569,85 @@ FROM px JOIN g
 """
 
 
+# --------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): gap sessions + as-of join
+# --------------------------------------------------------------------------
+
+_SESS_GAP_MIN = 30
+
+
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.operators import temporal as TP
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return TP.sessionize(ev, gap_minutes=_SESS_GAP_MIN)
+
+
+W4_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+),
+l AS (
+  SELECT user_id, tus, value,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                   IS NULL THEN 1
+              WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                   > {_SESS_GAP_MIN * 60_000_000} THEN 1
+              ELSE 0 END AS new_s
+  FROM e
+),
+g AS (
+  SELECT user_id, tus, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+)
+SELECT user_id,
+       CAST(min(tus) AS BIGINT) AS session_start_us,
+       CAST(max(tus) + {_SESS_GAP_MIN * 60_000_000} AS BIGINT)
+         AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.operators import temporal as TP
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    return TP.asof_join(purchases, views, key_col="user_id",
+                        ts_col="ts", id_col="event_id",
+                        right_value_col="value")
+
+
+J10_ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, value
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS probe_id,
+       CAST(p.tus AS BIGINT) AS probe_ts_us,
+       CAST(l.tus AS BIGINT) AS asof_ts_us,
+       round(l.value, 6) AS asof_value,
+       CAST(p.tus - l.tus AS BIGINT) AS lag_us
+FROM p LEFT JOIN LATERAL (
+  SELECT tus, value FROM v
+  WHERE v.user_id = p.user_id AND v.tus <= p.tus
+  ORDER BY tus DESC, event_id DESC LIMIT 1
+) l ON TRUE
+"""
+
+
 MISC_QUERIES: dict[str, tuple] = {
+    "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
+    "j10_asof_join": (j10_asof_join, J10_ASOF_SQL),
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),

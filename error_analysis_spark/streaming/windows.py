@@ -48,3 +48,16 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour",
             (F.col("sum_value") / F.col("n")).alias("mean_value"),
         )
     )
+
+
+def sessionized_stream(events: DataFrame, gap_minutes: int = 30,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-sessions: the SAME `temporal.sessionize` operator
+    over a watermarked stream — session_window merges partial sessions
+    in the state store and finalizes a session once the watermark
+    passes its close (append mode emits exactly the finalized rows).
+    State per key is bounded by the gap + watermark horizon."""
+    from error_analysis_spark.operators.temporal import sessionize
+
+    return sessionize(events.withWatermark("ts", watermark),
+                      gap_minutes=gap_minutes)
