@@ -76,6 +76,11 @@ HEADLINE = [
     "sim_lsh_topk",
     "w4_sessionize",
     "j10_asof_join",
+    # round 3 wave 3 — dup-ngram coverage (suffix-array-dedup stand-in),
+    # RAG chunking, DoReMi-lite domain mixing weights
+    "text_dup_ngrams",
+    "text_chunk_windows",
+    "curation_domain_weights",
 ]
 
 

@@ -186,3 +186,47 @@ def _with_bucketedlen(docs: DataFrame, text_col: str, id_col: str,
             .withColumn("n_tok", token_len(F.col(text_col)))
             .where(F.col("n_tok") > 0)
             .drop(text_col))
+
+
+# --------------------------------------------------------------------------
+# Domain mixing weights (DoReMi-lite)
+# --------------------------------------------------------------------------
+
+def domain_mix_weights(docs: DataFrame, group_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Per-domain sampling weights for training-mix construction
+    (DoReMi-lite): weight ∝ sqrt(domain token count) × mean quality,
+    normalized to sum to 1. The sqrt tempers the head domains (the
+    standard alpha=0.5 temperature) and the quality factor demotes
+    low-quality sources; the resulting column feeds straight into
+    `stratified_sample(docs, rates=...)`.
+
+    Cross-engine determinism: the per-doc quality is fixed-pointed to
+    1e-6 BEFORE summing (integer sums are order-independent, double
+    sums are not), and every subsequent float op (sqrt, ×, ÷) is
+    IEEE correctly-rounded — so the weights are bit-equal across
+    Spark and the DuckDB oracle. One hash aggregation on the domain
+    key with map-side combine; the ≤|domains| result normalizes via a
+    bounded global window.
+    """
+    from pyspark.sql import Window
+
+    from error_analysis_spark.extensions.text import quality_expr, tokens
+
+    q_fp = F.round(quality_expr(text_col) * 1e6).cast("long")
+    per = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col)).cast("long")).alias("n_tokens"),
+        F.sum(q_fp).alias("_q_fp"))
+    raw_fp = F.round(F.sqrt(F.col("n_tokens").cast("double"))
+                     * (F.col("_q_fp").cast("double") / F.col("n_docs"))
+                     ).cast("long")
+    w = per.withColumn("_raw_fp", raw_fp)
+    total = F.sum("_raw_fp").over(Window.partitionBy())
+    return (w.select(
+        F.col(group_col),
+        F.col("n_docs"), F.col("n_tokens"),
+        F.round(F.col("_q_fp").cast("double") / F.col("n_docs") / 1e6, 6)
+        .alias("mean_quality"),
+        F.round(F.col("_raw_fp").cast("double") / total, 6).alias("weight"))
+    )

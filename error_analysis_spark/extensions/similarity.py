@@ -352,3 +352,60 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 10,
                       "sim"))
     w = W.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b").asc())
     return both.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
+                   threshold: float = 0.95, seed: int = 42,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): KMeans the embedding space into semantic cells,
+    compute cosine similarity ONLY within a cell, and greedily drop
+    every vector whose similarity to an already-kept lower-id vector in
+    the same cell is ≥ `threshold`. The survivor of each duplicate
+    family is its minimum id — the same canonical convention as
+    `exact_dedup`.
+
+    Returns (id, cluster_id, keep): filter `keep` to materialize the
+    deduplicated corpus, or join back for audit.
+
+    Scale shape: the quadratic step is confined to cells — expected
+    N²/k work instead of N², and each cell is an independent task. The
+    cluster assignment IS the IVF layout (`list_id`-partitioned storage
+    at scale), so the per-cell pass becomes a partition-local GEMM with
+    no shuffle beyond the one clustering write; cells too large for one
+    task take the `block_cosine_pairs` kernel within the cell (same
+    math, bounded memory). Misses can only happen across cell
+    boundaries — the recall/cost dial is `n_clusters`, exactly as in
+    the paper.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("varr"),
+    ).withColumn("features", array_to_vector("varr"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
+                   predictionCol="cluster_id").fit(ds)
+    assigned = model.transform(ds).select("id", "cluster_id", "varr")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.stack(pdf["varr"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = np.round(m @ m.T, 6)
+        n = len(pdf)
+        kept_idx: list[int] = []
+        keep = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if not kept_idx or sims[i, kept_idx].max() < threshold:
+                keep[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame({"id": pdf["id"], "cluster_id": pdf["cluster_id"],
+                             "keep": keep})
+
+    return (assigned.groupBy("cluster_id")
+            .applyInPandas(greedy, "id long, cluster_id int, keep boolean"))

@@ -288,3 +288,71 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     for name, p in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, p, PII_TOKENS[name])
     return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def dup_ngram_stats(df: DataFrame, n: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus duplicated n-gram coverage (the RefinedWeb/Dolma
+    "fraction of tokens inside a duplicated n-gram span" signal, the
+    scalable stand-in for exact suffix-array substring dedup): for every
+    document, the fraction of its word n-grams that also occur in at
+    least one OTHER document (or twice in this one).
+
+    Scale shape: the explode is linear in total tokens; both
+    aggregations hash-partition on the gram with map-side partial
+    combine, and the document-frequency join lands on the already
+    shuffled gram key (co-partitioned, no extra exchange of the big
+    side). Nothing is quadratic — hot grams only widen one hash bucket,
+    which AQE skew-split handles.
+    """
+    toks = tokens(text_col)
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+            .where(F.size("toks") >= n))
+    grams = base.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> array_join(slice(toks, i, {n}), ' '))").alias("grams"))
+    pos = grams.select(id_col, F.explode("grams").alias("gram"))
+    dg = pos.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    gdf = dg.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    per_doc = (dg.join(gdf, "gram")
+               .groupBy(id_col)
+               .agg(F.sum("c").alias("n_grams"),
+                    F.sum(F.when((F.col("doc_freq") >= 2) | (F.col("c") >= 2),
+                                 F.col("c")).otherwise(F.lit(0)))
+                    .alias("n_dup")))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6)
+        .alias("dup_frac"))
+
+
+def chunk_windows(df: DataFrame, window: int = 32, stride: int = 24,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking for RAG / context packing: overlapping
+    token windows of `window` tokens advancing by `stride` (the last
+    chunk may be shorter). Emits (doc, chunk_idx, chunk token count,
+    md5 of the chunk text) — the hash is what a downstream vector
+    index or chunk-level dedup keys on.
+
+    Pure JVM expressions: sequence + posexplode + slice; linear in
+    tokens with zero shuffles (narrow one-to-many), so it pipelines
+    into whatever consumes the chunks.
+    """
+    toks = tokens(text_col)
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+            .where(F.size("toks") > 0))
+    starts = F.expr(f"sequence(0, size(toks) - 1, {stride})")
+    chunks = base.select(
+        F.col(id_col), F.col("toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"))
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(window), F.size("toks") - F.col("start"))
+        .cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(F.expr(f"slice(toks, start + 1, {window})"), " "))
+        .alias("chunk_hash"))

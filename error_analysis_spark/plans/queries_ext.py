@@ -1230,6 +1230,121 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-corpus duplicated n-gram coverage (suffix-array-dedup stand-in)
+# --------------------------------------------------------------------------
+
+_DUPN = 8
+
+
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.dup_ngram_stats(docs, n=_DUPN)
+
+
+DUP_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_DUPN} + 1)) AS i
+  FROM toks WHERE len(toks) >= {_DUPN}
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + {_DUPN} - 1), ' ') AS gram
+  FROM pos
+),
+dg AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+gdf AS (SELECT gram, count(*) AS doc_freq FROM dg GROUP BY gram)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN doc_freq >= 2 OR c >= 2 THEN c ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN doc_freq >= 2 OR c >= 2 THEN c ELSE 0 END)
+                  AS DOUBLE) / sum(c), 6) AS dup_frac
+FROM dg JOIN gdf USING (gram)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking (RAG / chunk-level dedup keys)
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_windows(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_CHUNK_S})) AS start
+  FROM toks WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(least({_CHUNK_W}, len(toks) - start) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + {_CHUNK_W}),
+                           ' ')) AS chunk_hash
+FROM pos
+"""
+
+
+# --------------------------------------------------------------------------
+# Domain mixing weights (DoReMi-lite; extensions/mixing.py)
+# --------------------------------------------------------------------------
+
+def curation_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import mixing as MX
+    docs = load_table(spark, sf_dir, "documents")
+    return MX.domain_mix_weights(docs)
+
+
+DOMAIN_WEIGHTS_SQL = """
+WITH t AS (
+  SELECT source, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(round(round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE) / length(text)), 6) * 1e6) AS BIGINT) AS q_fp
+  FROM t
+),
+per AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(q_fp) AS BIGINT) AS q_fp_sum
+  FROM q GROUP BY source
+),
+w AS (
+  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE))
+                       * (CAST(q_fp_sum AS DOUBLE) / n_docs)) AS BIGINT)
+            AS raw_fp
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(q_fp_sum AS DOUBLE) / n_docs / 1e6, 6) AS mean_quality,
+       round(CAST(raw_fp AS DOUBLE) / sum(raw_fp) OVER (), 6) AS weight
+FROM w
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
@@ -1259,4 +1374,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_pii_scrub": (text_pii_scrub, PII_SQL),
     "text_contamination": (text_contamination, CONTAM_SQL),
     "curation_funnel": (curation_funnel, CURATION_SQL),
+    "text_dup_ngrams": (text_dup_ngrams, DUP_NGRAMS_SQL),
+    "text_chunk_windows": (text_chunk_windows, CHUNK_WINDOWS_SQL),
+    "curation_domain_weights": (curation_domain_weights, DOMAIN_WEIGHTS_SQL),
 }

@@ -158,3 +158,48 @@ def test_hyperplane_buckets_use_all_planes(vectors):
     cand = int((sizes * (sizes - 1) // 2).sum())
     n = len(bk)
     assert cand < 0.2 * n * (n - 1) // 2, cand
+
+
+def test_semantic_dedup_drops_planted_dups(spark):
+    """SemDeDup over well-separated clusters: every planted near-copy is
+    dropped, every family survives exactly once via its min id, and the
+    result equals the brute-force greedy over the FULL similarity matrix
+    (cluster confinement loses nothing when cells are separated)."""
+    rs = np.random.RandomState(23)
+    centers = rs.standard_normal((6, 16)) * 10.0
+    rows, rid = [], 0
+    families = []
+    for c in range(6):
+        fam = []
+        for m in range(5):  # 5 distinct base vectors per cluster
+            v = centers[c] + rs.standard_normal(16) * 0.8
+            fam.append(rid)
+            rows.append((rid, [float(x) for x in v]))
+            rid += 1
+            for _ in range(2):  # 2 planted near-copies of each base
+                w = v * (1 + rs.standard_normal(16) * 1e-4)
+                fam.append(rid)
+                rows.append((rid, [float(x) for x in w]))
+                rid += 1
+        families.append(fam)
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["vec_id", "embedding"]))
+    out = SIM.semantic_dedup(df, n_clusters=6, threshold=0.999,
+                             seed=5).toPandas().sort_values("id")
+    kept = set(out[out["keep"]]["id"])
+
+    # brute-force greedy reference over the full matrix
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    ref_kept: list[int] = []
+    for i in range(len(rows)):
+        if not ref_kept or sims[i, ref_kept].max() < 0.999:
+            ref_kept.append(i)
+    assert kept == set(ref_kept)
+    # exactly one survivor per (base-vector) dup family: its min id
+    assert len(kept) == 6 * 5
+    for fam in families:
+        for base_pos in range(0, len(fam), 3):
+            trio = fam[base_pos:base_pos + 3]
+            assert set(trio) & kept == {min(trio)}
