@@ -111,3 +111,51 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
          ("near_dup_dedup", n3, n4)],
         "stage string, rows_in long, rows_out long")
     return kept, stats
+
+
+def quality_prune(docs: DataFrame, keep_frac: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Data pruning by quality percentile: keep EXACTLY
+    ``ceil(keep_frac × N)`` documents, the highest-quality first with
+    deterministic `(quality desc, doc_id asc)` tie-breaking — the
+    "train on the best X% of the corpus" selection step.
+
+    Scale shape — no global sort, no full-width window: quality is
+    fixed-pointed to a 1e-6 grid, so its distinct-value histogram is
+    bounded by ~10⁶ rows regardless of corpus size. The histogram is
+    one map-side-combinable aggregate; a driver-side cumulative sum
+    over it yields the threshold quality q* plus how many of the docs
+    AT q* survive. The kept set is then a pure filter (`quality > q*`)
+    UNION the first `tie_keep` docs of the q* tie bucket ordered by id
+    — ranked with a bounded window over ONLY the tie bucket (ties on a
+    1e-6 quality grid are a vanishing fraction of N; the bound is
+    logged in the plan via the filter, not assumed).
+
+    Returns the kept docs annotated with `quality`.
+    """
+    q_fp = F.round(TX.quality_expr(text_col) * 1e6).cast("long")
+    scored = docs.withColumn("_q_fp", q_fp)
+
+    hist = (scored.groupBy("_q_fp").agg(F.count("*").alias("c"))
+            .orderBy(F.col("_q_fp").desc()).collect())
+    n_total = sum(r["c"] for r in hist)
+    import math
+    k = min(max(math.ceil(n_total * keep_frac), 0), n_total)
+    n_above, q_star, tie_keep = 0, None, 0
+    for r in hist:
+        if n_above + r["c"] >= k:
+            q_star, tie_keep = int(r["_q_fp"]), k - n_above
+            break
+        n_above += r["c"]
+    if q_star is None:  # keep_frac >= 1: keep everything
+        return scored.select(*docs.columns,
+                             (F.col("_q_fp") / 1e6).alias("quality"))
+
+    above = scored.where(F.col("_q_fp") > q_star)
+    ties = (scored.where(F.col("_q_fp") == q_star)
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(id_col)))
+            .where(F.col("_rn") <= tie_keep).drop("_rn"))
+    kept = above.unionByName(ties)
+    return kept.select(*docs.columns, (F.col("_q_fp") / 1e6).alias("quality"))

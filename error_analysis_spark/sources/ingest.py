@@ -95,3 +95,42 @@ def las_to_points(spark: SparkSession, path: str) -> DataFrame:
         "return_number": np.asarray(las.return_number, dtype=np.int32),
     })
     return spark.createDataFrame(pdf)  # pragma: no cover
+
+
+# --------------------------------------------------------------------------
+# JSONL documents source/sink (training-data interchange format)
+# --------------------------------------------------------------------------
+
+DOCUMENTS_SCHEMA = ("doc_id BIGINT, text STRING, lang STRING, "
+                    "source STRING, n_chars BIGINT")
+
+
+def write_documents_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                          compression: str | None = "gzip",
+                          shards: int | None = None) -> None:
+    """JSONL sink — the lingua franca of pretraining corpora. One file
+    per partition; pass `shards` to repartition for a target shard
+    count (a full shuffle — prefer leaving it None and letting the
+    upstream partitioning carry through). gzip by default: JSONL
+    shards are read once and archived, so size wins over codec speed."""
+    w = df if shards is None else df.repartition(shards)
+    writer = w.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str,
+                         schema: str = DOCUMENTS_SCHEMA,
+                         keep_corrupt: bool = False) -> DataFrame:
+    """Schema-pinned JSONL scan. The explicit schema is the scale
+    contract: without it Spark runs a full inference pre-pass over the
+    corpus (an extra 100 TB read) and any malformed shard can flip
+    column types mid-pipeline. PERMISSIVE mode nulls malformed rows;
+    `keep_corrupt` adds a `_corrupt_record` column so the cleaning
+    stage can quarantine them instead of silently dropping."""
+    s = schema + (", _corrupt_record STRING" if keep_corrupt else "")
+    return (spark.read.schema(s)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path))
