@@ -400,3 +400,62 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .groupBy("id")
         .agg(F.sum("bitval").cast("long").alias("simhash"))
     )
+
+
+def incremental_dedup(corpus: DataFrame, delta: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 16, bands: int = 4,
+                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+    """Delta-vs-corpus dedup — the production shape at 100 TB: the
+    already-curated corpus is never re-paired against itself; only the
+    NEW batch is screened, in two stages.
+
+    1. exact — md5(text) of the delta probes the corpus hash column
+       (at scale: a bucketed/sorted corpus table, so this equi-join is
+       co-located; the corpus side never reshuffles).
+    2. near-dup — the corpus's row-local banded MinHash signatures act
+       as a persisted LSH index (in production partitioned by
+       (band, sig)); delta signatures probe it, and candidates are
+       verified with exact token Jaccard. Cost is O(|delta| ×
+       bucket_hit_rate), independent of corpus size.
+
+    Output: one row per delta doc — (id, status ∈ {'kept',
+    'exact_dup', 'near_dup'}, match_id = the minimum colliding corpus
+    id, NULL when kept). Deterministic: min over matches on both
+    stages.
+    """
+    c_hash = (corpus.select(F.md5(text_col).alias("_h"),
+                            F.col(id_col).alias("_cid"))
+              .groupBy("_h").agg(F.min("_cid").alias("exact_match")))
+    d = delta.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("_text"),
+                     F.md5(text_col).alias("_h"))
+    d1 = d.join(c_hash, "_h", "left")
+
+    surv = (d1.where(F.col("exact_match").isNull())
+            .select(F.col("id").alias(id_col),
+                    F.col("_text").alias(text_col)))
+    cb = (banded_signatures(corpus, text_col, id_col, num_perm, bands, seed)
+          .select(F.col("id").alias("cid"), "band", "sig"))
+    db = banded_signatures(surv, text_col, id_col, num_perm, bands, seed)
+    cands = (db.join(cb, ["band", "sig"])
+             .select("id", "cid").distinct())
+
+    ctoks = corpus.select(F.col(id_col).alias("cid"),
+                          F.array_distinct(tokens(text_col)).alias("toks_c"))
+    dtoks = surv.select(F.col(id_col).alias("id"),
+                        F.array_distinct(tokens(text_col)).alias("toks_d"))
+    jac = (F.size(F.array_intersect("toks_d", "toks_c")).cast("double")
+           / (F.size("toks_d") + F.size("toks_c")
+              - F.size(F.array_intersect("toks_d", "toks_c"))))
+    near = (cands.join(dtoks, "id").join(ctoks, "cid")
+            .where(jac >= threshold)
+            .groupBy("id").agg(F.min("cid").alias("near_match")))
+
+    return (d1.join(near, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.when(F.col("exact_match").isNotNull(), "exact_dup")
+                    .when(F.col("near_match").isNotNull(), "near_dup")
+                    .otherwise("kept").alias("status"),
+                    F.coalesce("exact_match", "near_match")
+                    .alias("match_id")))

@@ -1346,6 +1346,95 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# Incremental delta-vs-corpus dedup (the production shape at scale)
+# --------------------------------------------------------------------------
+
+_INC_PERM, _INC_BANDS, _INC_THRESH = 16, 4, 0.7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus = even doc_ids, delta = doc_id % 3 == 0 — the overlap
+    (doc_id % 6 == 0) exercises the exact stage, the rest the LSH
+    probe; output is one status row per delta doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+    return DD.incremental_dedup(corpus, delta, num_perm=_INC_PERM,
+                                bands=_INC_BANDS, threshold=_INC_THRESH)
+
+
+INCREMENTAL_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(token), 1, 7))::BIGINT % {_M31} AS th
+  FROM toks
+),
+perms AS (
+  SELECT range AS perm,
+         ('0x' || substr(md5('a42_' || range), 1, 7))::BIGINT
+             % ({_M31} - 1) + 1 AS pa,
+         ('0x' || substr(md5('b42_' || range), 1, 7))::BIGINT
+             % {_M31} AS pb
+  FROM range({_INC_PERM})
+),
+sigs AS (
+  SELECT id, perm, min((pa * th + pb) % {_M31}) AS minhash
+  FROM hashed CROSS JOIN perms GROUP BY id, perm
+),
+banded AS (
+  SELECT id, perm // {_INC_PERM // _INC_BANDS} AS band,
+         md5(string_agg(perm || ':' || minhash, ','
+             ORDER BY perm || ':' || minhash)) AS sig
+  FROM sigs GROUP BY id, perm // {_INC_PERM // _INC_BANDS}
+),
+delta AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+exact AS (
+  SELECT d.doc_id AS id, min(c.doc_id) AS exact_match
+  FROM documents d
+  JOIN documents c ON md5(d.text) = md5(c.text) AND c.doc_id % 2 = 0
+  WHERE d.doc_id % 3 = 0
+  GROUP BY d.doc_id
+),
+cands AS (
+  SELECT DISTINCT db.id AS id, cb.id AS cid
+  FROM banded db
+  JOIN banded cb ON db.band = cb.band AND db.sig = cb.sig
+  WHERE db.id % 3 = 0 AND cb.id % 2 = 0
+    AND db.id NOT IN (SELECT id FROM exact)
+),
+sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id, c.cid, count(*) AS inter
+  FROM cands c
+  JOIN toks ta ON ta.id = c.id
+  JOIN toks tb ON tb.id = c.cid AND tb.token = ta.token
+  GROUP BY c.id, c.cid
+),
+near AS (
+  SELECT i.id, min(i.cid) AS near_match
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id
+  JOIN sizes sb ON sb.id = i.cid
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_INC_THRESH}
+  GROUP BY i.id
+)
+SELECT d.id AS doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       COALESCE(e.exact_match, nr.near_match) AS match_id
+FROM delta d
+LEFT JOIN exact e ON e.id = d.id
+LEFT JOIN near nr ON nr.id = d.id
+"""
+
+
+# --------------------------------------------------------------------------
 # Quality-percentile pruning (train on the best X% of the corpus)
 # --------------------------------------------------------------------------
 
@@ -1424,4 +1513,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, CHUNK_WINDOWS_SQL),
     "curation_domain_weights": (curation_domain_weights, DOMAIN_WEIGHTS_SQL),
     "curation_quality_prune": (curation_quality_prune, QUALITY_PRUNE_SQL),
+    "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
 }
