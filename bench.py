@@ -81,6 +81,8 @@ HEADLINE = [
     "text_dup_ngrams",
     "text_chunk_windows",
     "curation_domain_weights",
+    "curation_quality_prune",
+    "dedup_incremental",
 ]
 
 

@@ -135,7 +135,11 @@ def quality_prune(docs: DataFrame, keep_frac: float = 0.5,
     Returns the kept docs annotated with `quality`.
     """
     q_fp = F.round(TX.quality_expr(text_col) * 1e6).cast("long")
-    scored = docs.withColumn("_q_fp", q_fp)
+    # Two passes consume `scored` (the histogram, then the kept-set
+    # filter) — persist so the corpus scan + quality scoring run once,
+    # the same stage-cache discipline as `curate_documents`.
+    scored = docs.withColumn("_q_fp", q_fp) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     hist = (scored.groupBy("_q_fp").agg(F.count("*").alias("c"))
             .orderBy(F.col("_q_fp").desc()).collect())
