@@ -51,6 +51,7 @@ _FRONT = [
     "sim_lsh_topk", "w4_sessionize", "j10_asof_join",
     "text_dup_ngrams", "text_chunk_windows", "curation_domain_weights",
     "curation_quality_prune", "dedup_incremental",
+    "curation_weighted_sample",
 ]
 _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
                "f5_valid_filter", "so2_anti_join", "f1_drop_noise",
@@ -58,7 +59,8 @@ _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
                "f6_percentile_clip", "sc_scalar_pack", "sc6_gps_dates",
                "sc2_catalog_parse", "so3_full_outer", "a5_mean_variogram",
                "a1_describe_events", "a7_bootstrap_median", "f2_keep_ground",
-               "q01_pricing_summary", "text_fingerprint"]
+               "q01_pricing_summary", "text_fingerprint",
+               "text_token_stats"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

@@ -83,6 +83,7 @@ HEADLINE = [
     "curation_domain_weights",
     "curation_quality_prune",
     "dedup_incremental",
+    "curation_weighted_sample",
 ]
 
 

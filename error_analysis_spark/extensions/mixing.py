@@ -230,3 +230,31 @@ def domain_mix_weights(docs: DataFrame, group_col: str = "source",
         .alias("mean_quality"),
         F.round(F.col("_raw_fp").cast("double") / total, 6).alias("weight"))
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted per-group sampling without replacement (A-ES)
+# --------------------------------------------------------------------------
+
+def weighted_sample_k(docs: DataFrame, k: int, weight_col: str,
+                      group_col: str = "source", id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement of k rows per group
+    (Efraimidis–Spirakis A-ES): each row gets key u^(1/w) with u a
+    deterministic md5-uniform of its id; the k largest keys per group
+    are distributed ∝ weight — "pick the k docs per domain, favoring
+    quality" in one pass.
+
+    One shuffle on the group key; the rank window is PARTITIONED by
+    group (no global funnel), and the sample is partitioning- and
+    order-independent (the key is a pure function of the row id).
+    Non-positive weights are excluded (they have zero selection mass).
+    Output: input columns + `rn` (1..k selection order).
+    """
+    u = hash_uniform(F.col(id_col), seed)
+    keyed = (docs.where(F.col(weight_col) > 0)
+             .withColumn("_aes", F.pow(u, F.lit(1.0) / F.col(weight_col))))
+    w = Window.partitionBy(group_col).orderBy(F.col("_aes").desc(),
+                                              F.col(id_col))
+    return (keyed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("_aes"))

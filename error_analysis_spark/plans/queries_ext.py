@@ -1346,6 +1346,51 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# Weighted per-group sampling without replacement (A-ES)
+# --------------------------------------------------------------------------
+
+_WS_K = 5
+
+
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions import mixing as MX
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("w", TX.quality_expr("text"))
+    out = MX.weighted_sample_k(scored, k=_WS_K, weight_col="w",
+                               seed=_MIX_SEED)
+    return out.select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE) / length(text)), 6) AS w
+  FROM t
+),
+keyed AS (
+  SELECT doc_id, source,
+         pow({_U_SQL.format(seed=_MIX_SEED, col="doc_id")}, 1.0 / w) AS aes
+  FROM q WHERE w > 0
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY aes DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, rn FROM ranked WHERE rn <= {_WS_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Incremental delta-vs-corpus dedup (the production shape at scale)
 # --------------------------------------------------------------------------
 
@@ -1514,4 +1559,6 @@ EXT_QUERIES: dict[str, tuple] = {
     "curation_domain_weights": (curation_domain_weights, DOMAIN_WEIGHTS_SQL),
     "curation_quality_prune": (curation_quality_prune, QUALITY_PRUNE_SQL),
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
+    "curation_weighted_sample": (curation_weighted_sample,
+                                 WEIGHTED_SAMPLE_SQL),
 }

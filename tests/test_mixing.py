@@ -121,3 +121,36 @@ def test_pack_chunks_partitioning_independent(spark, docs):
     c = MX.pack_chunks(docs.repartition(23), chunk_tokens=64, seed=3) \
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(c)
+
+
+def test_weighted_sample_k(spark):
+    """A-ES weighted WOR sampling: exactly k per group, heavy weights
+    dominate the sample, and the draw is partitioning-independent."""
+    import pandas as pd
+    rows = []
+    for g in ("g0", "g1"):
+        for i in range(200):
+            rid = (0 if g == "g0" else 1000) + i
+            rows.append((rid, g, 10.0 if i < 40 else 0.05))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "w"]))
+    out = MX.weighted_sample_k(df, k=20, weight_col="w",
+                               seed=7).toPandas()
+    assert (out.groupby("source").size() == 20).all()
+    assert set(out["rn"]) == set(range(1, 21))
+    # heavy rows are 40/200 of the pool but carry 10/0.05 = 200× the
+    # mass — they should dominate every group's sample
+    for g, grp in out.groupby("source"):
+        heavy = (grp["doc_id"] % 1000 < 40).sum()
+        assert heavy >= 15, (g, heavy)
+    # deterministic under repartitioning
+    again = MX.weighted_sample_k(df.repartition(17), k=20, weight_col="w",
+                                 seed=7).toPandas()
+    a = out.sort_values(["source", "rn"]).reset_index(drop=True)
+    b = again.sort_values(["source", "rn"]).reset_index(drop=True)
+    assert a[["source", "doc_id", "rn"]].equals(b[["source", "doc_id", "rn"]])
+    # zero/negative weights never selected
+    df2 = df.withColumn("w", F.when(F.col("doc_id") % 2 == 0,
+                                    F.lit(0.0)).otherwise(F.col("w")))
+    out2 = MX.weighted_sample_k(df2, k=20, weight_col="w", seed=7).toPandas()
+    assert (out2["doc_id"] % 2 == 1).all()
