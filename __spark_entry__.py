@@ -51,7 +51,7 @@ _FRONT = [
     "sim_lsh_topk", "w4_sessionize", "j10_asof_join",
     "text_dup_ngrams", "text_chunk_windows", "curation_domain_weights",
     "curation_quality_prune", "dedup_incremental",
-    "curation_weighted_sample",
+    "curation_weighted_sample", "emb_label_centroids",
 ]
 _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
                "f5_valid_filter", "so2_anti_join", "f1_drop_noise",
@@ -60,7 +60,7 @@ _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
                "sc2_catalog_parse", "so3_full_outer", "a5_mean_variogram",
                "a1_describe_events", "a7_bootstrap_median", "f2_keep_ground",
                "q01_pricing_summary", "text_fingerprint",
-               "text_token_stats"]
+               "text_token_stats", "text_quality"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

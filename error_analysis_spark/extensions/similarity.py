@@ -409,3 +409,28 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
 
     return (assigned.groupBy("cluster_id")
             .applyInPandas(greedy, "id long, cluster_id int, keep boolean"))
+
+
+def label_centroids(embeddings: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-class embedding centroids in long (label, dim, mean) format —
+    the building block for IVF list seeding, SemDeDup cell statistics,
+    and class-prototype (nearest-centroid) classification.
+
+    posexplode is a narrow fan-out; one hash aggregate on (label, dim)
+    with map-side partial combine, and the reduce-side key space is
+    |classes| × dims — tiny regardless of corpus size, so the shuffle
+    carries only partial sums. Cross-engine determinism: elements are
+    fixed-pointed to 1e-9 BEFORE summing (integer sums commute; double
+    sums don't), then the mean divides exactly once.
+    """
+    expl = embeddings.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"))
+    fp = F.round(F.col("val").cast("double") * 1e9).cast("long")
+    return (expl.groupBy("label", "dim")
+            .agg(F.count("*").alias("n_vecs"), F.sum(fp).alias("_s"))
+            .select("label", F.col("dim").cast("long").alias("dim"),
+                    "n_vecs",
+                    F.round(F.col("_s").cast("double")
+                            / F.col("n_vecs") / 1e9, 6).alias("mean_val")))

@@ -1346,6 +1346,30 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# Per-class embedding centroids (IVF seeding / nearest-centroid stats)
+# --------------------------------------------------------------------------
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb)
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(list_transform(embedding,
+                (x, i) -> struct_pack(dim := CAST(i - 1 AS BIGINT),
+                                      val := CAST(x AS DOUBLE)))) AS u
+  FROM embeddings
+)
+SELECT label, u.dim AS dim, count(*) AS n_vecs,
+       round(CAST(sum(CAST(round(u.val * 1e9) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e9, 6) AS mean_val
+FROM e GROUP BY label, u.dim
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted per-group sampling without replacement (A-ES)
 # --------------------------------------------------------------------------
 
@@ -1561,4 +1585,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     "curation_weighted_sample": (curation_weighted_sample,
                                  WEIGHTED_SAMPLE_SQL),
+    "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_SQL),
 }
