@@ -84,6 +84,7 @@ HEADLINE = [
     "curation_quality_prune",
     "dedup_incremental",
     "curation_weighted_sample",
+    "emb_label_centroids",
 ]
 
 
