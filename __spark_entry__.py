@@ -60,7 +60,10 @@ _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
                "sc2_catalog_parse", "so3_full_outer", "a5_mean_variogram",
                "a1_describe_events", "a7_bootstrap_median", "f2_keep_ground",
                "q01_pricing_summary", "text_fingerprint",
-               "text_token_stats", "text_quality"]
+               "text_token_stats", "text_quality",
+               # rows-only (no SQL oracle possible): takes next round's
+               # weak check, never displaces a hash-checked query
+               "sim_semantic_dedup"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

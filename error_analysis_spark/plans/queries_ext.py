@@ -1346,6 +1346,17 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# SemDeDup semantic dedup (rows-only: the KMeans cell assignment is not
+# SQL-expressible; correctness is pinned by the brute-force greedy
+# parity test in tests/test_similarity_scale.py)
+# --------------------------------------------------------------------------
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, n_clusters=8, threshold=0.95, seed=42)
+
+
+# --------------------------------------------------------------------------
 # Per-class embedding centroids (IVF seeding / nearest-centroid stats)
 # --------------------------------------------------------------------------
 
@@ -1586,4 +1597,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "curation_weighted_sample": (curation_weighted_sample,
                                  WEIGHTED_SAMPLE_SQL),
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_SQL),
+    "sim_semantic_dedup": (sim_semantic_dedup, None),
 }
