@@ -52,6 +52,7 @@ _FRONT = [
     "text_dup_ngrams", "text_chunk_windows", "curation_domain_weights",
     "curation_quality_prune", "dedup_incremental",
     "curation_weighted_sample", "emb_label_centroids",
+    "text_perplexity",
 ]
 _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
                "f5_valid_filter", "so2_anti_join", "f1_drop_noise",
@@ -60,7 +61,7 @@ _ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
                "sc2_catalog_parse", "so3_full_outer", "a5_mean_variogram",
                "a1_describe_events", "a7_bootstrap_median", "f2_keep_ground",
                "q01_pricing_summary", "text_fingerprint",
-               "text_token_stats", "text_quality",
+               "text_token_stats", "text_quality", "sim_cosine_topk",
                # rows-only (no SQL oracle possible): takes next round's
                # weak check, never displaces a hash-checked query
                "sim_semantic_dedup"]

@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_incremental",
     "curation_weighted_sample",
     "emb_label_centroids",
+    "text_perplexity",
 ]
 
 

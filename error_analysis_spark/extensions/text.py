@@ -365,3 +365,43 @@ def chunk_windows(df: DataFrame, window: int = 32, stride: int = 24,
         .cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(F.expr(f"slice(toks, start + 1, {window})"), " "))
         .alias("chunk_hash"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram cross-entropy scoring against the corpus's own token
+    distribution — the cheap stand-in for the perplexity filter of
+    CCNet-style curation (docs whose token mix is improbable under the
+    corpus model are boilerplate/noise candidates). Add-one smoothing:
+    p(t) = (c_t + 1) / (N + V) with c_t the corpus count, N total
+    occurrences, V vocabulary size.
+
+    Output per doc: n_tokens, cross_entropy = -mean ln p(t_i) (dup
+    tokens counted), perplexity = exp(cross_entropy).
+
+    Scale shape: vocabulary counts are one token-keyed hash agg
+    (map-side combine); scoring joins the exploded doc tokens to the
+    vocab on the same token key (broadcast it when the vocab fits —
+    Spark's AQE decides); the doc rollup is one more hash agg. Nothing
+    holds the vocab in one place. Cross-engine determinism: per-token
+    ln p is fixed-pointed to 1e-6 before the order-sensitive sum.
+    """
+    toks = tokens(text_col)
+    pos = (df.select(F.col(id_col), F.explode(toks).alias("token")))
+    totals_row = (pos.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("token").alias("v_size")))
+    vocab = pos.groupBy("token").agg(F.count("*").alias("c"))
+    lp_fp = F.round(F.log(
+        (F.col("c") + 1).cast("double")
+        / (F.col("n_total") + F.col("v_size")).cast("double")) * 1e6
+    ).cast("long")
+    scored = (pos.join(vocab, "token")
+              .crossJoin(F.broadcast(totals_row))
+              .select(F.col(id_col), lp_fp.alias("_lp")))
+    ce = -F.col("_s").cast("double") / F.col("n_tokens") / 1e6
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"), F.sum("_lp").alias("_s"))
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.round(ce, 6).alias("cross_entropy"),
+                    F.round(F.exp(ce), 6).alias("perplexity")))

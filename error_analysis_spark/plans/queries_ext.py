@@ -1346,6 +1346,40 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# Unigram cross-entropy / perplexity scoring (CCNet-style filter)
+# --------------------------------------------------------------------------
+
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_logprob(docs)
+
+
+PERPLEXITY_SQL = """
+WITH pos AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+),
+tot AS (SELECT count(*) AS n_total, count(DISTINCT token) AS v_size FROM pos),
+vocab AS (SELECT token, count(*) AS c FROM pos GROUP BY token),
+lp AS (
+  SELECT p.doc_id,
+         CAST(round(ln(CAST(v.c + 1 AS DOUBLE)
+                       / CAST(t.n_total + t.v_size AS DOUBLE)) * 1e6)
+              AS BIGINT) AS lp_fp
+  FROM pos p JOIN vocab v USING (token), tot t
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(-CAST(sum(lp_fp) AS DOUBLE) / count(*) / 1e6, 6)
+         AS cross_entropy,
+       round(exp(-CAST(sum(lp_fp) AS DOUBLE) / count(*) / 1e6), 6)
+         AS perplexity
+FROM lp GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # SemDeDup semantic dedup (rows-only: the KMeans cell assignment is not
 # SQL-expressible; correctness is pinned by the brute-force greedy
 # parity test in tests/test_similarity_scale.py)
@@ -1598,4 +1632,5 @@ EXT_QUERIES: dict[str, tuple] = {
                                  WEIGHTED_SAMPLE_SQL),
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_SQL),
     "sim_semantic_dedup": (sim_semantic_dedup, None),
+    "text_perplexity": (text_perplexity, PERPLEXITY_SQL),
 }
