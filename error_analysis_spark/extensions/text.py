@@ -379,29 +379,43 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     Output per doc: n_tokens, cross_entropy = -mean ln p(t_i) (dup
     tokens counted), perplexity = exp(cross_entropy).
 
-    Scale shape: vocabulary counts are one token-keyed hash agg
-    (map-side combine); scoring joins the exploded doc tokens to the
-    vocab on the same token key (broadcast it when the vocab fits —
-    Spark's AQE decides); the doc rollup is one more hash agg. Nothing
-    holds the vocab in one place. Cross-engine determinism: per-token
-    ln p is fixed-pointed to 1e-6 before the order-sensitive sum.
+    Scale shape: tokens are pre-counted ROW-LOCALLY (array count-by-
+    value, the dup_ngram_stats pattern), so the wide data is one
+    (doc, token, count) stream of per-doc DISTINCT tokens — duplicate
+    occurrences never ship. Vocabulary totals are one token-keyed hash
+    agg over that stream (map-side combine); scoring joins back on the
+    same token key (broadcast when the vocab fits — AQE decides); the
+    doc rollup weights each log-prob by its local count, which is
+    integer-exact, so the result is bit-identical to the
+    per-occurrence form the DuckDB oracle computes. Cross-engine
+    determinism: per-token ln p is fixed-pointed to 1e-6 before any
+    order-sensitive sum.
     """
     toks = tokens(text_col)
-    pos = (df.select(F.col(id_col), F.explode(toks).alias("token")))
-    totals_row = (pos.agg(
-        F.count("*").alias("n_total"),
-        F.countDistinct("token").alias("v_size")))
-    vocab = pos.groupBy("token").agg(F.count("*").alias("c"))
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+            .where(F.size("toks") > 0))
+    pairs = (base.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(array_distinct(toks),"
+            " x -> struct(x AS token, size(filter(toks, y -> y = x))"
+            " AS c))")).alias("p"))
+        .select(F.col(id_col), F.col("p.token").alias("token"),
+                F.col("p.c").cast("long").alias("c")))
+    vocab = pairs.groupBy("token").agg(F.sum("c").alias("ct"))
+    totals_row = vocab.agg(F.sum("ct").alias("n_total"),
+                           F.count("*").alias("v_size"))
     lp_fp = F.round(F.log(
-        (F.col("c") + 1).cast("double")
+        (F.col("ct") + 1).cast("double")
         / (F.col("n_total") + F.col("v_size")).cast("double")) * 1e6
     ).cast("long")
-    scored = (pos.join(vocab, "token")
+    scored = (pairs.join(vocab, "token")
               .crossJoin(F.broadcast(totals_row))
-              .select(F.col(id_col), lp_fp.alias("_lp")))
+              .select(F.col(id_col), (F.col("c") * lp_fp).alias("_lp"),
+                      F.col("c")))
     ce = -F.col("_s").cast("double") / F.col("n_tokens") / 1e6
     return (scored.groupBy(id_col)
-            .agg(F.count("*").alias("n_tokens"), F.sum("_lp").alias("_s"))
+            .agg(F.sum("c").alias("n_tokens"), F.sum("_lp").alias("_s"))
             .select(F.col(id_col), F.col("n_tokens"),
                     F.round(ce, 6).alias("cross_entropy"),
                     F.round(F.exp(ce), 6).alias("perplexity")))
