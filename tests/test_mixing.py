@@ -18,7 +18,12 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, SF_DIR, "documents").cache()
+    df = load_table(spark, SF_DIR, "documents").cache()
+    yield df
+    # session-scoped SparkSession: an un-released cache of the RAW scan
+    # relation substitutes itself into every later plan over the same
+    # file (breaking plan-shape assertions in other modules)
+    df.unpersist()
 
 
 def test_sample_partitioning_independent(spark, docs):

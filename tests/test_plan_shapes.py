@@ -26,6 +26,9 @@ def test_chunk_windows_no_exchange(spark):
 
 
 def test_dup_ngrams_shuffles_hashes_not_strings(spark):
+    # plan-shape assertions inspect the FileScan — drop any cached
+    # relation another module may have left over this file
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(TX.dup_ngram_stats(docs, n=8))
     # wide columns are the 64-bit gram hash + counts; the gram STRING
