@@ -39,16 +39,27 @@ def _dec(col, scale: int = 4):
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc = _dec(F.col("l_extendedprice"), 4) * _dec(1 - F.col("l_discount"), 4)
-    charge = disc * _dec(1 + F.col("l_tax"), 4)
+    # The 2-/3-factor product sums are fixed-pointed to 1e-6 per row
+    # BEFORE summing (bigint sums are order-independent and exact).
+    # Pure-decimal products are NOT portable here: DECIMAL(30,4)³
+    # overflows 38 digits (engine-specific rounding, last-ulp
+    # sum_charge drift that surfaces only at some scale factors) and
+    # DuckDB's narrower decimal multiply overflows int64 internally.
+    # Each double op below is IEEE correctly-rounded with the same
+    # parenthesization in the oracle SQL, so the fixed-point codes are
+    # bit-identical across engines.
+    disc_dbl = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge_dbl = disc_dbl * (1 + F.col("l_tax"))
+    disc = F.round(disc_dbl * 1e6).cast("long")
+    charge = F.round(charge_dbl * 1e6).cast("long")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
             F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(disc).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(disc).cast("double") / 1e6).alias("sum_disc_price"),
+            (F.sum(charge).cast("double") / 1e6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -61,8 +72,11 @@ Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(1 - l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(1 - l_discount AS DECIMAL(30,4)) * CAST(1 + l_tax AS DECIMAL(30,4))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6)
+                     AS BIGINT)) AS DOUBLE) / 1e6 AS sum_disc_price,
+       CAST(sum(CAST(round(((l_extendedprice * (1 - l_discount))
+                            * (1 + l_tax)) * 1e6)
+                     AS BIGINT)) AS DOUBLE) / 1e6 AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
