@@ -132,14 +132,21 @@ def quality_prune(docs: DataFrame, keep_frac: float = 0.5,
     1e-6 quality grid are a vanishing fraction of N; the bound is
     logged in the plan via the filter, not assumed).
 
-    Returns the kept docs annotated with `quality`.
+    Returns the kept docs annotated with `quality`. Docs with NULL
+    quality (empty/whitespace-only text — see text._nz) carry no
+    quality mass and are never kept, mirroring `weighted_sample_k`'s
+    non-positive-weight rule.
+
+    Cost note: the two consuming passes (histogram, then the kept-set
+    filter) each scan `docs` — deliberately NOT persisted here: a
+    corpus-sized MEMORY_AND_DISK cache is more expensive than a second
+    column-pruned scan at 100 TB, and a persist this function cannot
+    release would pin the corpus for the session lifetime. Callers
+    looping over an already-cached `docs` get the cache for free.
     """
     q_fp = F.round(TX.quality_expr(text_col) * 1e6).cast("long")
-    # Two passes consume `scored` (the histogram, then the kept-set
-    # filter) — persist so the corpus scan + quality scoring run once,
-    # the same stage-cache discipline as `curate_documents`.
     scored = docs.withColumn("_q_fp", q_fp) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .where(F.col("_q_fp").isNotNull())
 
     hist = (scored.groupBy("_q_fp").agg(F.count("*").alias("c"))
             .orderBy(F.col("_q_fp").desc()).collect())

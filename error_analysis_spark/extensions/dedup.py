@@ -402,10 +402,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def build_corpus_index(corpus: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 16,
+                       bands: int = 4, seed: int = 42
+                       ) -> dict[str, DataFrame]:
+    """The three corpus-derived screening tables incremental dedup
+    probes: `hash` (md5 → min id), `bands` (banded MinHash LSH index),
+    `toks` (distinct-token arrays for exact Jaccard verify). Build
+    ONCE per curated corpus, then persist — or better, write them out
+    (hash bucketed by `_h`, bands partitioned by (band, sig)) — and
+    pass the result to `incremental_dedup(..., index=...)` for every
+    arriving batch: the per-batch cost then has NO corpus-scan
+    component at all. Without a prebuilt index, each
+    `incremental_dedup` call derives all three (= three corpus scans,
+    column-pruned; fine for one-shot use, wasteful in a loop)."""
+    c_hash = (corpus.select(F.md5(text_col).alias("_h"),
+                            F.col(id_col).alias("_cid"))
+              .groupBy("_h").agg(F.min("_cid").alias("exact_match")))
+    cb = (banded_signatures(corpus, text_col, id_col, num_perm, bands,
+                            seed)
+          .select(F.col("id").alias("cid"), "band", "sig"))
+    ctoks = corpus.select(F.col(id_col).alias("cid"),
+                          F.array_distinct(tokens(text_col)).alias("toks_c"))
+    return {"hash": c_hash, "bands": cb, "toks": ctoks}
+
+
 def incremental_dedup(corpus: DataFrame, delta: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 16, bands: int = 4,
-                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+                      threshold: float = 0.5, seed: int = 42,
+                      index: dict[str, DataFrame] | None = None
+                      ) -> DataFrame:
     """Delta-vs-corpus dedup — the production shape at 100 TB: the
     already-curated corpus is never re-paired against itself; only the
     NEW batch is screened, in two stages.
@@ -419,36 +446,37 @@ def incremental_dedup(corpus: DataFrame, delta: DataFrame,
        verified with exact token Jaccard. Cost is O(|delta| ×
        bucket_hit_rate), independent of corpus size.
 
+    Pass `index=build_corpus_index(corpus, ...)` (persisted or saved)
+    when screening a STREAM of batches — the corpus is then never
+    re-derived per call. `num_perm`/`bands`/`seed` must match the ones
+    the index was built with.
+
     Output: one row per delta doc — (id, status ∈ {'kept',
     'exact_dup', 'near_dup'}, match_id = the minimum colliding corpus
     id, NULL when kept). Deterministic: min over matches on both
     stages.
     """
-    c_hash = (corpus.select(F.md5(text_col).alias("_h"),
-                            F.col(id_col).alias("_cid"))
-              .groupBy("_h").agg(F.min("_cid").alias("exact_match")))
+    if index is None:
+        index = build_corpus_index(corpus, text_col, id_col, num_perm,
+                                   bands, seed)
     d = delta.select(F.col(id_col).alias("id"),
                      F.col(text_col).alias("_text"),
                      F.md5(text_col).alias("_h"))
-    d1 = d.join(c_hash, "_h", "left")
+    d1 = d.join(index["hash"], "_h", "left")
 
     surv = (d1.where(F.col("exact_match").isNull())
             .select(F.col("id").alias(id_col),
                     F.col("_text").alias(text_col)))
-    cb = (banded_signatures(corpus, text_col, id_col, num_perm, bands, seed)
-          .select(F.col("id").alias("cid"), "band", "sig"))
     db = banded_signatures(surv, text_col, id_col, num_perm, bands, seed)
-    cands = (db.join(cb, ["band", "sig"])
+    cands = (db.join(index["bands"], ["band", "sig"])
              .select("id", "cid").distinct())
 
-    ctoks = corpus.select(F.col(id_col).alias("cid"),
-                          F.array_distinct(tokens(text_col)).alias("toks_c"))
     dtoks = surv.select(F.col(id_col).alias("id"),
                         F.array_distinct(tokens(text_col)).alias("toks_d"))
     jac = (F.size(F.array_intersect("toks_d", "toks_c")).cast("double")
            / (F.size("toks_d") + F.size("toks_c")
               - F.size(F.array_intersect("toks_d", "toks_c"))))
-    near = (cands.join(dtoks, "id").join(ctoks, "cid")
+    near = (cands.join(dtoks, "id").join(index["toks"], "cid")
             .where(jac >= threshold)
             .groupBy("id").agg(F.min("cid").alias("near_match")))
 

@@ -40,6 +40,15 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
 
 
+
+def _nz(c: Column) -> Column:
+    """Zero→NULL division guard: empty/whitespace-only documents score
+    NULL instead of raising DIVIDE_BY_ZERO under Spark's default ANSI
+    mode — one poison-pill row must never kill a batch job or (worse)
+    a running streaming query. NULL scores fail every quality/language
+    gate, which is the intended curation outcome for empty docs."""
+    return F.nullif(c.cast("double"), F.lit(0.0))
+
 def token_stats(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Token counting + quality scoring signals per document:
@@ -54,9 +63,9 @@ def token_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
-        (n_distinct.cast("double") / n_tok).alias("ttr"),
-        (total_len.cast("double") / n_tok).alias("mean_token_len"),
-        (n_alpha.cast("double") / F.length(text_col)).alias("alpha_ratio"),
+        (n_distinct.cast("double") / _nz(n_tok)).alias("ttr"),
+        (total_len.cast("double") / _nz(n_tok)).alias("mean_token_len"),
+        (n_alpha.cast("double") / _nz(F.length(text_col))).alias("alpha_ratio"),
     )
 
 
@@ -65,9 +74,9 @@ def quality_expr(text_col: str = "text") -> Column:
     projection without a join (the curation funnel annotates in place)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ttr = F.size(F.array_distinct(toks)).cast("double") / _nz(n_tok)
     n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    alpha_ratio = n_alpha.cast("double") / F.length(text_col)
+    alpha_ratio = n_alpha.cast("double") / _nz(F.length(text_col))
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     return F.round(F.lit(0.4) * len_score + F.lit(0.3) * ttr
                    + F.lit(0.3) * alpha_ratio, 6)
@@ -111,7 +120,7 @@ def lang_scores(df: DataFrame, text_col: str = "text",
         "*",
         tokens(F.lower(F.col(text_col))).alias("_toks"),
         (F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
-         .cast("double") / F.length(text_col)).alias("score_zh"),
+         .cast("double") / _nz(F.length(text_col))).alias("score_zh"),
     )
     n_tok = F.size("_toks")
     for lg, ws in STOPWORDS.items():
@@ -119,7 +128,7 @@ def lang_scores(df: DataFrame, text_col: str = "text",
         hits = F.size(F.filter(
             F.col("_toks"), lambda t: F.array_contains(lit_arr, t)))
         base = base.withColumn(f"score_{lg}",
-                               hits.cast("double") / n_tok)
+                               hits.cast("double") / _nz(n_tok))
     keep = [c for c in df.columns] + \
         ["score_zh"] + [f"score_{lg}" for lg in STOPWORDS]
     return _argmax_lang(base.select(*keep))
@@ -139,7 +148,7 @@ def lang_scores_join(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         tokens(F.lower(F.col(text_col))).alias("toks"),
         (F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
-         .cast("double") / F.length(text_col)).alias("score_zh"),
+         .cast("double") / _nz(F.length(text_col))).alias("score_zh"),
     ).withColumn("n_tok", F.size("toks"))
     hits = (
         base.select(id_col, F.explode("toks").alias("token"))
@@ -150,7 +159,8 @@ def lang_scores_join(df: DataFrame, text_col: str = "text",
     for lg in STOPWORDS:
         scored = scored.withColumn(
             f"score_{lg}",
-            F.coalesce(F.col(lg), F.lit(0)).cast("double") / F.col("n_tok"),
+            F.coalesce(F.col(lg), F.lit(0)).cast("double")
+            / _nz(F.col("n_tok")),
         ).drop(lg)
     scored = scored.drop("n_tok")
     return _argmax_lang(scored)
@@ -290,6 +300,18 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
 
 
+
+def count_by_value(arr: str) -> Column:
+    """Row-local (v, c) count-by-value structs over an array column —
+    the pre-aggregation that keeps duplicate elements from ever
+    reaching a shuffle (shared by `dup_ngram_stats` for gram hashes
+    and `unigram_logprob` for tokens). O(|distinct| × |arr|) per row,
+    all inside one expression."""
+    return F.expr(
+        f"transform(array_distinct({arr}),"
+        f" x -> struct(x AS v, size(filter({arr}, y -> y = x)) AS c))")
+
+
 def dup_ngram_stats(df: DataFrame, n: int = 8, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Cross-corpus duplicated n-gram coverage (the RefinedWeb/Dolma
@@ -316,13 +338,8 @@ def dup_ngram_stats(df: DataFrame, n: int = 8, text_col: str = "text",
         f"transform(sequence(1, size(toks) - {n - 1}),"
         f" i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))")
     g = base.select(F.col(id_col), ghash.alias("gh"))
-    dg = (g.select(
-        id_col,
-        F.explode(F.expr(
-            "transform(array_distinct(gh),"
-            " x -> struct(x AS gh, size(filter(gh, y -> y = x)) AS c))"
-        )).alias("p"))
-        .select(F.col(id_col), F.col("p.gh").alias("gram"),
+    dg = (g.select(id_col, F.explode(count_by_value("gh")).alias("p"))
+        .select(F.col(id_col), F.col("p.v").alias("gram"),
                 F.col("p.c").alias("c")))
     gdf = dg.groupBy("gram").agg(F.count("*").alias("doc_freq"))
     per_doc = (dg.join(gdf, "gram")
@@ -394,13 +411,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     toks = tokens(text_col)
     base = (df.select(F.col(id_col), toks.alias("toks"))
             .where(F.size("toks") > 0))
-    pairs = (base.select(
-        F.col(id_col),
-        F.explode(F.expr(
-            "transform(array_distinct(toks),"
-            " x -> struct(x AS token, size(filter(toks, y -> y = x))"
-            " AS c))")).alias("p"))
-        .select(F.col(id_col), F.col("p.token").alias("token"),
+    pairs = (base.select(F.col(id_col),
+                         F.explode(count_by_value("toks")).alias("p"))
+        .select(F.col(id_col), F.col("p.v").alias("token"),
                 F.col("p.c").cast("long").alias("c")))
     vocab = pairs.groupBy("token").agg(F.sum("c").alias("ct"))
     totals_row = vocab.agg(F.sum("ct").alias("n_total"),

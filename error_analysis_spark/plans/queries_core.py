@@ -47,11 +47,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's narrower decimal multiply overflows int64 internally.
     # Each double op below is IEEE correctly-rounded with the same
     # parenthesization in the oracle SQL, so the fixed-point codes are
-    # bit-identical across engines.
+    # bit-identical across engines. The codes are summed as
+    # DECIMAL(38,0) (Spark) ≙ HUGEINT (DuckDB): per-row codes fit
+    # int64, but their per-group SUM crosses 2⁶³ near SF≈160 — the
+    # 128-bit accumulator keeps the sum exact to ~SF 10¹².
     disc_dbl = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge_dbl = disc_dbl * (1 + F.col("l_tax"))
-    disc = F.round(disc_dbl * 1e6).cast("long")
-    charge = F.round(charge_dbl * 1e6).cast("long")
+    disc = F.round(disc_dbl * 1e6).cast("decimal(38,0)")
+    charge = F.round(charge_dbl * 1e6).cast("decimal(38,0)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -73,10 +76,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
        CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6)
-                     AS BIGINT)) AS DOUBLE) / 1e6 AS sum_disc_price,
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS sum_disc_price,
        CAST(sum(CAST(round(((l_extendedprice * (1 - l_discount))
                             * (1 + l_tax)) * 1e6)
-                     AS BIGINT)) AS DOUBLE) / 1e6 AS sum_charge,
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,

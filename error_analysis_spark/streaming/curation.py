@@ -47,7 +47,12 @@ def stream_curate(docs: DataFrame, min_quality: float = 0.3,
                                    seed=seed, watermark=watermark)
 
 
-def funnel_monitor(kept: DataFrame) -> DataFrame:
+def funnel_monitor(kept: DataFrame, text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
     """Update-mode per-source monitor over the funnel survivors —
-    associative counters only, so micro-batch partials merge exactly."""
-    return SD.running_source_stats(kept)
+    associative counters only, so micro-batch partials merge exactly.
+    Pass the same `text_col` given to `stream_curate` (and the grouping
+    column of your schema) so the pair composes for non-default
+    schemas."""
+    return SD.running_source_stats(kept, text_col=text_col,
+                                   group_col=group_col)

@@ -49,13 +49,14 @@ def stream_dedup_exact(docs: DataFrame, text_col: str = "text",
             .dropDuplicatesWithinWatermark(["content_hash"]))
 
 
-def running_source_stats(kept: DataFrame) -> DataFrame:
+def running_source_stats(kept: DataFrame, text_col: str = "text",
+                         group_col: str = "source") -> DataFrame:
     """Update-mode funnel monitor: surviving docs + token volume per
     source — associative counters, so micro-batch partials merge
     exactly."""
-    n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                             lambda t: t != ""))
-    return (kept.groupBy("source")
+    return (kept.groupBy(group_col)
             .agg(F.count("*").alias("n_docs"),
                  F.sum(n_tok).alias("n_tokens")))
 

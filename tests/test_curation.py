@@ -76,3 +76,39 @@ def test_curation_single_pass(spark):
     assert acc.value <= 2 * n_docs, (
         f"input scanned {acc.value / n_docs:.1f}x — stage caches are not "
         f"preventing lineage re-execution")
+
+
+def test_quality_ops_survive_empty_docs(spark):
+    """Poison-pill rows (empty / whitespace-only / NULL text) must
+    score NULL under Spark's default ANSI mode — never raise
+    DIVIDE_BY_ZERO — and quality_prune must never keep them (they
+    carry no quality mass), even at keep_frac=1.0 where the quota
+    reaches the NULL histogram bucket."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import curation as CU
+    from error_analysis_spark.extensions import text as TX
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma", "", "   ", None],
+    })
+    docs = spark.createDataFrame(pdf)
+    scored = docs.select("doc_id",
+                         TX.quality_expr("text").alias("q")).toPandas()
+    byid = scored.set_index("doc_id")["q"]
+    assert byid[1] > 0
+    assert byid[[2, 3, 4]].isna().all()
+    stats = TX.token_stats(docs).toPandas().set_index("doc_id")
+    assert stats.loc[2, "n_tokens"] == 0 and pd.isna(stats.loc[2, "ttr"])
+    langs = TX.lang_scores(docs).toPandas()
+    assert len(langs) == 4  # no crash; argmax may be NULL for empties
+
+    for frac in (0.5, 1.0):
+        kept = CU.quality_prune(docs, keep_frac=frac).toPandas()
+        assert set(kept["doc_id"]) <= {1}
+        assert len(kept) == (1 if frac >= 0.5 else 0) or frac < 0.5
+    # only doc 1 carries quality mass: keep_frac=1.0 keeps exactly it
+    kept_all = CU.quality_prune(docs, keep_frac=1.0).toPandas()
+    assert list(kept_all["doc_id"]) == [1]
