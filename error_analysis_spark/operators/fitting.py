@@ -56,7 +56,14 @@ def _weights(sigma_type: str, lag: np.ndarray, gamma_std: np.ndarray) -> np.ndar
     if sigma_type == "linear":
         return 1.0 / (1.0 + lag)
     if sigma_type == "exp":
-        return np.exp(-lag)
+        # reference formula is exp(-lag) (variography_uncertainty.py:768),
+        # which underflows to exactly 0 for lag ≳ 745 (meters-scaled
+        # variograms) and turns every residual into inf → guaranteed
+        # "no valid fit". Shifting by lag.min() rescales ALL σ by one
+        # constant — the weighted-LS minimizer and the AIC model
+        # RANKING are invariant under that — and the floor only
+        # engages where the reference's own σ would be exact zero.
+        return np.maximum(np.exp(-(lag - np.min(lag))), 1e-100)
     if sigma_type == "sqrt":
         return 1.0 / np.sqrt(1.0 + lag)
     if sigma_type == "sq":
@@ -268,9 +275,10 @@ def bootstrap_fit(spark: SparkSession, vario_pdf: pd.DataFrame, n_comp: int,
 def cross_validate(spark: SparkSession, vario_pdf: pd.DataFrame, n_comp: int,
                    nugget: bool, k_folds: int = 5, sigma_type: str = "std",
                    seed: int = 42) -> pd.DataFrame:
-    """U4 — k-fold CV of the chosen config: fit on k−1 folds, predict the
-    held-out bins, report rmse/mae/me/mse per fold + pooled mean
-    (variography_uncertainty.py:679-729)."""
+    """U4 — k-fold CV of the chosen config: fit on k−1 folds, predict
+    the held-out bins, report rmse/mae/me/mse PER FOLD (one row per
+    fold; pool across folds downstream with a plain mean if a single
+    summary is wanted — variography_uncertainty.py:679-729)."""
     lag = vario_pdf["lag"].to_numpy(np.float64)
     gamma = vario_pdf["gamma_mean"].to_numpy(np.float64)
     gstd = (vario_pdf["gamma_std"].to_numpy(np.float64)

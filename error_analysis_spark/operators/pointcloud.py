@@ -50,25 +50,30 @@ def keep_ground(points: DataFrame) -> DataFrame:
 
 
 def gps_time_to_date(gps_s: Column) -> Column:
-    """SC6 — GPS seconds → date; LAS-1.4 stores adjusted GPS time
-    (t − 1e9); values < 1e9 are assumed already-adjusted and shifted
-    back (differencing_functions.py:1559-1567)."""
-    adj = F.when(gps_s < 1e9, gps_s + 1e9).otherwise(gps_s)
-    return F.date_add(F.to_date(F.lit("1980-01-06")),
-                      F.floor(adj / 86400.0).cast("int"))
+    """SC6 — GPS seconds → date (point-cloud-side alias; the single
+    implementation lives in functions/scalars.py with the epoch and
+    LAS-1.4 offset constants)."""
+    from error_analysis_spark.functions.scalars import gps_seconds_to_date
+    return gps_seconds_to_date(gps_s)
 
 
-def _cell(points: DataFrame, grid: GridSpec) -> DataFrame:
-    """Assign each point to its home cell (SC13 inverse transform)."""
-    return (
+def _cell(points: DataFrame, grid: GridSpec, clip: bool = True) -> DataFrame:
+    """Assign each point to its home cell (SC13 inverse transform).
+    ``clip=False`` keeps out-of-bounds home cells — required when the
+    points are DONORS that fan out to neighbors (a point just outside
+    the grid crop still informs in-bounds cells within its radius)."""
+    cells = (
         points
         .withColumn("row", F.floor((F.lit(grid.y0) - F.col("y")) / F.lit(grid.res))
                     .cast("int"))
         .withColumn("col", F.floor((F.col("x") - F.lit(grid.x0)) / F.lit(grid.res))
                     .cast("int"))
-        .where((F.col("row") >= 0) & (F.col("row") < grid.height)
-               & (F.col("col") >= 0) & (F.col("col") < grid.width))
     )
+    if not clip:
+        return cells
+    return cells.where(
+        (F.col("row") >= 0) & (F.col("row") < grid.height)
+        & (F.col("col") >= 0) & (F.col("col") < grid.width))
 
 
 def grid_max(points: DataFrame, grid: GridSpec) -> DataFrame:
@@ -100,7 +105,10 @@ def grid_idw(points: DataFrame, grid: GridSpec,
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
         for dy in range(-r, r + 1) for dx in range(-r, r + 1)
     ])
-    pts = _cell(points, grid).select("row", "col", "x", "y", "z")
+    # donors must NOT be clipped to the grid: a point outside the crop
+    # is still a legitimate within-radius donor for edge cells (PDAL
+    # writers.gdal semantics; target cells are clipped after fan-out)
+    pts = _cell(points, grid, clip=False).select("row", "col", "x", "y", "z")
     fanned = (
         pts.withColumn("o", F.explode(offsets))
         .select((F.col("row") + F.col("o.dy")).alias("row"),
@@ -267,8 +275,13 @@ def fill_nodata_tps(pixels: DataFrame, grid: GridSpec,
 
     The reference solves ONE dense system over all valid pixels — O(N³)
     and single-node-only; bucketing bounds each solve while keeping
-    every donor within max_dist of any hole it informs. Deterministic:
-    donor cap keeps the smallest (d²-to-bucket-center, row, col)."""
+    every donor within max_dist of the bucket it informs (donors
+    farther than max_dist from the bucket rectangle are dropped before
+    the solve), and holes with NO donor within max_dist stay unfilled
+    (value NULL, filled=false — the same reachability contract as the
+    idw/nearest/linear/cubic variants, so switching methods never
+    changes which cells are fillable). Deterministic: donor cap keeps
+    the smallest (d²-to-bucket-center, row, col)."""
     import pandas as pd
 
     valid = pixels.where(F.col("value").isNotNull())
@@ -295,6 +308,13 @@ def fill_nodata_tps(pixels: DataFrame, grid: GridSpec,
      .withColumn("is_donor", F.lit(False))
     both = donors.unionByName(targets)
 
+    def _unfilled(q: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "row": q["s_row"].astype("int32"),
+            "col": q["s_col"].astype("int32"),
+            "value": pd.array([pd.NA] * len(q), dtype="Float64"),
+            "filled": False})
+
     def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
         by, bx = int(key[0]), int(key[1])
         dn = pdf[pdf["is_donor"]]
@@ -302,29 +322,40 @@ def fill_nodata_tps(pixels: DataFrame, grid: GridSpec,
         if len(q) == 0:
             return pd.DataFrame({"row": pd.Series(dtype="int32"),
                                  "col": pd.Series(dtype="int32"),
-                                 "value": pd.Series(dtype="float64")})
-        if len(dn) == 0:
-            return pd.DataFrame({"row": q["s_row"].astype("int32"),
-                                 "col": q["s_col"].astype("int32"),
-                                 "value": np.nan})
+                                 "value": pd.Series(dtype="float64"),
+                                 "filled": pd.Series(dtype="bool")})
         dx = dn["s_row"].to_numpy(np.float64)
         dy = dn["s_col"].to_numpy(np.float64)
         dv = dn["value"].to_numpy(np.float64)
-        if len(dn) > max_donors:
+        # drop donors farther than max_dist from the bucket rectangle —
+        # they cannot be within max_dist of any hole in this bucket
+        lo_r, hi_r = by * b, (by + 1) * b - 1
+        lo_c, hi_c = bx * b, (bx + 1) * b - 1
+        dr = np.maximum(np.maximum(lo_r - dx, dx - hi_r), 0.0)
+        dc = np.maximum(np.maximum(lo_c - dy, dy - hi_c), 0.0)
+        near = dr * dr + dc * dc <= max_dist * max_dist
+        dx, dy, dv = dx[near], dy[near], dv[near]
+        if len(dx) == 0:
+            return _unfilled(q)
+        if len(dx) > max_donors:
             cy, cx = (by + 0.5) * b, (bx + 0.5) * b
             d2c = (dx - cy) ** 2 + (dy - cx) ** 2
             order = np.lexsort((dy, dx, d2c))[:max_donors]
             dx, dy, dv = dx[order], dy[order], dv[order]
-        vals = tps_solve_eval(dx, dy, dv,
-                              q["s_row"].to_numpy(np.float64),
-                              q["s_col"].to_numpy(np.float64))
-        return pd.DataFrame({"row": q["s_row"].astype("int32"),
-                             "col": q["s_col"].astype("int32"),
-                             "value": vals})
+        qr = q["s_row"].to_numpy(np.float64)
+        qc = q["s_col"].to_numpy(np.float64)
+        # a hole is fillable only if SOME donor lies within max_dist
+        d2 = (qr[:, None] - dx[None, :]) ** 2 + (qc[:, None] - dy[None, :]) ** 2
+        reachable = d2.min(axis=1) <= max_dist * max_dist
+        out = _unfilled(q)
+        if reachable.any():
+            vals = tps_solve_eval(dx, dy, dv, qr[reachable], qc[reachable])
+            out.loc[reachable, "value"] = vals
+            out.loc[reachable, "filled"] = True
+        return out
 
-    filled = (both.groupBy("by", "bx")
-              .applyInPandas(solve, "row int, col int, value double")
-              .withColumn("filled", F.lit(True)))
+    filled = both.groupBy("by", "bx").applyInPandas(
+        solve, "row int, col int, value double, filled boolean")
     keep = valid.select("row", "col", "value").withColumn("filled", F.lit(False))
     return keep.unionByName(filled)
 
@@ -551,15 +582,19 @@ def classify_ground_smrf(points: DataFrame, grid: GridSpec,
     3. points within `threshold` of the resulting bare-earth surface
        are labeled ground (classification 2), others left as-is.
 
-    Tiles carry a `window·cell` halo so openings at tile edges see the
-    same neighborhood they would in a monolithic array — the same
-    halo-exchange trick as the focal operators (operators/focal.py).
+    Tiles carry a `2·window·cell` halo so openings at tile edges see
+    the same neighborhood they would in a monolithic array — each of
+    the `window` erode(1)+dilate(1) iterations has Chebyshev dependence
+    radius 2, so the loop's total reach is 2·window cells (the same
+    halo-exchange trick as operators/focal.py, sized to the iterated
+    kernel, not one pass).
     Output: the input rows with a `classification` column rewritten.
     """
     import numpy as np
     import pandas as pd
 
-    halo = float(window * cell)
+    halo_cells = 2 * window
+    halo = float(halo_cells * cell)
     t = float(tile * cell)
     tiles = F.array_distinct(F.array(*[
         F.struct(
@@ -574,7 +609,7 @@ def classify_ground_smrf(points: DataFrame, grid: GridSpec,
               .select(F.col("_t.ty").alias("ty"), F.col("_t.tx").alias("tx"),
                       *cols))
 
-    n_cells = int(round(t / cell)) + 2 * window
+    n_cells = int(round(t / cell)) + 2 * halo_cells
 
     def kernel(key, pdf):
         ty, tx = int(key[0]), int(key[1])
@@ -590,8 +625,12 @@ def classify_ground_smrf(points: DataFrame, grid: GridSpec,
             if (~empty).any() else 0.0
         surf = zmin.copy()
         for r in range(1, window + 1):
-            eroded = _grey_erode(surf, 1)
-            opened = _grey_dilate(eroded, 1)
+            # opening at GROWING radius r (Pingel SMRF): a radius-1
+            # opening every pass is idempotent on plateaus wider than
+            # 2 cells, so wide roofs would never be removed. Max reach
+            # of the final iteration = 2·window cells = the tile halo.
+            eroded = _grey_erode(surf, r)
+            opened = _grey_dilate(eroded, r)
             bump = surf - opened > slope * r * cell
             surf = np.where(bump, opened, surf)
         # label: inside the tile's own (non-halo) extent only
@@ -612,22 +651,47 @@ def classify_ground_smrf(points: DataFrame, grid: GridSpec,
     return fanned.groupBy("ty", "tx").applyInPandas(kernel, schema)
 
 
-def _grey_erode(a, r):
-    """Min filter with square radius r (numpy rolls — no scipy)."""
+def _shift(a, dy, dx, fill):
+    """out[y, x] = a[y-dy, x-dx], `fill` outside — np.roll's shift
+    WITHOUT its toroidal wrap (wrap would leak the opposite edge's
+    elevations into tile halos and contaminate seam cells)."""
     import numpy as np
-    out = a.copy()
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            out = np.minimum(out, np.roll(np.roll(a, dy, 0), dx, 1))
+    out = np.full_like(a, fill)
+    h, w = a.shape
+    ys0, ys1 = max(dy, 0), h + min(dy, 0)
+    xs0, xs1 = max(dx, 0), w + min(dx, 0)
+    if ys0 < ys1 and xs0 < xs1:
+        out[ys0:ys1, xs0:xs1] = a[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
+    return out
+
+
+def _grey_erode(a, r):
+    """Min filter with square (Chebyshev) radius r (pure numpy — no
+    scipy). The radius-r square element decomposes into r radius-1
+    passes (9r shifts instead of (2r+1)² — same result, the SE is
+    separable under iteration). Border neighbors outside the array are
+    +inf (the min-identity), so edges erode over their AVAILABLE
+    neighborhood only."""
+    import numpy as np
+    out = a
+    for _ in range(r):
+        step = out.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                step = np.minimum(step, _shift(out, dy, dx, np.inf))
+        out = step
     return out
 
 
 def _grey_dilate(a, r):
     import numpy as np
-    out = a.copy()
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            out = np.maximum(out, np.roll(np.roll(a, dy, 0), dx, 1))
+    out = a
+    for _ in range(r):
+        step = out.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                step = np.maximum(step, _shift(out, dy, dx, -np.inf))
+        out = step
     return out
 
 

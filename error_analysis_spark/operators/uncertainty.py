@@ -118,6 +118,7 @@ def _sample_part(part: int, want: int, seed: int, rings, bounds):
     rng = np.random.RandomState(seed + 7919 * part)
     xs, ys = [], []
     got = 0
+    drawn = 0
     while got < want:
         m = max(1024, int((want - got) * 2.2))
         cx = rng.uniform(minx, maxx, m)
@@ -126,6 +127,15 @@ def _sample_part(part: int, want: int, seed: int, rings, bounds):
         xs.append(cx[keep])
         ys.append(cy[keep])
         got += int(keep.sum())
+        drawn += m
+        # a zero-area sliver / collinear ring parses as a polygon but
+        # accepts (almost) nothing — fail loudly instead of spinning
+        # this executor forever on one bad zone
+        if drawn >= 10_000_000 and got == 0:
+            raise ValueError(
+                "rejection sampling accepted 0 of "
+                f"{drawn} draws — degenerate (zero-area?) polygon; "
+                f"bounds={bounds}")
     return np.concatenate(xs)[:want], np.concatenate(ys)[:want]
 
 

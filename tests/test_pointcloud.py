@@ -180,12 +180,19 @@ def test_fill_linear_cubic_recover_smooth_field(spark):
     # overwrite with an exactly-bilinear field: linear interp is exact
     plane = lambda r, c: 2.0 + 0.5 * r + 0.25 * c  # noqa: E731
     pdf = pdf.copy()
-    pdf["value"] = [None if v is None else plane(r, c)
+    # pd.isna, NOT `is None`: the hole markers are np.nan — the
+    # original `is None` check silently filled every hole with a plane
+    # value and made the exactness loop iterate zero rows
+    import pandas as pd
+    pdf["value"] = [None if pd.isna(v) else plane(r, c)
                     for r, c, v in zip(pdf["row"], pdf["col"], pdf["value"])]
     px = spark.createDataFrame(pdf)
+    n_holes = int(pdf["value"].isna().sum())
+    assert n_holes > 0, "fixture must actually contain holes"
     for method in ("linear", "cubic"):
         out = (PC.fill_nodata(px, g, method, max_dist=6.0)
                .where(F.col("filled")).toPandas())
+        assert len(out) > 0, method  # the fill must actually run
         got = out.set_index(["row", "col"])["value"]
         for (r, c), v in got.items():
             assert abs(v - plane(r, c)) < 1e-9, (method, r, c, v)
@@ -287,3 +294,62 @@ def test_array_pixels_roundtrip(spark):
     np.testing.assert_allclose(back[~np.isnan(expect)],
                                expect[~np.isnan(expect)], rtol=1e-12)
     assert np.isnan(back[3, 4]) and np.isnan(back[5, 6])
+
+
+def test_grid_idw_uses_out_of_crop_donors(spark):
+    """A point just outside the grid crop is still a within-radius donor
+    for edge cells (PDAL writers.gdal semantics): cropping the grid must
+    not change edge-cell IDW values computed from the full point set."""
+    import pandas as pd
+
+    rows = [
+        # inside the 4x4 crop
+        (1, 1.5, -1.5, 10.0), (2, 2.5, -2.5, 20.0),
+        # 0.5m LEFT of x0=0: within radius 2.0 of col-0 cell centers
+        (3, -0.5, -1.5, 99.0),
+    ]
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["point_id", "x", "y", "z"]))
+    g = GridSpec("g", width=4, height=4, x0=0.0, y0=0.0, res=1.0)
+    out = (PC.grid_idw(pts, g, radius_factor=2.0).toPandas()
+           .set_index(["row", "col"])["value"])
+    # manual IDW for cell (1, 0), center (0.5, -1.5): donors are point 1
+    # (d=1.0) and point 3 (d=1.0) — both must contribute
+    expect = (10.0 / 1.0 + 99.0 / 1.0) / (1.0 / 1.0 + 1.0 / 1.0)
+    assert abs(out[(1, 0)] - expect) < 1e-9, out[(1, 0)]
+
+
+def test_smrf_tiled_matches_monolithic_at_seams(spark):
+    """Halo-exchanged tiles must label every point exactly as one
+    monolithic array would — including points near tile seams and next
+    to objects that sit just beyond the old (too-short) halo."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    pid = 0
+    for xi in range(80):
+        for yi in range(0, 80, 4):
+            x, y = xi + 0.5, -(yi + 0.5)
+            z = 0.02 * xi
+            # building block straddling the x=40 tile seam
+            if 36 <= xi < 44 and 8 <= yi < 24:
+                z += 12.0
+            rows.append((pid, x, y, z, 1))
+            pid += 1
+    pts = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["point_id", "x", "y", "z", "classification"]))
+    g = GridSpec("g", width=80, height=80, x0=0.0, y0=0.0, res=1.0)
+    kw = dict(cell=2.0, slope=0.2, window=6, threshold=0.4)
+    mono = (PC.classify_ground_smrf(pts, g, tile=4096, **kw)
+            .select("point_id", "classification").toPandas()
+            .set_index("point_id")["classification"])
+    tiled = (PC.classify_ground_smrf(pts, g, tile=20, **kw)
+             .select("point_id", "classification").toPandas()
+             .set_index("point_id")["classification"])
+    assert len(mono) == len(tiled) == pid
+    diff = (mono.sort_index() != tiled.sort_index()).sum()
+    assert diff == 0, f"{diff} seam labels diverge from monolithic"
+    # sanity: the building is actually rejected from ground
+    roof = [r[0] for r in rows if r[3] > 10]
+    assert (mono.loc[roof] != 2).all()
