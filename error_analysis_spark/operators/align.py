@@ -37,6 +37,19 @@ def target_cell(df: DataFrame, dst: GridSpec) -> DataFrame:
     )
 
 
+
+def _valid(col: str = "value"):
+    """Valid-pixel predicate: NULL *and* NaN are nodata. The long-table
+    convention is NULL, but rasters arriving through numpy/pandas
+    ingestion (sources/ingest.array_to_pixels round-trips, parquet
+    written from float arrays) carry NaN — treating those as data would
+    let one NaN donor poison a regrid aggregate and every downstream
+    dz/bias/rms (combined_mask and the variogram sampler already treat
+    both as nodata; this makes the whole module agree)."""
+    c = F.col(col)
+    return c.isNotNull() & ~F.isnan(c)
+
+
 def regrid(pixels: DataFrame, dst: GridSpec, method: str = "nearest") -> DataFrame:
     """R1 — resample a pixel table onto `dst`'s grid.
 
@@ -47,7 +60,7 @@ def regrid(pixels: DataFrame, dst: GridSpec, method: str = "nearest") -> DataFra
     (downsampling). CRS change = upstream coordinate transform on x/y
     (sources/CRS UDF); this operator only re-bins.
     """
-    t = target_cell(pixels.where(F.col("value").isNotNull()), dst)
+    t = target_cell(pixels.where(_valid()), dst)
     cx = F.lit(dst.x0) + (F.col("t_col") + 0.5) * F.lit(dst.res)
     cy = F.lit(dst.y0) - (F.col("t_row") + 0.5) * F.lit(dst.res)
     if method == "nearest":
@@ -80,13 +93,21 @@ def align_pair(a: DataFrame, b: DataFrame, grid_a: GridSpec,
     """
     cells_a = grid_a.width * grid_a.height
     cells_b = grid_b.width * grid_b.height
-    if cells_a <= cells_b:  # regrid b onto a's grid
+    same = (grid_a.x0, grid_a.y0, grid_a.res, grid_a.width,
+            grid_a.height) == (grid_b.x0, grid_b.y0, grid_b.res,
+                               grid_b.width, grid_b.height)
+    if same:
+        # identical grids: the regrid would reproduce the input
+        # cell-for-cell through a full shuffle-aggregate — skip it and
+        # join directly (the hot path of analyze_pair on survey pairs)
+        dst, left, right = grid_a, a, b
+    elif cells_a <= cells_b:  # regrid b onto a's grid
         dst, left, right = grid_a, a, regrid(b, grid_a)
     else:
         dst, left, right = grid_b, regrid(a, grid_b), b
-    la = (left.where(F.col("value").isNotNull())
+    la = (left.where(_valid())
           .select("row", "col", "x", "y", F.col("value").alias("value_a")))
-    rb = (right.where(F.col("value").isNotNull())
+    rb = (right.where(_valid())
           .select("row", "col", F.col("value").alias("value_b")))
     return la.join(rb, ["row", "col"], "inner")
 
@@ -125,15 +146,15 @@ def combined_mask(a: DataFrame, b: DataFrame) -> DataFrame:
 def footprint_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
     """SO4/J3 — overlap = valid(a) ∩ valid(b) as a key-set inner join
     (differencing_functions.py:2024-2047 in pixel space)."""
-    ka = a.where(F.col("value").isNotNull()).select("row", "col")
-    kb = b.where(F.col("value").isNotNull()).select("row", "col")
+    ka = a.where(_valid()).select("row", "col")
+    kb = b.where(_valid()).select("row", "col")
     return ka.join(kb, ["row", "col"], "inner")
 
 
 def valid_area(df: DataFrame, res: float, value: str = "value") -> DataFrame:
     """R9 — detailed area = count(valid) · res² — exact on the pixel model
     (replaces polygonize+unary_union, variography_uncertainty.py:79-91)."""
-    return df.where(F.col(value).isNotNull()).agg(
+    return df.where(_valid(value)).agg(
         (F.count("*") * F.lit(float(res) ** 2)).alias("area"),
         F.count("*").alias("n_pixels"),
     )

@@ -84,10 +84,13 @@ def derive_np(z: np.ndarray, res: float, which: str,
 # strategy 1: 8-offset neighbor join + column math
 # --------------------------------------------------------------------------
 
-def neighbors(pixels: DataFrame) -> DataFrame:
+def neighbors(pixels: DataFrame, center_marker: bool = False) -> DataFrame:
     """Gather the 3×3 stencil as columns z_mm..z_pp via 9 aliased joins
     expressed as one explode + pivot-free groupBy (each pixel ships its
-    value to the 9 stencil positions it participates in — one shuffle)."""
+    value to the 9 stencil positions it participates in — one shuffle).
+    ``center_marker`` adds `_ctr` = 1 where a SOURCE ROW exists at the
+    group's own (row, col) — the value-independent way to tell real
+    centers (possibly nodata-valued) from phantom edge groups."""
     offsets = F.array(*[
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
@@ -107,20 +110,28 @@ def neighbors(pixels: DataFrame) -> DataFrame:
                      F.col("value"))).alias(f"z_{dy + 1}{dx + 1}")
         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
     ]
+    if center_marker:
+        agg.append(F.max(F.when((F.col("sy") == 0) & (F.col("sx") == 0),
+                                F.lit(1))).alias("_ctr"))
     return contrib.groupBy("row", "col").agg(*agg)
 
 
 def _stencil_parts(pixels: DataFrame):
     """Shared prep for the relational R2 forms: gathered stencil (center
-    pixels only — without the z_11 filter the gather creates phantom
-    (row±1, col±1) groups outside the raster), the z-offset column map,
-    and the complete-window predicate (GDAL edge convention)."""
-    nb = neighbors(pixels).where(F.col("z_11").isNotNull())
+    ROWS only — a presence marker on the (0,0) contribution, not a
+    z_11 non-null test, so a nodata-valued source row still emits its
+    (row, col, NULL) output exactly like `derive_tiled` while phantom
+    (row±1, col±1) groups outside the raster are still dropped), the
+    z-offset column map, and the complete-window predicate (GDAL edge
+    convention; NaN neighbors count as nodata, matching the tiled
+    kernel's non-finite → NULL rule)."""
+    nb = neighbors(pixels, center_marker=True) \
+        .where(F.col("_ctr") == 1).drop("_ctr")
     z = {(dy, dx): F.col(f"z_{dy + 1}{dx + 1}")
          for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
     complete = None
     for c in z.values():
-        cc = c.isNotNull()
+        cc = c.isNotNull() & ~F.isnan(c)
         complete = cc if complete is None else (complete & cc)
     return nb, z, complete
 

@@ -270,6 +270,11 @@ def empirical_variogram(pixels: DataFrame, params: VariogramParams, res: float,
     samples = sample_pixels_multi(valid, params, res, params.n_runs,
                                   n_valid).cache()
     samples.count()
+    # the full-raster cache has served its two consumers (stats + the
+    # sample draw, now materialized) — release it so repeated
+    # analyze_pair calls don't accumulate raster-sized executor caches;
+    # only the tiny sample set stays cached for the pair self-join
+    valid.unpersist()
     per_run = matheron(pair_bins(samples, max_lag, params.bin_width,
                                  exact=exact_join))
     return mean_variogram(per_run, params.bin_width), max_lag

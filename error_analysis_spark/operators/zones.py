@@ -38,8 +38,12 @@ def membership(pixels: DataFrame, zones: DataFrame,
         (r["zone_id"], r["kind"], r["wkt"], *polygon_bounds(r["wkt"]))
         for r in zrows
     ]
+    # explicit schema: an EMPTY zone set (e.g. derive_stable on a zones
+    # table with no 'unstable' rows) must yield an empty membership, not
+    # a CANNOT_INFER_EMPTY_SCHEMA crash
     zdf = sess.createDataFrame(
-        bounds, ["zone_id", "kind", "wkt", "minx", "miny", "maxx", "maxy"])
+        bounds, "zone_id string, kind string, wkt string, "
+                "minx double, miny double, maxx double, maxy double")
     cand = pixels.join(
         F.broadcast(zdf),
         (F.col("x") >= F.col("minx")) & (F.col("x") <= F.col("maxx"))
@@ -165,19 +169,31 @@ def rasterize_membership(spark, zones: DataFrame, grid,
             # each row block has an even crossing count, so global
             # alternate-element pairing pairs within rows
             ca, cb, rr = cx[0::2], cx[1::2], rows[0::2]
-            col_a = np.maximum(np.ceil((ca - x0) / res - 0.5).astype(np.int64),
-                               cl)
-            col_b = np.minimum(np.ceil((cb - x0) / res - 0.5).astype(np.int64)
-                               - 1, ch)
+            # candidate columns widened one cell each side — like the
+            # row direction, the float range formula only SEEDS the
+            # span; the exact pip comparison below is the sole filter,
+            # so an edge crossing within a ULP of a cell center can
+            # never flip a cell against membership()'s verdict
+            col_a = np.maximum(
+                np.ceil((ca - x0) / res - 0.5).astype(np.int64) - 1, cl)
+            col_b = np.minimum(
+                np.ceil((cb - x0) / res - 0.5).astype(np.int64), ch)
             n_cols = col_b - col_a + 1
             ok2 = n_cols > 0
             if not ok2.any():
                 continue
-            col_a, rr, n_cols = col_a[ok2], rr[ok2], n_cols[ok2]
+            col_a, rr, n_cols, ca, cb = (a[ok2] for a in
+                                         (col_a, rr, n_cols, ca, cb))
             cols = np.repeat(col_a, n_cols) + (
                 np.arange(int(n_cols.sum())) -
                 np.repeat(np.cumsum(n_cols) - n_cols, n_cols))
             out_rows = np.repeat(rr, n_cols)
+            # exact predicate: crossing-parity against the cell CENTER,
+            # the same strict `<` the pip UDF uses
+            cxc = x0 + (cols + 0.5) * res
+            good2 = (np.repeat(ca, n_cols) < cxc) != \
+                    (np.repeat(cb, n_cols) < cxc)
+            cols, out_rows = cols[good2], out_rows[good2]
             frames.append(pd.DataFrame({
                 "row": out_rows.astype(np.int32),
                 "col": cols.astype(np.int32),

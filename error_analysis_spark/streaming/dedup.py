@@ -53,9 +53,10 @@ def running_source_stats(kept: DataFrame, text_col: str = "text",
                          group_col: str = "source") -> DataFrame:
     """Update-mode funnel monitor: surviving docs + token volume per
     source — associative counters, so micro-batch partials merge
-    exactly."""
-    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
-                            lambda t: t != ""))
+    exactly. Token counting delegates to the batch tokenizer so the
+    monitor's n_tokens can never desynchronize from the funnel's."""
+    from error_analysis_spark.extensions.text import tokens
+    n_tok = F.size(tokens(text_col))
     return (kept.groupBy(group_col)
             .agg(F.count("*").alias("n_docs"),
                  F.sum(n_tok).alias("n_tokens")))

@@ -42,9 +42,10 @@ def incremental_dod(compare_stream: DataFrame,
                     reference: DataFrame) -> DataFrame:
     """Stream-static J1/R4: per-batch equi-join against the static
     reference, Δz = compare − reference on co-valid pixels."""
-    ref = (reference.where(F.col("value").isNotNull())
+    from error_analysis_spark.operators.align import _valid
+    ref = (reference.where(_valid())
            .select("row", "col", F.col("value").alias("ref_value")))
-    return (compare_stream.where(F.col("value").isNotNull())
+    return (compare_stream.where(_valid())
             .join(ref, ["row", "col"])
             .withColumn("dz", F.col("value") - F.col("ref_value")))
 
@@ -68,8 +69,13 @@ def running_zonal_stats(dod_stream: DataFrame,
         .select(
             "zone_id", "n",
             (F.col("sum_dz") / F.col("n")).alias("mean_dz"),
-            F.sqrt(F.col("sum_dz2") / F.col("n")
-                   - (F.col("sum_dz") / F.col("n")) ** 2).alias("std_dz"),
+            # clamp float cancellation: constant-dz zones give
+            # s2/n − mean² ≈ −1e-18, and sqrt(negative) = NaN (the
+            # stateful twin at stateful_zone_stats clamps identically)
+            F.sqrt(F.greatest(
+                F.col("sum_dz2") / F.col("n")
+                - (F.col("sum_dz") / F.col("n")) ** 2,
+                F.lit(0.0))).alias("std_dz"),
             F.sqrt(F.col("sum_dz2") / F.col("n")).alias("rms_dz"),
         )
     )
