@@ -235,6 +235,10 @@ def derive_tiled(pixels: DataFrame, res: float, which: str, tile: int = 256,
         orr = rows_np[own] - r0
         occ = cols_np[own] - c0
         vals = out[orr, occ]
+        # GDAL convention (and derive_join parity): a nodata CENTER is
+        # nodata out, even for stencils like Horn slope that don't read
+        # the center cell
+        vals = np.where(np.isfinite(z[orr + 1, occ + 1]), vals, np.nan)
         # incomplete-stencil cells must surface as SQL NULL (exact parity
         # with derive_join's F.when) — NaN in a float64 column stays NaN
         # through Arrow, and NaN != NULL to every downstream isNotNull()

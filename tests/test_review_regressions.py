@@ -224,3 +224,72 @@ def test_lang_scores_row_local_matches_join_form(spark):
     b = (TX.lang_scores_join(df).select(*cols).toPandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_membership_empty_zone_set(spark):
+    """derive_stable on a zones table with NO unstable rows must return
+    every valid pixel as stable (not crash on empty-schema inference)."""
+    import pandas as pd
+
+    from error_analysis_spark.operators import zones as Z
+    px = spark.createDataFrame(pd.DataFrame({
+        "row": [0, 1], "col": [0, 1],
+        "x": [0.5, 1.5], "y": [-0.5, -1.5]}))
+    zn = spark.createDataFrame(
+        [("z1", "stable", "a", "POLYGON((0 0,2 0,2 -2,0 -2,0 0))")],
+        "zone_id string, kind string, name string, wkt string")
+    out = Z.derive_stable(px, zn)
+    assert out.count() == 2  # nothing unstable -> everything stable
+
+
+def test_align_treats_nan_as_nodata(spark):
+    """A NaN pixel value (numpy-ingested nodata) must be excluded from
+    regrid/align exactly like NULL — not poison dz downstream."""
+    import numpy as np
+    import pandas as pd
+
+    from error_analysis_spark.fixtures import GridSpec
+    from error_analysis_spark.operators import align as AL
+    g = GridSpec("g", width=2, height=1, x0=0.0, y0=0.0, res=1.0)
+    a = spark.createDataFrame(pd.DataFrame({
+        "row": [0, 0], "col": [0, 1],
+        "x": [0.5, 1.5], "y": [-0.5, -0.5],
+        "value": [1.0, np.nan]}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "row": [0, 0], "col": [0, 1],
+        "x": [0.5, 1.5], "y": [-0.5, -0.5],
+        "value": [2.0, 5.0]}))
+    got = AL.align_pair(a, b, g, g).toPandas()
+    assert list(got["col"]) == [0]  # the NaN cell pairs with nothing
+    assert float(got["value_a"].iloc[0]) == 1.0
+    # same-grid pair must skip the regrid shuffle entirely
+    plan = AL.align_pair(a, b, g, g)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "min_by" not in plan  # no nearest-regrid aggregate
+
+
+def test_derive_join_matches_tiled_on_nodata_rows(spark):
+    """Both R2 strategies must emit identical row sets when the source
+    carries nodata-valued rows (NULL value) — the join path used to
+    silently drop them."""
+    import numpy as np
+    import pandas as pd
+
+    from error_analysis_spark.operators import focal as FO
+    n = 8
+    rr, cc = np.mgrid[0:n, 0:n]
+    vals = (rr * 0.3 + cc * 0.7).astype(float)
+    vals[3, 4] = np.nan  # one nodata cell, long-table row present
+    pdf = pd.DataFrame({"row": rr.ravel(), "col": cc.ravel(),
+                        "value": vals.ravel()})
+    pdf["value"] = pdf["value"].astype(object).where(pdf["value"].notna(),
+                                                    None)
+    px = spark.createDataFrame(pdf)
+    j = FO.derive_join(px, 1.0, "slope").toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    t = FO.derive_tiled(px, 1.0, "slope", tile=4).toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    assert len(j) == len(t) == n * n
+    jn, tn = j["value"].isna(), t["value"].isna()
+    assert (jn == tn).all()
+    np.testing.assert_allclose(j["value"][~jn], t["value"][~tn], rtol=1e-9)
