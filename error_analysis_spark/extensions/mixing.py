@@ -135,9 +135,10 @@ def training_order(docs: DataFrame, id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def token_len(text_col: Column) -> Column:
-    """Whitespace token count (parity with the text.py token stats)."""
-    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
-    return F.size(toks).cast("long")
+    """Whitespace token count — delegates to the canonical tokenizer so
+    pack_chunks budgets can never diverge from the text-layer counts."""
+    from error_analysis_spark.extensions.text import tokens
+    return F.size(tokens(text_col)).cast("long")
 
 
 def pack_chunks(docs: DataFrame, chunk_tokens: int = 256,

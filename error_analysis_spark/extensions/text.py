@@ -131,7 +131,14 @@ def lang_scores(df: DataFrame, text_col: str = "text",
                                hits.cast("double") / _nz(n_tok))
     keep = [c for c in df.columns] + \
         ["score_zh"] + [f"score_{lg}" for lg in STOPWORDS]
-    return _argmax_lang(base.select(*keep))
+    out = _argmax_lang(base.select(*keep))
+    # token-less (whitespace-only) docs: every stopword score is NULL
+    # but score_zh is 0.0, so the argmax would fall through to 'zh' —
+    # the _nz contract says such docs fail every gate: predict NULL
+    return out.withColumn(
+        "pred_lang",
+        F.when(F.size(tokens(F.lower(F.col(text_col)))) > 0,
+               F.col("pred_lang")))
 
 
 def lang_scores_join(df: DataFrame, text_col: str = "text",
@@ -140,30 +147,35 @@ def lang_scores_join(df: DataFrame, text_col: str = "text",
     dictionaries: explode tokens → broadcast join against the
     (token, lang) table → pivot counts per language. One shuffle on doc
     id; the dictionary never inlines into codegen. Identical output to
-    `lang_scores` on the built-in profiles (pinned by test)."""
+    `lang_scores` on the built-in profiles (pinned by test), including
+    the annotate-in-place column contract: ALL input columns survive,
+    so the two forms are drop-in interchangeable (curate_documents
+    selects `*input.columns` from the output)."""
     spark = df.sparkSession
     sw_rows = [(w, lg) for lg, ws in STOPWORDS.items() for w in ws]
     sw_tbl = spark.createDataFrame(sw_rows, ["token", "lang"])
     base = df.select(
-        F.col(id_col),
-        tokens(F.lower(F.col(text_col))).alias("toks"),
+        "*",
         (F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
          .cast("double") / _nz(F.length(text_col))).alias("score_zh"),
-    ).withColumn("n_tok", F.size("toks"))
+    ).withColumn("n_tok", F.size(tokens(F.lower(F.col(text_col)))))
     hits = (
-        base.select(id_col, F.explode("toks").alias("token"))
+        df.select(id_col,
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
         .join(F.broadcast(sw_tbl), "token")
         .groupBy(id_col).pivot("lang", list(STOPWORDS)).count()
     )
-    scored = base.drop("toks").join(hits, id_col, "left")
+    scored = base.join(hits, id_col, "left")
     for lg in STOPWORDS:
         scored = scored.withColumn(
             f"score_{lg}",
             F.coalesce(F.col(lg), F.lit(0)).cast("double")
             / _nz(F.col("n_tok")),
         ).drop(lg)
-    scored = scored.drop("n_tok")
-    return _argmax_lang(scored)
+    out = _argmax_lang(scored)
+    return (out.withColumn("pred_lang",
+                           F.when(F.col("n_tok") > 0, F.col("pred_lang")))
+            .drop("n_tok"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
@@ -200,10 +212,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     - `dup_5gram_frac` — fraction of 5-gram occurrences that are
       repeats (1 − distinct/total).
 
-    Line stats are pure array expressions; n-gram stats are one
-    explode → two-level hash aggregate per n (map-side partials, keyed
-    by (doc, gram) — no per-doc data ever collects). Docs too short for
-    an n-gram get NULL for that signal.
+    Line stats are pure array expressions; BOTH n-gram signals ride one
+    n-tagged explode → one two-level hash aggregate (map-side partials,
+    keyed by (doc, n, gram) — no per-doc data ever collects, and the
+    corpus is tokenized once, not once per n). Docs too short for an
+    n-gram get NULL for that signal (the transform is guarded — an
+    unguarded sequence(0, size-n) counts DOWN for short docs and the
+    t[i+k] index either kills the job under ANSI mode or fabricates
+    grams from null-dropping concat_ws).
     """
     doc = F.col(id_col)
     lines = F.filter(F.split(F.col(text_col), "\n"),
@@ -217,22 +233,32 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
     def grams(n: int):
         parts = ", ".join(f"t[i+{k}]" for k in range(n))
-        return F.expr(f"transform(sequence(0, size(t) - {n}), "
-                      f"i -> concat_ws(' ', {parts}))")
+        return F.when(
+            F.size("t") >= n,
+            F.expr(f"transform(sequence(0, size(t) - {n}), "
+                   f"i -> concat_ws(' ', {parts}))")
+        ).otherwise(F.array().cast("array<string>"))
 
-    def gram_agg(n: int, out):
-        counts = (base.select("doc_id", F.explode(grams(n)).alias("g"))
-                  .groupBy("doc_id", "g").count())
-        if n == 2:
-            frac = F.max("count").cast("double") / F.sum("count")
-        else:
-            frac = (F.sum("count") - F.count("*")).cast("double") \
-                / F.sum("count")
-        return counts.groupBy("doc_id").agg(frac.alias(out))
+    def tagged(n: int):
+        return F.transform(
+            grams(n), lambda g: F.struct(F.lit(n).alias("n"),
+                                         g.alias("g")))
 
+    pos = (base.select(
+        "doc_id", F.explode(F.concat(tagged(2), tagged(5))).alias("p"))
+        .select("doc_id", F.col("p.n").alias("n"), F.col("p.g").alias("g")))
+    counts = pos.groupBy("doc_id", "n", "g").count()
+    per = counts.groupBy("doc_id", "n").agg(
+        (F.max("count").cast("double") / F.sum("count")).alias("top_frac"),
+        ((F.sum("count") - F.count("*")).cast("double")
+         / F.sum("count")).alias("dup_frac"))
+    two = per.where(F.col("n") == 2).select(
+        "doc_id", F.col("top_frac").alias("top_2gram_frac"))
+    five = per.where(F.col("n") == 5).select(
+        "doc_id", F.col("dup_frac").alias("dup_5gram_frac"))
     return (base.select("doc_id", "dup_line_frac")
-            .join(gram_agg(2, "top_2gram_frac"), "doc_id", "left")
-            .join(gram_agg(5, "dup_5gram_frac"), "doc_id", "left"))
+            .join(two, "doc_id", "left")
+            .join(five, "doc_id", "left"))
 
 
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
@@ -259,7 +285,9 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
                 .where(F.col("term").isin(*query_terms))
                 .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dfreq = (postings.groupBy("term")
-             .agg(F.countDistinct("doc_id").alias("df")))
+             .agg(F.count("*").alias("df")))  # postings are
+             # already one row per (doc, term): plain count,
+             # no distinct-aggregate expand
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))

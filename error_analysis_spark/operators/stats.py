@@ -112,7 +112,11 @@ def bootstrap_median_std(df: DataFrame, value: str = "value",
     # ~fraction·n_boot rows per input row instead of n_boot rows that a
     # crossJoin+filter would stream through the plan
     def _u(rep):
-        return (F.pmod(F.xxhash64(F.col(id_col).cast("long"),
+        # xxhash64 accepts ANY input type — a cast('long') here turned
+        # every non-numeric id into NULL (one shared hash stream → all
+        # replicates identical → median_std silently 0) and throws
+        # under ANSI; hash the raw id
+        return (F.pmod(F.xxhash64(F.col(id_col),
                                   rep.cast("long"), F.lit(seed)),
                        F.lit(1_000_000_007)).cast("double")
                 / F.lit(1_000_000_007.0))
@@ -142,8 +146,12 @@ def param_percentiles(boot_params: DataFrame, param_col: str = "param",
 def percentile_clip(df: DataFrame, value: str = "value",
                     lo: float = 0.01, hi: float = 0.99) -> DataFrame:
     """F6 — keep lo ≤ v ≤ hi percentile band
-    (variography_uncertainty.py:259-260). Uses approx_percentile for the
-    bounds (display-path semantics; exact not required by the reference)."""
+    (variography_uncertainty.py:259-260). Uses EXACT F.percentile so
+    the bounds hash-match the DuckDB oracle (`f6_percentile_clip`).
+    Scale note: the exact aggregate buffers a value→count map of the
+    column's distinct values — at 100 TB of continuous doubles swap in
+    F.approx_percentile (the reference's display-path semantics don't
+    require exactness; only the oracle gate does)."""
     bounds = df.agg(
         F.percentile(F.col(value), F.lit(lo)).alias("lo"),
         F.percentile(F.col(value), F.lit(hi)).alias("hi"),

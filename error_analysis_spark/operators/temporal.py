@@ -88,18 +88,22 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     w = (Window.partitionBy(key_col)
          .orderBy("tus", "_side", F.coalesce("_rid", F.lit(-1)))
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = (u
-               .withColumn("asof_ts_us",
-                           F.last(F.when(F.col("_side") == 0,
-                                         F.col("tus")),
-                                  ignorenulls=True).over(w))
-               .withColumn("asof_value",
-                           F.last(F.when(F.col("_side") == 0,
-                                         F.col("_rval")),
-                                  ignorenulls=True).over(w)))
+    # ONE carried struct, not two independent last() windows: with
+    # separate windows a matched right row whose VALUE is NULL would be
+    # skipped by the value carry but not the timestamp carry, pairing
+    # the latest ts with a STALE value from an earlier row. The struct
+    # is non-null whenever the right ROW exists, so ts and value always
+    # come from the same (latest) row — a NULL observation surfaces as
+    # (its ts, NULL), the correct as-of answer.
+    carried = u.withColumn(
+        "_asof",
+        F.last(F.when(F.col("_side") == 0,
+                      F.struct(F.col("tus").alias("ts"),
+                               F.col("_rval").alias("val"))),
+               ignorenulls=True).over(w))
     return (carried.where(F.col("_side") == 1)
             .select(key_col, "probe_id",
                     F.col("tus").alias("probe_ts_us"),
-                    "asof_ts_us",
-                    F.round("asof_value", 6).alias("asof_value"),
-                    (F.col("tus") - F.col("asof_ts_us")).alias("lag_us")))
+                    F.col("_asof.ts").alias("asof_ts_us"),
+                    F.round(F.col("_asof.val"), 6).alias("asof_value"),
+                    (F.col("tus") - F.col("_asof.ts")).alias("lag_us")))

@@ -28,10 +28,14 @@ TILE = 256
 
 
 def with_tiles(pixels: DataFrame, tile: int = TILE) -> DataFrame:
-    """Add partition columns ty/tx (tile row/col)."""
+    """Add partition columns ty/tx (tile row/col). FLOOR division, not
+    int-cast truncation: a negative row/col must land on tile -1, the
+    same floor semantics `prune_to_bbox`'s `//` bounds use — truncation
+    put row=-5 on tile 0 and the bbox prune then silently dropped it
+    (`write_points` already floors for the point path)."""
     return (pixels
-            .withColumn("ty", (F.col("row") / tile).cast("int"))
-            .withColumn("tx", (F.col("col") / tile).cast("int")))
+            .withColumn("ty", F.floor(F.col("row") / tile).cast("int"))
+            .withColumn("tx", F.floor(F.col("col") / tile).cast("int")))
 
 
 def write_pixels(pixels: DataFrame, path: str, tile: int = TILE) -> None:

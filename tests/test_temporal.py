@@ -136,3 +136,29 @@ def test_sessionize_stream_matches_batch(spark, tmp_path_factory):
         spark.createDataFrame(real, schema), gap_minutes=30).toPandas() \
         .sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_asof_join_null_right_value_stays_with_its_row(spark):
+    """A right row with a NULL value is still the as-of MATCH when it is
+    the latest at-or-before row: the probe must get (its ts, NULL), not
+    the latest ts paired with a STALE earlier value (the two-window
+    desync bug)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from error_analysis_spark.operators import temporal as TP
+    t0 = dt.datetime(2026, 1, 1)
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"], "event_id": [1, 2],
+        "ts": [t0, t0 + dt.timedelta(seconds=10)],
+        "value": [3.0, None]}))
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "event_id": [100],
+        "ts": [t0 + dt.timedelta(seconds=12)], "value": [0.0]}))
+    out = TP.asof_join(left, right, "k", "ts", "event_id",
+                       "value").collect()[0]
+    assert out["asof_ts_us"] == int((t0 + dt.timedelta(seconds=10))
+                                    .timestamp() * 1e6)
+    assert out["asof_value"] is None  # NOT the stale 3.0
+    assert out["lag_us"] == 2_000_000
