@@ -97,8 +97,17 @@ def analyze_pair(reference: DataFrame, compare: DataFrame,
     zonal = ST.zonal_stats(member_c)
 
     # 6-7: variogram on the stable area (R6/J4/A3/A4/A5) + fit (U2)
-    vg, _max_lag = empirical_variogram(stable_c, vario, res=ref_grid.res)
+    # the DoD lives on `common` (align_pair picks the smaller grid),
+    # so the variogram's samples-per-area target must use ITS res —
+    # ref_grid.res under-sampled 4x whenever compare was the smaller
+    vg, _max_lag = empirical_variogram(stable_c, vario, res=common.res)
     vg_pdf = vg.toPandas()
+    # last consumers of the stage caches have materialized — release
+    # them so a survey loop over many pairs doesn't accumulate
+    # raster-sized executor caches (same discipline as
+    # empirical_variogram's internal unpersist)
+    member.unpersist()
+    stable.unpersist()
     _fits, best = fit_best_spherical_model(
         reference.sparkSession, vg_pdf.dropna(subset=["gamma_mean"]),
         seed=seed)

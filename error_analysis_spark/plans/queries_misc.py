@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from error_analysis_spark.functions import scalars as SC
 from error_analysis_spark.operators import pointcloud as PC
+from error_analysis_spark.operators import stats as ST
 from error_analysis_spark.sources.tables import load_table
 
 
@@ -97,9 +98,7 @@ ORDER BY start_date, dataset_key
 
 def f6_percentile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.percentile("value", 0.01).alias("p1"),
-               F.percentile("value", 0.99).alias("p99")).first()
-    clipped = ev.where(F.col("value").between(b["p1"], b["p99"]))
+    clipped = ST.percentile_clip(ev)  # the gate must exercise the operator
     return clipped.agg(
         F.count("*").alias("n_kept"),
         F.round(F.avg("value"), 6).alias("mean_clipped"),

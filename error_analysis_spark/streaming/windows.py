@@ -41,11 +41,14 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour",
         .agg(
             F.count("*").alias("n"),
             F.sum("value").alias("sum_value"),
+            # mean over OBSERVED values: `value` is nullable, and a
+            # row-count denominator would dilute the mean with NULLs
+            F.count("value").alias("_n_obs"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type", "n",
-            (F.col("sum_value") / F.col("n")).alias("mean_value"),
+            (F.col("sum_value") / F.col("_n_obs")).alias("mean_value"),
         )
     )
 
