@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from error_analysis_spark.extensions.text import tokens
 
@@ -59,10 +60,13 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     thresholds such pairs are below threshold anyway).
 
     Cache note: the exploded (id, token) table is cached because four
-    consumers read it (sizes, both join sides, the df-cap). The cache
-    lives until the session drops it — callers looping over many
-    corpora should `spark.catalog.clearCache()` between corpora (the
-    one-shot query path the driver runs is unaffected).
+    consumers read it (sizes, both join sides, the df-cap). The result
+    (the near-dup pair list — bounded by the threshold, orders of
+    magnitude smaller than the corpus) is materialized eagerly into its
+    own persisted DataFrame so the corpus-sized token cache can be
+    released HERE, deterministically, before returning; a loop over
+    corpora therefore pins only pair lists, each releasable via the
+    standard `result.unpersist()`.
     """
     toks = doc_tokens(df, text_col, id_col).cache()
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
@@ -104,14 +108,18 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          .alias("inter")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    result = (
         inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", F.col("inter")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b",
                 F.round("jaccard", 6).alias("jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    result.count()  # last consumer of toks materialized → release it
+    toks.unpersist()
+    return result
 
 
 def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:

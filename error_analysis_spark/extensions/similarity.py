@@ -314,12 +314,19 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     # not the cosine ordering — a large-norm vector pointing at the
     # query can land in a "far" cell and never be scanned
     varr = _as_double(F.col(vec_col))
-    unit = F.transform(varr, lambda x: x / l2_norm(varr))
-    ds = embeddings.select(
-        F.col(id_col),
-        varr.alias("varr"),
-        unit.alias("uarr"),
-    ).withColumn("features", array_to_vector("uarr"))
+    # clamp the norm exactly like the numpy paths (_packed_normed,
+    # semantic_dedup): an all-zero embedding must yield a zero unit
+    # vector, not DIVIDE_BY_ZERO under ANSI mode; compute the norm once
+    # so transform doesn't re-aggregate it per element
+    ds = (
+        embeddings.select(F.col(id_col), varr.alias("varr"))
+        .withColumn("_nrm", F.greatest(l2_norm(F.col("varr")),
+                                       F.lit(1e-300)))
+        .withColumn("uarr", F.transform(
+            F.col("varr"), lambda x: x / F.col("_nrm")))
+        .drop("_nrm")
+        .withColumn("features", array_to_vector("uarr"))
+    )
     km = KMeans(k=n_lists, seed=seed, featuresCol="features",
                 predictionCol="list_id")
     model = km.fit(ds)

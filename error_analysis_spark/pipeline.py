@@ -25,6 +25,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from error_analysis_spark.fixtures import GridSpec
 from error_analysis_spark.operators import align as AL
@@ -94,7 +95,11 @@ def analyze_pair(reference: DataFrame, compare: DataFrame,
 
     # 4: zonal stats on the corrected DoD (A1/A2)
     member_c = member.withColumn("value", F.col("value") - F.lit(bias))
-    zonal = ST.zonal_stats(member_c)
+    # materialize zonal (one row per zone — tiny) through the membership
+    # cache BEFORE member.unpersist(); otherwise the caller's first read
+    # of result.zonal re-runs the rasterize+join lineage from scratch
+    zonal = ST.zonal_stats(member_c).persist(StorageLevel.MEMORY_AND_DISK)
+    zonal.count()
 
     # 6-7: variogram on the stable area (R6/J4/A3/A4/A5) + fit (U2)
     # the DoD lives on `common` (align_pair picks the smaller grid),

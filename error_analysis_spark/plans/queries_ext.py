@@ -1580,9 +1580,12 @@ q AS (
   FROM t
 ),
 ranked AS (
+  -- N is defined over SCOREABLE docs only, matching quality_prune's
+  -- Spark-side histogram (empty/whitespace docs have NULL quality and
+  -- are neither ranked nor counted)
   SELECT *, row_number() OVER (ORDER BY q_fp DESC, doc_id) AS rn,
          count(*) OVER () AS n
-  FROM q
+  FROM q WHERE q_fp IS NOT NULL
 ),
 kept AS (
   SELECT * FROM ranked WHERE rn <= CAST(ceil(n * {_PRUNE_FRAC}) AS BIGINT)
