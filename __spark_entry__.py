@@ -39,32 +39,40 @@ _MERGED.update(EXT_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # unverified in r02 (registry positions 51-59)
-    "mm_payload_stats", "mm_features", "dedup_components",
-    "text_token_count_bpe", "text_repetition", "text_bm25_topk",
-    "text_pii_scrub", "text_contamination", "curation_funnel",
-    # new or changed in r03
-    "r2_focal_all", "r3_fill_all", "sigma_a_brute", "sigma_a_hugonnet",
-    "w2_positional_pick", "dedup_jaccard", "so_mask_algebra",
-    "curation_sample_mix", "curation_train_order", "curation_pack_chunks",
-    "sketch_kmv_distinct", "text_vocab_topk", "emb_quantize_stats",
-    "sim_lsh_topk", "w4_sessionize", "j10_asof_join",
-    "text_dup_ngrams", "text_chunk_windows", "curation_domain_weights",
-    "curation_quality_prune", "dedup_incremental",
-    "curation_weighted_sample", "emb_label_centroids",
-    "text_perplexity",
+    # round-3 rotate-out returns (unverified in r03 — re-verify now)
+    "a8_rms", "a16_sym_bounds", "sc4_json_extract",
+    "f5_valid_filter", "so2_anti_join", "f1_drop_noise",
+    "a6_median_bias", "a14_closed_form", "a15_param_percentiles",
+    "f6_percentile_clip", "sc_scalar_pack", "sc6_gps_dates",
+    "sc2_catalog_parse", "so3_full_outer", "a5_mean_variogram",
+    "a1_describe_events", "a7_bootstrap_median", "f2_keep_ground",
+    "q01_pricing_summary", "text_fingerprint",
+    "text_token_stats", "text_quality", "sim_cosine_topk",
+    "sim_semantic_dedup",  # rows-only weak check, deferred from r03
+    # new in r04
+    "text_normalize", "text_oov_rate", "text_contam_bloom",
+    "curation_domain_cap", "w5_rolling_stats", "sketch_grouped_quantiles",
+    "q03_top_orders",
+    # changed in r04 (eager pair cache / oracle NULL-quality parity)
+    "dedup_jaccard", "curation_quality_prune",
 ]
-_ROTATE_OUT = ["a8_rms", "a16_sym_bounds", "sc4_json_extract",
-               "f5_valid_filter", "so2_anti_join", "f1_drop_noise",
-               "a6_median_bias", "a14_closed_form", "a15_param_percentiles",
-               "f6_percentile_clip", "sc_scalar_pack", "sc6_gps_dates",
-               "sc2_catalog_parse", "so3_full_outer", "a5_mean_variogram",
-               "a1_describe_events", "a7_bootstrap_median", "f2_keep_ground",
-               "q01_pricing_summary", "text_fingerprint",
-               "text_token_stats", "text_quality", "sim_cosine_topk",
-               # rows-only (no SQL oracle possible): takes next round's
-               # weak check, never displaces a hash-checked query
-               "sim_semantic_dedup"]
+# Only queries with >=2 lifetime green rows rotate out, plus five
+# single-green queries whose plans are pure expression/aggregate
+# pipelines unchanged since their green (pii regexp, quantize
+# expressions, chunk windows narrow fan-out, KMV rank, as-of window);
+# the rest of the r03 wave stays in-window to earn a second green.
+_ROTATE_OUT = ["a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
+               "s8_grid_max", "s8_grid_idw", "r7_polygonize", "j1_r4_dod",
+               "sigma_a_zones", "a13_zone_pixel_counts", "sc16_utm_roundtrip",
+               "r1_geoid_shift", "dedup_exact", "dedup_minhash_sigs",
+               "text_lang_id", "dedup_simhash", "dedup_minhash_lsh",
+               "sim_pairwise_topk", "dedup_embedding", "mm_payload_stats",
+               "mm_features", "dedup_components", "text_token_count_bpe",
+               "curation_funnel",
+               "text_pii_scrub", "emb_quantize_stats", "text_chunk_windows",
+               "sketch_kmv_distinct", "j10_asof_join",
+               "curation_domain_weights", "text_contamination",
+               "text_vocab_topk"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

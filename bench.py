@@ -86,6 +86,16 @@ HEADLINE = [
     "curation_weighted_sample",
     "emb_label_centroids",
     "text_perplexity",
+    # round 4 — normalization map stage, vocab-coverage probe,
+    # Bloom-bitset decontamination (row-local corpus probe), per-domain
+    # cap via grouped histogram
+    "text_normalize",
+    "text_oov_rate",
+    "text_contam_bloom",
+    "curation_domain_cap",
+    "w5_rolling_stats",
+    "sketch_grouped_quantiles",
+    "q03_top_orders",
 ]
 
 

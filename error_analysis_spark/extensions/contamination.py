@@ -82,3 +82,92 @@ def contamination_report(docs: DataFrame, bench: DataFrame, n: int = 8,
                     F.round(frac, 6).alias("contam_frac"),
                     F.coalesce(frac >= threshold, F.lit(False))
                     .alias("contaminated")))
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the broadcast-bitset scale path
+# --------------------------------------------------------------------------
+
+def _bloom_positions(g: Column, k_hashes: int, m_bits: int) -> Column:
+    """The k bit positions of gram `g` as an array: ONE md5 per gram,
+    sliced into k disjoint 8-hex (32-bit) chunks, each mod m. One
+    digest instead of k salted digests is the classic Kirsch-
+    Mitzenmacher-style economy — at k<=4 and m<=2^32 the chunks are
+    independent uniform hashes, and every engine computes the identical
+    positions from the identical hex digest."""
+    assert k_hashes <= 4, "one 128-bit md5 yields at most four 32-bit chunks"
+    h = F.md5(g)
+    return F.array(*[
+        F.pmod(F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
+               F.lit(m_bits))
+        for j in range(k_hashes)])
+
+
+def bloom_build(bench: DataFrame, n: int = 8, m_bits: int = 1 << 16,
+                k_hashes: int = 4, text_col: str = "text") -> list[int]:
+    """Build the benchmark's Bloom bitset as a list of 32-bit words.
+
+    One aggregate over the (small) benchmark corpus; the driver
+    collects only DISTINCT bit positions — bounded by m_bits regardless
+    of benchmark size — and packs them into ceil(m/32) words.
+    """
+    grams = (bench.select(F.explode(ngram_array(text_col, n)).alias("g"))
+             .distinct())
+    pos = grams.select(F.explode(
+        _bloom_positions(F.col("g"), k_hashes, m_bits)
+    ).alias("pos")).distinct()
+    words = [0] * ((m_bits + 31) // 32)
+    for r in pos.collect():
+        p = int(r["pos"])
+        words[p >> 5] |= 1 << (p & 31)
+    return words
+
+
+def bloom_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
+                        m_bits: int = 1 << 16, k_hashes: int = 4,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Decontamination via a broadcast Bloom bitset instead of a gram
+    semi-join.
+
+    `contamination_report` ships the benchmark's distinct-gram set
+    through a broadcast hash join — fine while the benchmark is MBs,
+    but a 100 M-gram eval suite is a GB-scale broadcast. The Bloom form
+    compresses the bench side to a FIXED m/8 bytes (here 8 KiB at the
+    default m=2^16): the corpus-side probe becomes a row-local
+    expression against a literal int array — ZERO joins, ZERO shuffles
+    on the corpus, with the classic one-sided error (false POSITIVES at
+    rate ~fill^k flag a clean doc for manual review; contaminated docs
+    are never missed).
+
+    Deterministic and oracle-checkable: positivity of gram g is exactly
+    "all k md5-salt positions of g are in the bench position set", which
+    an oracle engine can evaluate against the same position set without
+    materializing the bitset.
+
+    Returns (doc_id, n_grams, n_hits, contam_frac, contaminated);
+    docs shorter than n tokens carry NULL contam_frac.
+    """
+    words = bloom_build(bench, n=n, m_bits=m_bits, k_hashes=k_hashes,
+                        text_col=text_col)
+    lit_words = F.lit(words)
+    lit_masks = F.lit([1 << b for b in range(32)])
+
+    def bit_set(p: Column) -> Column:
+        word = F.element_at(lit_words, (p / 32).cast("int") + 1)
+        mask = F.element_at(lit_masks, F.pmod(p, F.lit(32)).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    def gram_hit(g: Column) -> Column:
+        return F.forall(_bloom_positions(g, k_hashes, m_bits), bit_set)
+
+    grams = ngram_array(text_col, n)
+    n_grams = F.size(grams)
+    n_hits = F.size(F.filter(grams, gram_hit))
+    frac = F.when(n_grams > 0, n_hits.cast("double") / n_grams)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.alias("n_grams"),
+        n_hits.alias("n_hits"),
+        F.round(frac, 6).alias("contam_frac"),
+        F.coalesce(frac >= threshold, F.lit(False)).alias("contaminated"))

@@ -170,3 +170,56 @@ def quality_prune(docs: DataFrame, keep_frac: float = 0.5,
             .where(F.col("_rn") <= tie_keep).drop("_rn"))
     kept = above.unionByName(ties)
     return kept.select(*docs.columns, (F.col("_q_fp") / 1e6).alias("quality"))
+
+
+def domain_cap(docs: DataFrame, cap: int = 10, domain_col: str = "source",
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap (the C4-style "no domain may dominate"
+    rule): keep at most `cap` docs per domain, highest quality first,
+    `(quality desc, doc_id asc)` tie-break — exactly `quality_prune`'s
+    selection semantics applied within each domain.
+
+    Scale shape — same histogram trick as `quality_prune`, but GROUPED
+    and fully relational (no driver collect): the per-(domain, q_fp)
+    count table is bounded by |domains| x 10^6 regardless of corpus
+    size; a window over THAT table (partitioned by domain, ordered by
+    q_fp — count-table-sized input, never corpus-sized) yields each
+    domain's cutoff quality q* and its tie allowance. The kept set is a
+    broadcast join of the corpus against the tiny per-domain cutoff
+    table plus a bounded rank over only the tie buckets. A plain
+    `row_number` over the corpus partitioned by domain would funnel a
+    hot domain's entire row set through one partition — the exact skew
+    this shape avoids.
+
+    Returns kept docs annotated with `quality`.
+    """
+    q_fp = F.round(TX.quality_expr(text_col) * 1e6).cast("long")
+    scored = docs.withColumn("_q_fp", q_fp) \
+        .where(F.col("_q_fp").isNotNull())
+
+    hist = (scored.groupBy(domain_col, "_q_fp")
+            .agg(F.count("*").alias("_c")))
+    w = (Window.partitionBy(domain_col).orderBy(F.col("_q_fp").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "_cum_before", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+    # bins where at least one doc is kept; q*(d) = lowest such bin
+    elig = cum.where(F.col("_cum_before") < cap)
+    cut = (elig.groupBy(domain_col)
+           .agg(F.min("_q_fp").alias("_q_star"))
+           .withColumnRenamed(domain_col, "_dom"))
+    cutoff = (elig.join(cut, (F.col(domain_col) == F.col("_dom"))
+                        & (F.col("_q_fp") == F.col("_q_star")))
+              .select("_dom", "_q_star",
+                      (F.lit(cap) - F.col("_cum_before"))
+                      .alias("_tie_keep")))
+
+    j = scored.join(F.broadcast(cutoff),
+                    scored[domain_col] == F.col("_dom"))
+    above = j.where(F.col("_q_fp") > F.col("_q_star"))
+    tw = Window.partitionBy("_dom").orderBy(id_col)
+    ties = (j.where(F.col("_q_fp") == F.col("_q_star"))
+            .withColumn("_rn", F.row_number().over(tw))
+            .where(F.col("_rn") <= F.col("_tie_keep")).drop("_rn"))
+    kept = above.unionByName(ties)
+    return kept.select(*docs.columns, (F.col("_q_fp") / 1e6).alias("quality"))

@@ -121,3 +121,71 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
         code_checksum.alias("code_checksum"),
         n_sat.alias("n_sat"),
         F.round(mse, 9).alias("mse"))
+
+
+def oov_stats(docs: DataFrame, vocab_k: int = 64, min_df: int = 2,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    token fraction against the corpus' own top-`vocab_k` vocabulary
+    (`vocab_topk`, df >= min_df, ties by token).
+
+    Scale shape: the vocab is top-k — tiny by construction — so the
+    membership probe is a BROADCAST semi-join on the exploded token
+    table (one map-side stage over the corpus; the only shuffle is the
+    per-doc count aggregate, map-side-combinable). A corpus whose OOV
+    mass is high needs a bigger tokenizer vocab — this is the signal a
+    data team reads before committing a vocab size.
+
+    Returns (doc_id, n_tokens, n_oov, oov_frac); empty docs carry NULL
+    oov_frac (same `_nz` rule as the quality gates).
+    """
+    from error_analysis_spark.extensions.text import _nz, tokens
+    vocab = vocab_topk(docs, k=vocab_k, min_df=min_df,
+                       text_col=text_col, id_col=id_col).select("token")
+    toks = docs.select(F.col(id_col).alias("_id"),
+                       F.explode_outer(tokens(text_col)).alias("token"))
+    per_doc = toks.groupBy("_id").agg(
+        F.count("token").alias("n_tokens"))
+    in_vocab = (toks.join(F.broadcast(vocab), "token", "left_semi")
+                .groupBy("_id").agg(F.count("*").alias("n_in")))
+    return (per_doc.join(in_vocab, "_id", "left")
+            .withColumn("n_in", F.coalesce("n_in", F.lit(0)))
+            .select(F.col("_id").alias(id_col), "n_tokens",
+                    (F.col("n_tokens") - F.col("n_in")).alias("n_oov"),
+                    F.round((F.col("n_tokens") - F.col("n_in"))
+                            / _nz(F.col("n_tokens")), 6).alias("oov_frac")))
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      qs: tuple = (0.5, 0.9, 0.99),
+                      scale: int = 100) -> DataFrame:
+    """Exact per-group discrete quantiles without a per-group sort:
+    values are fixed-pointed to a 1/scale grid, so the per-(group,
+    value) histogram is bounded by |groups| x grid regardless of row
+    count; cumulative counts over THAT table (histogram-sized windows,
+    never corpus-sized) locate each quantile as the smallest grid value
+    whose cumulative count reaches ceil(q*n) — percentile_disc
+    semantics. This is the relational form of a KLL/t-digest pass with
+    an exactness guarantee at grid resolution, and the same shape
+    `quality_prune` uses for its global selection.
+
+    Returns (group, q, v) with v back on the value scale. NULL values
+    carry no mass.
+    """
+    v_fp = F.round(F.col(value_col) * scale).cast("long")
+    hist = (df.withColumn("_v", v_fp).where(F.col("_v").isNotNull())
+            .groupBy(group_col, "_v").agg(F.count("*").alias("_c")))
+    w_cum = (Window.partitionBy(group_col).orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy(group_col)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = (hist.withColumn("_cum", F.sum("_c").over(w_cum))
+           .withColumn("_n", F.sum("_c").over(w_all)))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = cum.select(group_col, "_v", "_cum", "_n", qcol) \
+        .where(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+    return (hit.groupBy(group_col, "q")
+            .agg(F.min("_v").alias("_vq"))
+            .select(group_col, "q",
+                    F.round(F.col("_vq") / scale, 6).alias("v")))

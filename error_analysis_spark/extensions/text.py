@@ -200,6 +200,41 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def normalize_expr(text: Column | str) -> Column:
+    """Canonical text normalization for dedup keys and training text:
+    lowercase → non-printable-ASCII → space → collapse whitespace runs
+    → trim. Pure JVM regexp expressions (no UDF, no shuffle); the same
+    transform is expressible verbatim in any RE2/PCRE engine, so
+    normalized hashes compare bit-equal cross-engine.
+
+    Normalizing BEFORE hashing is what turns exact dedup into
+    "whitespace/case-insensitive exact dedup" — the standard first pass
+    of a web-scale pipeline (C4 and friends normalize before any
+    fingerprinting)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^ -~]", " ")  # non-printable ASCII
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def normalize_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document normalization report: normalized md5-prefix hash
+    (the dedup key), raw/normalized lengths, and whether normalization
+    changed the text. Row-local; at 100 TB this is a map-only stage
+    whose output feeds exact_dedup on `norm_hash`."""
+    norm = normalize_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10)
+        .cast("long").alias("norm_hash"),
+        F.length(F.col(text_col)).alias("n_raw"),
+        F.length(norm).alias("n_norm"),
+        (norm != F.col(text_col)).cast("int").alias("changed"),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Repetition signals for training-data curation (the

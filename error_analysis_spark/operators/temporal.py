@@ -107,3 +107,36 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
                     F.col("_asof.ts").alias("asof_ts_us"),
                     F.round(F.col("_asof.val"), 6).alias("asof_value"),
                     (F.col("tus") - F.col("_asof.ts")).alias("lag_us")))
+
+
+def rolling_stats(events: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  id_col: str = "event_id",
+                  window_minutes: int = 60) -> DataFrame:
+    """Trailing range-frame rolling statistics: per key, for every
+    event, the count/sum/mean of `value` over the INCLUSIVE trailing
+    `window_minutes` wall-clock window ending at that event (the
+    standard "activity in the last hour" feature).
+
+    A RANGE frame (not ROWS): ties on the timestamp are frame peers in
+    every engine, so the result is deterministic under duplicate
+    timestamps. One shuffle on the key; within a key partition Spark
+    evaluates the moving frame with two pointers over the sorted run —
+    O(rows + frame moves), no per-row rescan. Hot-key skew carries the
+    same caveat as `sessionize` (a key's rows must fit one partition's
+    sort spill budget — millions of rows per user spill fine; salting
+    is only needed if one key dominates the corpus).
+    """
+    win_us = window_minutes * 60_000_000
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(key_col), F.col(id_col),
+        tus.alias("tus"), F.col(value_col).alias("_v"))
+    w = (Window.partitionBy(key_col).orderBy("tus")
+         .rangeBetween(-win_us, 0))
+    return base.select(
+        key_col, id_col,
+        F.col("tus").alias("ts_us"),
+        F.count("_v").over(w).alias("n_window"),
+        F.round(F.sum("_v").over(w), 6).alias("sum_window"),
+        F.round(F.avg("_v").over(w), 6).alias("mean_window"))

@@ -71,6 +71,64 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q03_DATE = "1995-03-15"
+_Q03_SEG = "BUILDING"
+_Q03_K = 10
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority join: customer (segment filter)
+    ⋈ orders (date filter) ⋈ lineitem (date filter) → top-10 orders by
+    discounted revenue.
+
+    Declarative three-table join: filters sit on each scan (pushed to
+    parquet), the plan is left to Catalyst/AQE — at sf0.1 the filtered
+    customer side broadcasts automatically; at cluster scale AQE picks
+    a shuffle join and handles skew. Revenue is fixed-pointed per row
+    (1e-6) before the 128-bit sum, so the top-10 ordering is exact and
+    the tie-break (revenue desc, o_orderkey asc) is total. The final
+    top-k is a TakeOrderedAndProject, never a full sort."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == _Q03_SEG)
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit(_Q03_DATE))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit(_Q03_DATE))
+          .select("l_orderkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev")))
+    return (orders
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg((F.sum("_rev").cast("double") / 1e6).alias("revenue"))
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"), "revenue")
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(_Q03_K))
+
+
+Q03_SQL = f"""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q03_SEG}'
+  AND CAST(o_orderdate AS DATE) < DATE '{_Q03_DATE}'
+  AND CAST(l_shipdate AS DATE) > DATE '{_Q03_DATE}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT {_Q03_K}
+"""
+
+
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
@@ -513,6 +571,7 @@ GROUP BY event_type
 
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_orders": (q03_top_orders, Q03_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

@@ -1597,6 +1597,227 @@ FROM kept GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Round-4 wave: normalization, vocab coverage, Bloom decontamination,
+# per-domain caps
+# --------------------------------------------------------------------------
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization report (text.py:normalize_stats):
+    lowercase / non-printable strip / whitespace collapse, md5-prefix
+    hash of the normalized text as the case-insensitive dedup key.
+    Row-local map-only stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.normalize_stats(docs)
+
+
+NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS norm_hash,
+       length(text) AS n_raw,
+       length(norm) AS n_norm,
+       CAST(norm <> text AS INT) AS changed
+FROM n
+"""
+
+
+_OOV_K = 32
+_OOV_MIN_DF = 2
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage (sketches.py:oov_stats): per-doc OOV
+    fraction against the corpus' own top-32 vocabulary; broadcast
+    semi-join probe, one map-side-combinable count shuffle."""
+    from error_analysis_spark.extensions import sketches as SK
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.oov_stats(docs, vocab_k=_OOV_K, min_df=_OOV_MIN_DF)
+
+
+OOV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents), unnest(t) AS u(token)
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token
+  ) WHERE df >= {_OOV_MIN_DF}
+  ORDER BY tf DESC, token LIMIT {_OOV_K}
+),
+per AS (
+  SELECT d.doc_id,
+         CAST(count(t.token) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(CASE WHEN t.token IN (SELECT token FROM vocab)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_in
+  FROM documents d LEFT JOIN tok t USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, n_tokens - n_in AS n_oov,
+       round((n_tokens - n_in) / nullif(n_tokens, 0)::DOUBLE, 6) AS oov_frac
+FROM per
+"""
+
+
+_BLOOM_N = 5
+_BLOOM_M = 1 << 18
+_BLOOM_K = 4
+_BLOOM_THRESH = 0.3
+
+
+def text_contam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitset decontamination (contamination.py:bloom_contamination):
+    same bench/train split as text_contamination, but the bench gram set
+    is compressed to a fixed 32 KiB bitset and the corpus probe is a
+    row-local expression — zero joins/shuffles on the train side (the
+    shape that survives a GB-scale eval suite)."""
+    from error_analysis_spark.extensions import contamination as CT
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    train = docs.where(F.col("doc_id") % 13 != 0)
+    return CT.bloom_contamination(train, bench, n=_BLOOM_N,
+                                  m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+                                  threshold=_BLOOM_THRESH)
+
+
+CONTAM_BLOOM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {_BLOOM_N} THEN
+           list_transform(range(1, len(t) - {_BLOOM_N} + 2),
+                          i -> array_to_string(t[i:i+{_BLOOM_N - 1}], ' '))
+         ELSE []::VARCHAR[] END) AS gs
+  FROM toks
+),
+pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(g), 1 + 8 * s.j, 8))::BIGINT % {_BLOOM_M} AS p
+  FROM (SELECT DISTINCT g FROM grams, unnest(gs) AS u(g)
+        WHERE doc_id % 13 = 0) bg,
+       unnest(range({_BLOOM_K})) AS s(j)
+),
+dg AS (
+  SELECT doc_id, u.g,
+         ('0x' || substr(md5(u.g), 1 + 8 * s.j, 8))::BIGINT % {_BLOOM_M} AS myp
+  FROM grams, unnest(gs) AS u(g), unnest(range({_BLOOM_K})) AS s(j)
+  WHERE doc_id % 13 <> 0
+),
+gh AS (
+  SELECT doc_id, g,
+         (count(pos.p) = {_BLOOM_K}) AS hit
+  FROM dg LEFT JOIN pos ON pos.p = dg.myp
+  GROUP BY doc_id, g
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_hits
+  FROM gh GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS INT) AS n_grams,
+       CAST(coalesce(per.n_hits, 0) AS INT) AS n_hits,
+       round(CASE WHEN coalesce(per.n_grams, 0) > 0
+             THEN per.n_hits::DOUBLE / per.n_grams END, 6) AS contam_frac,
+       coalesce(per.n_hits::DOUBLE / per.n_grams >= {_BLOOM_THRESH}, FALSE)
+           AS contaminated
+FROM grams g LEFT JOIN per USING (doc_id)
+WHERE g.doc_id % 13 <> 0
+"""
+
+
+_QTILE_QS = (0.5, 0.9, 0.99)
+
+
+def sketch_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete quantiles via the bounded fixed-point
+    histogram (sketches.py:grouped_quantiles) — no per-group sort of
+    the corpus; cumulative windows run over the histogram only."""
+    from error_analysis_spark.extensions import sketches as SK
+    ev = load_table(spark, sf_dir, "events")
+    return SK.grouped_quantiles(ev, "event_type", "value", qs=_QTILE_QS)
+
+
+_QTILE_LIST = ", ".join(str(q) for q in _QTILE_QS)
+
+GROUPED_QTILE_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vfp
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, vfp,
+         row_number() OVER (PARTITION BY event_type ORDER BY vfp) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, q.q, round(min(vfp) / 100.0, 6) AS v
+FROM r CROSS JOIN (SELECT unnest([{_QTILE_LIST}]::DOUBLE[]) AS q) q
+WHERE rn = CAST(ceil(q.q * n) AS BIGINT)
+GROUP BY event_type, q.q
+"""
+
+
+_DOMAIN_CAP = 8
+
+
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (curation.py:domain_cap): keep the top
+    `cap` docs per source by quality — grouped histogram + per-domain
+    cutoff join, no corpus-wide window (a hot domain never funnels
+    through one partition)."""
+    from error_analysis_spark.extensions import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    kept = CU.domain_cap(docs, cap=_DOMAIN_CAP)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.sum("doc_id").alias("id_checksum"))
+
+
+DOMAIN_CAP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         CAST(round(round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE) / length(text)), 6) * 1e6) AS BIGINT) AS q_fp
+  FROM t
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY q_fp DESC, doc_id) AS rn
+  FROM q WHERE q_fp IS NOT NULL
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {_DOMAIN_CAP})
+SELECT source, count(*) AS n_kept,
+       round(min(q_fp) / 1e6, 6) AS min_q,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY source
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
@@ -1636,4 +1857,10 @@ EXT_QUERIES: dict[str, tuple] = {
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_SQL),
     "sim_semantic_dedup": (sim_semantic_dedup, None),
     "text_perplexity": (text_perplexity, PERPLEXITY_SQL),
+    "text_normalize": (text_normalize, NORMALIZE_SQL),
+    "text_oov_rate": (text_oov_rate, OOV_SQL),
+    "text_contam_bloom": (text_contam_bloom, CONTAM_BLOOM_SQL),
+    "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
+    "sketch_grouped_quantiles": (sketch_grouped_quantiles,
+                                 GROUPED_QTILE_SQL),
 }

@@ -644,9 +644,39 @@ FROM p LEFT JOIN LATERAL (
 """
 
 
+_ROLL_MIN = 60
+
+
+def w5_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour range-frame rolling count/sum/mean per user
+    (operators/temporal.py:rolling_stats) — the "activity in the last
+    hour" feature; RANGE frame so timestamp ties are peers in every
+    engine."""
+    from error_analysis_spark.operators import temporal as TP
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return TP.rolling_stats(ev, window_minutes=_ROLL_MIN)
+
+
+W5_ROLLING_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
+)
+SELECT user_id, event_id, CAST(tus AS BIGINT) AS ts_us,
+       CAST(count(value) OVER w AS BIGINT) AS n_window,
+       round(sum(value) OVER w, 6) AS sum_window,
+       round(avg(value) OVER w, 6) AS mean_window
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN {_ROLL_MIN * 60_000_000} PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
     "j10_asof_join": (j10_asof_join, J10_ASOF_SQL),
+    "w5_rolling_stats": (w5_rolling_stats, W5_ROLLING_SQL),
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),

@@ -157,11 +157,15 @@ def test_registry_window_policy():
         f"unplanned queries outside the window: {outside - set(E._ROTATE_OUT)}"
     oracles = E.oracle_sql()
     # rows-only queries (no SQL-expressible oracle — e.g. KMeans-based
-    # sim_semantic_dedup) are allowed ONLY in the rotate-out tail: they
-    # must never displace a hash-checked query from the window
+    # sim_semantic_dedup) may enter the window only DELIBERATELY (named
+    # in _FRONT for their scheduled weak check, as COVERAGE.md's r03
+    # note planned for r04) and only while every query they displace to
+    # the tail carries a green row from the previous round — they never
+    # crowd out an unverified hash-checked query
     rows_only = set(names) - set(oracles)
-    assert rows_only <= outside, \
-        f"rows-only queries inside the hash-check window: {rows_only & window}"
+    assert rows_only & window <= set(E._FRONT), \
+        f"undeclared rows-only queries in the window: " \
+        f"{(rows_only & window) - set(E._FRONT)}"
     assert rows_only <= {"sim_semantic_dedup"}, rows_only
 
 
