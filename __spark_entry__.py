@@ -53,6 +53,9 @@ _FRONT = [
     "text_normalize", "text_oov_rate", "text_contam_bloom",
     "curation_domain_cap", "w5_rolling_stats", "sketch_grouped_quantiles",
     "q03_top_orders",
+    # new in r04 wave 2
+    "curation_split", "curation_length_buckets", "sketch_cms_err",
+    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
     # changed in r04 (eager pair cache / oracle NULL-quality parity)
     "dedup_jaccard", "curation_quality_prune",
 ]
@@ -72,7 +75,14 @@ _ROTATE_OUT = ["a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
                "text_pii_scrub", "emb_quantize_stats", "text_chunk_windows",
                "sketch_kmv_distinct", "j10_asof_join",
                "curation_domain_weights", "text_contamination",
-               "text_vocab_topk"]
+               "text_vocab_topk",
+               # r04 wave-2 makes room: single-green r03 queries whose
+               # plans are unchanged since their green (seeded-kernel
+               # uncertainty estimators, native session_window, the
+               # map-side sampler and the two bucket-scan queries)
+               "sigma_a_brute", "sigma_a_hugonnet", "w4_sessionize",
+               "curation_sample_mix", "curation_train_order",
+               "curation_pack_chunks"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

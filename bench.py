@@ -96,6 +96,14 @@ HEADLINE = [
     "w5_rolling_stats",
     "sketch_grouped_quantiles",
     "q03_top_orders",
+    # round 4 wave 2 — holdout split, padding-waste buckets, CMS audit,
+    # JL projection, snapshot diff, robust MAD outliers
+    "curation_split",
+    "curation_length_buckets",
+    "sketch_cms_err",
+    "emb_random_projection",
+    "curation_snapshot_diff",
+    "w6_outlier_mad",
 ]
 
 

@@ -223,3 +223,39 @@ def domain_cap(docs: DataFrame, cap: int = 10, domain_col: str = "source",
             .where(F.col("_rn") <= F.col("_tie_keep")).drop("_rn"))
     kept = above.unionByName(ties)
     return kept.select(*docs.columns, (F.col("_q_fp") / 1e6).alias("quality"))
+
+
+def corpus_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit a data
+    team runs before promoting a refreshed crawl: what was added,
+    what disappeared, and what silently changed content under the
+    same id.
+
+    Both sides reduce to (id, content_hash) — the md5-prefix content
+    hash is the same key `exact_dedup` uses, so "changed" means the
+    dedup-relevant bytes changed, not formatting of untouched
+    columns. One co-partitioned full-outer hash join on the id (both
+    sides shuffle once on the same key; at scale, bucketed snapshot
+    storage makes this join exchange-free). Every other column is
+    dropped before the join — the shuffle ships two longs per row,
+    not documents.
+
+    Returns (doc_id, status) with status in
+    {'added', 'removed', 'changed', 'same'}.
+    """
+    def _hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+            .cast("long").alias(f"_h_{side}"))
+
+    o = _hashed(old, "old")
+    n = _hashed(new, "new")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("same"))
+        .otherwise(F.lit("changed")))
+    return joined.select(F.col(id_col), status.alias("status"))

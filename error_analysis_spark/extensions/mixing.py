@@ -190,6 +190,79 @@ def _with_bucketedlen(docs: DataFrame, text_col: str, id_col: str,
 
 
 # --------------------------------------------------------------------------
+# Deterministic holdout split (train / val / test)
+# --------------------------------------------------------------------------
+
+def hash_split(docs: DataFrame, fracs: tuple = (0.9, 0.05, 0.05),
+               names: tuple = ("train", "val", "test"),
+               id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """Assign every row to a named split by hashing its id.
+
+    The split is a pure map-side expression: u = md5-uniform(id) lands
+    in the half-open interval [cum_i, cum_{i+1}) of the cumulative
+    fractions — no shuffle, no sampling state, and the assignment is
+    stable under repartitioning AND under corpus growth (a doc keeps
+    its split when new docs arrive, which per-partition `randomSplit`
+    cannot guarantee). That stability is the property that makes the
+    holdout trustworthy across pipeline re-runs.
+
+    Returns the input plus a `split` column. Fractions must sum to
+    <= 1; any residual mass (1 - sum) is dropped rows (split IS NULL
+    filtered out), which doubles as a global downsample knob.
+    """
+    if len(fracs) != len(names):
+        raise ValueError("fracs and names must align")
+    total = float(sum(fracs))
+    if total > 1.0 + 1e-12:
+        raise ValueError(f"fracs sum to {total} > 1")
+    cum = 0.0
+    expr = F.lit(None).cast("string")
+    # build the when-chain from the LAST interval backwards so the
+    # first matching upper bound wins; hash computed once per row
+    bounds = []
+    for frac, name in zip(fracs, names):
+        cum += float(frac)
+        bounds.append((cum, name))
+    for upper, name in reversed(bounds):
+        expr = F.when(F.col("_u") < F.lit(upper), F.lit(name)) \
+            .otherwise(expr)
+    out = (docs.withColumn("_u", hash_uniform(F.col(id_col), seed))
+           .withColumn("split", expr).drop("_u"))
+    return out.where(F.col("split").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching (padding-waste accounting)
+# --------------------------------------------------------------------------
+
+def length_buckets(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign each doc the power-of-2 padded length that length-bucketed
+    batching would pad it to, and account the waste.
+
+    Batching variable-length sequences pads every doc in a batch to the
+    bucket cap; bucketing by next-pow-2 bounds the waste at < 50% per
+    doc while keeping the bucket count logarithmic (~30 buckets no
+    matter the corpus size — a bounded aggregation key at 100 TB).
+    Returns per-doc (doc_id, n_tok, bucket, pad) with
+    bucket = 2^ceil(log2(n_tok)) and pad = bucket - n_tok; zero-token
+    docs are dropped (nothing to batch). Pure map-side expression —
+    the caller aggregates by `bucket` for the padding-waste report.
+
+    Cross-engine note: log2 is exact on powers of two in IEEE double,
+    so the ceil never straddles a bucket boundary on either engine.
+    """
+    bucket = F.pow(F.lit(2.0),
+                   F.ceil(F.log2(F.col("n_tok").cast("double")))) \
+        .cast("long")
+    return (docs.select(F.col(id_col),
+                        token_len(F.col(text_col)).alias("n_tok"))
+            .where(F.col("n_tok") > 0)
+            .withColumn("bucket", F.greatest(bucket, F.lit(1).cast("long")))
+            .withColumn("pad", F.col("bucket") - F.col("n_tok")))
+
+
+# --------------------------------------------------------------------------
 # Domain mixing weights (DoReMi-lite)
 # --------------------------------------------------------------------------
 

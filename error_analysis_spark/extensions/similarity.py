@@ -468,3 +468,55 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
                     "n_vecs",
                     F.round(F.col("_s").cast("double")
                             / F.col("n_vecs") / 1e9, 6).alias("mean_val")))
+
+
+def random_project(embeddings: DataFrame, out_dim: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 3) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic Rademacher (±1) projection matrix.
+
+    y_j = (1/sqrt(out_dim)) * sum_i sign(i, j) * x_i, where sign is the
+    parity of an md5 hash of (seed, i, j) — Achlioptas 2003 shows ±1
+    entries preserve pairwise distances with the same JL guarantee as
+    Gaussian ones, and a hash-derived matrix needs no stored state:
+    any worker (or the DuckDB oracle) regenerates any entry on demand.
+
+    Scale shape: the matrix is in_dim × out_dim rows — a few thousand
+    entries even at embedding widths of 4096 — built once and
+    BROADCAST; the corpus side posexplodes to (id, dim, val) and the
+    only shuffle is the (id, out_j) partial-aggregating sum, i.e. the
+    same cost as one groupBy over the corpus. Products are summed in
+    1e-6 fixed point so the result is order-independent and bit-equal
+    across engines.
+
+    Returns (vec_id, out_j, proj) long-form — the narrow layout feeds
+    the downstream ANN/bucketing operators without an array rebuild.
+    """
+    spark = embeddings.sparkSession
+    in_dim = embeddings.select(
+        F.max(F.size(vec_col)).alias("d")).first()["d"]
+    dims = spark.range(int(in_dim)).select(F.col("id").alias("dim"))
+    outs = spark.range(int(out_dim)).select(F.col("id").alias("out_j"))
+    parity = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(str(seed)), F.col("dim"),
+                          F.col("out_j"))), 1, 15), 16, 10) \
+        .cast("long") % 2
+    proj = dims.crossJoin(outs).select(
+        "dim", "out_j",
+        F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long").alias("sign"))
+    exploded = embeddings.select(
+        F.col(id_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "val"))
+    fp = (exploded
+          .join(F.broadcast(proj), "dim")
+          .withColumn("_term",
+                      F.round(F.col("val") * 1e6).cast("long")
+                      * F.col("sign")))
+    inv_root = 1.0 / float(out_dim) ** 0.5
+    return (fp.groupBy(id_col, "out_j")
+            .agg(F.sum("_term").alias("_s"))
+            .select(id_col, "out_j",
+                    F.round(F.col("_s") / 1e6 * F.lit(inv_root), 6)
+                    .alias("proj")))

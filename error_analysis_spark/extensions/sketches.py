@@ -156,6 +156,130 @@ def oov_stats(docs: DataFrame, vocab_k: int = 64, min_df: int = 2,
                             / _nz(F.col("n_tokens")), 6).alias("oov_frac")))
 
 
+def cms_topk(docs: DataFrame, d: int = 4, w: int = 1024, k: int = 20,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Count-Min sketch token-frequency estimates, audited against the
+    exact counts for the top-k tokens.
+
+    The CMS (Cormode & Muthukrishnan 2005) is the mergeable
+    fixed-memory answer to "how often does token X occur" at corpus
+    scale: d hash rows × w counters; est(x) = min_j cell[j, h_j(x)],
+    always >= the true count (one-sided error, E[over] <= 2N/w per
+    row). Every stage here is a bounded hash aggregate:
+
+    - token counts: map-side-combinable (token) agg — the only
+      corpus-sized shuffle;
+    - sketch cells: the VOCAB (not the corpus) explodes d rows and
+      re-aggregates into at most d*w cells — a fixed-size table that
+      IS the serialized sketch (union two corpora = add cell-wise);
+    - the audit probes the k heaviest tokens through the same hashes
+      (broadcast join against the tiny cell table) and reports
+      est - exact, which is the sketch's actual collision overcount.
+
+    Hashes are md5-derived (`h_j(x) = md5(j:x) mod w`), so DuckDB
+    reproduces the sketch bit-for-bit. Returns (token, tf, tf_est,
+    overcount) for the top-k tokens by exact tf (ties by token).
+    """
+    from error_analysis_spark.extensions.text import tokens
+    tf = (docs.select(F.explode(tokens(text_col)).alias("token"))
+          .groupBy("token").agg(F.count("*").alias("tf")))
+    tf = tf.persist()
+    try:
+        j = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+        hashed = tf.select("token", "tf", j).withColumn(
+            "col",
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                               F.col("token"))), 1, 15), 16, 10)
+            .cast("long") % w)
+        cells = hashed.groupBy("j", "col").agg(
+            F.sum("tf").alias("cell"))
+        top = (tf.orderBy(F.desc("tf"), F.asc("token")).limit(k))
+        probe = top.select("token", "tf", F.explode(
+            F.sequence(F.lit(0), F.lit(d - 1))).alias("j")).withColumn(
+            "col",
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                               F.col("token"))), 1, 15), 16, 10)
+            .cast("long") % w)
+        est = (probe.join(cells, ["j", "col"])
+               .groupBy("token", "tf")
+               .agg(F.min("cell").alias("tf_est")))
+        out = est.select(
+            "token", "tf", "tf_est",
+            (F.col("tf_est") - F.col("tf")).alias("overcount"))
+        # materialize before releasing the shared tf lineage
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+    return out
+
+
+def robust_outliers(df: DataFrame, group_col: str, value_col: str,
+                    scale: int = 100, z_x10000: int = 35000) -> DataFrame:
+    """Per-group robust outlier counts via median/MAD (Iglewicz-Hoaglin
+    modified z-score), computed entirely on the bounded fixed-point
+    histogram — no per-group sort of the raw data at any width.
+
+    Flag x when 0.6745 * |x - median| / MAD > z. All comparisons run
+    in INTEGER grid units (6745 * dev_fp > z_x10000 * mad_fp), so the
+    threshold decision is exact and identical across engines — no
+    float boundary can flip a flag. Three bounded stages:
+
+    1. median per group: `grouped_quantiles` histogram (grid-bounded);
+    2. MAD: histogram of |x_fp - med_fp| (same grid bound), same
+       smallest-value-reaching-ceil(n/2) rank rule;
+    3. flags: map-side compare against the broadcast (group, med, mad)
+       table + one count aggregate.
+
+    Groups whose MAD is 0 (over half the mass on one grid value)
+    report NULL n_outliers — the score is undefined there, and a
+    data-quality pipeline should treat "zero dispersion" as its own
+    signal rather than divide by it. Returns (group, n, median, mad,
+    n_outliers) with median/MAD back on the value scale.
+    """
+    v_fp = F.round(F.col(value_col) * scale).cast("long")
+    vals = (df.select(F.col(group_col), v_fp.alias("_v"))
+            .where(F.col("_v").isNotNull()))
+    med = (grouped_quantiles(df, group_col, value_col, qs=(0.5,),
+                             scale=scale)
+           .select(group_col,
+                   F.round(F.col("v") * scale).cast("long").alias("_med")))
+    # med/mad tables are |groups|-sized — broadcast, never shuffle the
+    # corpus side for them
+    dev = (vals.join(F.broadcast(med), group_col)
+           .select(group_col, F.abs(F.col("_v") - F.col("_med"))
+                   .alias("_d"), "_v", "_med"))
+    # MAD = the grouped-quantile median of the deviation histogram
+    dhist = dev.groupBy(group_col, "_d").agg(F.count("*").alias("_c"))
+    w_cum = (Window.partitionBy(group_col).orderBy("_d")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy(group_col)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    dcum = (dhist.withColumn("_cum", F.sum("_c").over(w_cum))
+            .withColumn("_n", F.sum("_c").over(w_all)))
+    mad = (dcum.where(F.col("_cum") >= F.ceil(F.col("_n") / 2))
+           .groupBy(group_col)
+           .agg(F.min("_d").alias("_mad"), F.min("_n").alias("n")))
+    flagged = (dev.join(F.broadcast(mad.select(group_col, "_mad")),
+                        group_col)
+               .withColumn("_out",
+                           (F.lit(6745) * F.col("_d")
+                            > F.lit(z_x10000) * F.col("_mad"))
+                           .cast("long")))
+    counts = flagged.groupBy(group_col).agg(
+        F.sum("_out").alias("_n_out"),
+        F.min("_med").alias("_med"), F.min("_mad").alias("_madv"))
+    return (counts.join(mad.select(group_col, "n"), group_col)
+            .select(
+                group_col, "n",
+                F.round(F.col("_med") / scale, 6).alias("median"),
+                F.round(F.col("_madv") / scale, 6).alias("mad"),
+                F.when(F.col("_madv") > 0, F.col("_n_out"))
+                .alias("n_outliers")))
+
+
 def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
                       qs: tuple = (0.5, 0.9, 0.99),
                       scale: int = 100) -> DataFrame:

@@ -1818,6 +1818,277 @@ FROM kept GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Round-4 wave 2: holdout split, length buckets, CMS audit, JL projection,
+# snapshot diff, robust outliers
+# --------------------------------------------------------------------------
+
+_SPLIT_FRACS = (0.9, 0.05, 0.05)
+_SPLIT_NAMES = ("train", "val", "test")
+_SPLIT_SEED = 7
+
+
+def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout (mixing.py:hash_split):
+    md5-uniform interval assignment — map-only, stable under
+    repartitioning AND corpus growth. Report per (split, source)."""
+    from error_analysis_spark.extensions import mixing as MX
+    docs = load_table(spark, sf_dir, "documents")
+    split = MX.hash_split(docs, fracs=_SPLIT_FRACS, names=_SPLIT_NAMES,
+                          seed=_SPLIT_SEED)
+    return split.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("char_sum"))
+
+
+def _split_bounds() -> list[tuple[float, str]]:
+    # identical float accumulation to mixing.hash_split, so the SQL
+    # literals are the very doubles Spark compares against
+    cum, out = 0.0, []
+    for frac, name in zip(_SPLIT_FRACS, _SPLIT_NAMES):
+        cum += float(frac)
+        out.append((cum, name))
+    return out
+
+
+_SPLIT_CASE = " ".join(
+    f"WHEN u < {upper!r} THEN '{name}'" for upper, name in _split_bounds())
+
+SPLIT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         {_U_SQL.format(seed=_SPLIT_SEED, col="doc_id")} AS u
+  FROM documents
+),
+t AS (
+  SELECT doc_id, source, n_chars,
+         CASE {_SPLIT_CASE} END AS split
+  FROM s
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum
+FROM t WHERE split IS NOT NULL
+GROUP BY split, source
+"""
+
+
+def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for length-bucketed batching
+    (mixing.py:length_buckets): next-pow-2 bucket per doc (bounded,
+    ~30 buckets at any corpus size), pad = bucket - n_tok."""
+    from error_analysis_spark.extensions import mixing as MX
+    docs = load_table(spark, sf_dir, "documents")
+    b = MX.length_buckets(docs)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("token_sum"),
+        F.sum("pad").alias("pad_sum"),
+        F.round(F.sum("pad") / (F.sum("pad") + F.sum("n_tok")), 6)
+        .alias("pad_frac"))
+
+
+LENGTH_BUCKETS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         greatest(CAST(power(2, ceil(log2(CAST(n_tok AS DOUBLE))))
+                       AS BIGINT), 1) AS bucket
+  FROM t WHERE n_tok > 0
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS token_sum,
+       CAST(sum(bucket - n_tok) AS BIGINT) AS pad_sum,
+       round(sum(bucket - n_tok)
+             / CAST(sum(bucket) AS DOUBLE), 6) AS pad_frac
+FROM b GROUP BY bucket
+"""
+
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_K = 15
+
+
+def sketch_cms_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit (sketches.py:cms_topk): d x w md5-hashed
+    counter grid, est = min over rows; reports est - exact for the
+    top-15 tokens — the sketch's real collision overcount."""
+    from error_analysis_spark.extensions import sketches as SK
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.cms_topk(docs, d=_CMS_D, w=_CMS_W, k=_CMS_K)
+
+
+CMS_SQL = f"""
+WITH tok AS (
+  SELECT u.token
+  FROM (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents), unnest(t) AS u(token)
+),
+tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+hashed AS (
+  SELECT token, tf, s.j,
+         ('0x' || substr(md5(s.j || ':' || token), 1, 15))::BIGINT
+           % {_CMS_W} AS col
+  FROM tf, unnest(range({_CMS_D})) AS s(j)
+),
+cells AS (SELECT j, col, CAST(sum(tf) AS BIGINT) AS cell
+          FROM hashed GROUP BY j, col),
+top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT {_CMS_K}),
+est AS (
+  SELECT h.token, h.tf, min(c.cell) AS tf_est
+  FROM hashed h JOIN cells c USING (j, col)
+  WHERE h.token IN (SELECT token FROM top)
+  GROUP BY h.token, h.tf
+)
+SELECT token, tf, tf_est, tf_est - tf AS overcount FROM est
+"""
+
+
+_RP_OUT_DIM = 8
+_RP_SEED = 3
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction (similarity.py:random_project):
+    hash-derived Rademacher matrix, broadcast join + one (id, out_j)
+    partial-agg shuffle; fixed-point term sums for cross-engine
+    exactness."""
+    from error_analysis_spark.extensions import similarity as SIM2
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM2.random_project(emb, out_dim=_RP_OUT_DIM, seed=_RP_SEED)
+
+
+RANDOM_PROJECTION_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding,
+                (x, i) -> struct_pack(dim := CAST(i - 1 AS BIGINT),
+                                      val := CAST(x AS DOUBLE)))) AS u
+  FROM embeddings
+),
+p AS (
+  SELECT d.dim, o.out_j,
+         CASE WHEN ('0x' || substr(md5('{_RP_SEED}' || '_' || d.dim
+                                       || '_' || o.out_j), 1, 15))::BIGINT
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM (SELECT unnest(range((SELECT max(len(embedding)) FROM embeddings)))
+          AS dim) d,
+       (SELECT unnest(range({_RP_OUT_DIM})) AS out_j) o
+)
+SELECT e.vec_id, p.out_j,
+       round(CAST(sum(CAST(round(e.u.val * 1e6) AS BIGINT) * p.sign)
+                  AS DOUBLE) / 1e6 * (1.0 / sqrt({_RP_OUT_DIM}.0)), 6)
+         AS proj
+FROM e JOIN p ON p.dim = e.u.dim
+GROUP BY e.vec_id, p.out_j
+"""
+
+
+def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (curation.py:corpus_delta): old = ids not
+    divisible by 5, new = ids not divisible by 7 with every 11th doc's
+    text rewritten — exercises added/removed/changed/same on one
+    co-partitioned full-outer hash join of (id, content-hash) pairs."""
+    from error_analysis_spark.extensions import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = (docs.where(F.col("doc_id") % 7 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 11 == 0,
+                                      F.upper(F.col("text")))
+                       .otherwise(F.col("text"))))
+    delta = CU.corpus_delta(old, new)
+    return delta.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_checksum"))
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents WHERE doc_id % 5 <> 0
+),
+new AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CASE WHEN doc_id % 11 = 0 THEN upper(text)
+                              ELSE text END), 1, 15))::BIGINT AS h
+  FROM documents WHERE doc_id % 7 <> 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.h = n.h THEN 'same'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM j GROUP BY status
+"""
+
+
+def w6_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier counts (sketches.py:robust_outliers):
+    median/MAD modified z-score computed on the bounded fixed-point
+    histogram — integer threshold arithmetic, no per-group sort."""
+    from error_analysis_spark.extensions import sketches as SK
+    ev = load_table(spark, sf_dir, "events")
+    return SK.robust_outliers(ev, "event_type", "value")
+
+
+OUTLIER_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vfp
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, vfp,
+         row_number() OVER (PARTITION BY event_type ORDER BY vfp) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, vfp AS med, n
+  FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+d AS (
+  SELECT v.event_type, abs(v.vfp - m.med) AS dev, m.med
+  FROM v JOIN med m USING (event_type)
+),
+dr AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, dev AS mad
+  FROM dr WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+fl AS (
+  SELECT d.event_type, d.med, m.mad,
+         CASE WHEN 6745 * d.dev > 35000 * m.mad THEN 1 ELSE 0 END AS isout
+  FROM d JOIN mad m USING (event_type)
+)
+SELECT f.event_type, me.n,
+       round(f.med / 100.0, 6) AS median,
+       round(f.mad / 100.0, 6) AS mad,
+       CASE WHEN f.mad > 0 THEN CAST(sum(f.isout) AS BIGINT) END
+         AS n_outliers
+FROM fl f JOIN med me USING (event_type)
+GROUP BY f.event_type, me.n, f.med, f.mad
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
@@ -1863,4 +2134,12 @@ EXT_QUERIES: dict[str, tuple] = {
     "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
     "sketch_grouped_quantiles": (sketch_grouped_quantiles,
                                  GROUPED_QTILE_SQL),
+    "curation_split": (curation_split, SPLIT_SQL),
+    "curation_length_buckets": (curation_length_buckets,
+                                LENGTH_BUCKETS_SQL),
+    "sketch_cms_err": (sketch_cms_err, CMS_SQL),
+    "emb_random_projection": (emb_random_projection,
+                              RANDOM_PROJECTION_SQL),
+    "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "w6_outlier_mad": (w6_outlier_mad, OUTLIER_MAD_SQL),
 }

@@ -198,3 +198,149 @@ def test_grouped_quantiles_null_and_extremes(spark):
            grouped_quantiles(df, "grp", "value", qs=(0.5, 1.0)).collect()}
     assert got[0.5] == 2.0  # ceil(0.5*4)=2nd of [1,2,3,4]; NULL carries no mass
     assert got[1.0] == 4.0
+
+
+# ------------------------------------------------------------ wave 2: split
+
+def test_hash_split_stable_under_growth_and_partitioning(spark, docs):
+    from error_analysis_spark.extensions.mixing import hash_split
+    full = hash_split(docs, seed=7).select("doc_id", "split").toPandas() \
+        .set_index("doc_id")["split"]
+    # a doc keeps its split when the corpus shrinks/grows or repartitions
+    half = hash_split(docs.where(F.col("doc_id") % 2 == 0).repartition(13),
+                      seed=7).select("doc_id", "split").toPandas() \
+        .set_index("doc_id")["split"]
+    assert (full.loc[half.index] == half).all()
+    # fractions roughly respected (md5-uniform over 500 docs)
+    frac = full.value_counts(normalize=True)
+    assert frac["train"] > 0.8 and frac["val"] < 0.15 and frac["test"] < 0.15
+
+
+def test_hash_split_validates_fracs(spark, docs):
+    from error_analysis_spark.extensions.mixing import hash_split
+    with pytest.raises(ValueError):
+        hash_split(docs, fracs=(0.9, 0.2), names=("a", "b"))
+    with pytest.raises(ValueError):
+        hash_split(docs, fracs=(0.5,), names=("a", "b"))
+    # residual mass drops rows deterministically
+    kept = hash_split(docs, fracs=(0.5,), names=("a",), seed=7)
+    n = docs.count()
+    assert 0 < kept.count() < n
+
+
+# --------------------------------------------------- wave 2: length buckets
+
+def test_length_buckets_invariants(spark, docs):
+    from error_analysis_spark.extensions.mixing import length_buckets, \
+        token_len
+    b = length_buckets(docs).toPandas()
+    assert (b.n_tok > 0).all()
+    assert (b.bucket >= b.n_tok).all(), "cap never below length"
+    # bucket is a power of two and the TIGHT one: bucket/2 < n_tok
+    assert ((b.bucket & (b.bucket - 1)) == 0).all()
+    assert ((b.bucket // 2 < b.n_tok) | (b.bucket == 1)).all()
+    # "pad" shadows DataFrame.pad — index by name
+    assert (b["pad"] == b.bucket - b.n_tok).all()
+    # zero-token docs dropped
+    n_nonempty = docs.where(token_len(F.col("text")) > 0).count()
+    assert len(b) == n_nonempty
+
+
+# -------------------------------------------------------------- wave 2: CMS
+
+def test_cms_overestimates_only_and_exact_at_wide_width(spark, docs):
+    from error_analysis_spark.extensions.sketches import cms_topk
+    out = cms_topk(docs, d=4, w=1024, k=10).toPandas()
+    assert len(out) == 10
+    assert (out.overcount >= 0).all(), "CMS error is one-sided"
+    assert (out.tf_est == out.tf + out.overcount).all()
+    # a very wide sketch on a small vocab has no collisions at the top
+    wide = cms_topk(docs, d=4, w=1 << 20, k=10).toPandas()
+    assert (wide.overcount == 0).all()
+
+
+# ------------------------------------------------- wave 2: robust outliers
+
+def test_robust_outliers_pandas_parity(spark):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(10.0, 2.0, 400), 2)
+    vals[:8] = 99.0  # planted gross outliers
+    pdf = pd.DataFrame({
+        "g": ["a"] * 200 + ["b"] * 200, "v": vals})
+    df = spark.createDataFrame(pdf)
+    from error_analysis_spark.extensions.sketches import robust_outliers
+    out = robust_outliers(df, "g", "v").toPandas().set_index("g")
+    for g, sub in pdf.groupby("g"):
+        fp = np.round(sub.v * 100).astype(np.int64)
+        n = len(fp)
+        med = np.sort(fp.to_numpy())[int(np.ceil(n / 2)) - 1]
+        dev = np.abs(fp - med)
+        mad = np.sort(dev.to_numpy())[int(np.ceil(n / 2)) - 1]
+        n_out = int((6745 * dev > 35000 * mad).sum())
+        assert out.loc[g, "n"] == n
+        assert out.loc[g, "median"] == med / 100
+        assert out.loc[g, "mad"] == mad / 100
+        assert out.loc[g, "n_outliers"] == n_out
+    assert out.loc["a", "n_outliers"] == 8
+
+
+def test_robust_outliers_zero_mad_null(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0)] * 10 + [("g", 50.0)], ["g", "v"])
+    from error_analysis_spark.extensions.sketches import robust_outliers
+    row = robust_outliers(df, "g", "v").collect()[0]
+    assert row["mad"] == 0.0 and row["n_outliers"] is None
+
+
+# ------------------------------------------------ wave 2: random projection
+
+def test_random_project_preserves_distances(spark):
+    import numpy as np
+    from error_analysis_spark.extensions.similarity import random_project
+    from tests.conftest import SF_DIR as _SF
+    emb = spark.read.parquet(f"{_SF}/embeddings.parquet").limit(40)
+    pdf = emb.toPandas()
+    out = random_project(emb, out_dim=16, seed=3).toPandas()
+    wide = out.pivot(index="vec_id", columns="out_j", values="proj")
+    X = np.stack(pdf.set_index("vec_id").loc[wide.index, "embedding"]
+                 .map(np.asarray).to_numpy())
+    Y = wide.to_numpy()
+    # JL with k=16: squared distances preserved within a loose factor
+    rng = np.random.default_rng(5)
+    idx = rng.choice(len(X), size=(30, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    dx = np.linalg.norm(X[idx[:, 0]] - X[idx[:, 1]], axis=1)
+    dy = np.linalg.norm(Y[idx[:, 0]] - Y[idx[:, 1]], axis=1)
+    ratio = dy / dx
+    assert 0.4 < ratio.min() and ratio.max() < 1.9
+    assert abs(np.median(ratio) - 1.0) < 0.35
+
+
+def test_random_project_deterministic_signs(spark):
+    from error_analysis_spark.extensions.similarity import random_project
+    from tests.conftest import SF_DIR as _SF
+    emb = spark.read.parquet(f"{_SF}/embeddings.parquet").limit(10)
+    a = random_project(emb.repartition(7), out_dim=4, seed=3).toPandas()
+    b = random_project(emb.repartition(2), out_dim=4, seed=3).toPandas()
+    key = ["vec_id", "out_j"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    c = random_project(emb, out_dim=4, seed=4).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert not a.proj.equals(c.proj)
+
+
+# ---------------------------------------------------- wave 2: snapshot diff
+
+def test_corpus_delta_statuses(spark):
+    from error_analysis_spark.extensions.curation import corpus_delta
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_delta(old, new).collect()}
+    assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
