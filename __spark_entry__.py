@@ -56,6 +56,9 @@ _FRONT = [
     # new in r04 wave 2
     "curation_split", "curation_length_buckets", "sketch_cms_err",
     "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
+    # new in r04 wave 3
+    "text_bigram_ppl", "emb_covariance", "curation_data_card",
+    "w7_funnel", "w8_retention",
     # changed in r04 (eager pair cache / oracle NULL-quality parity)
     "dedup_jaccard", "curation_quality_prune",
 ]
@@ -82,7 +85,13 @@ _ROTATE_OUT = ["a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
                # map-side sampler and the two bucket-scan queries)
                "sigma_a_brute", "sigma_a_hugonnet", "w4_sessionize",
                "curation_sample_mix", "curation_train_order",
-               "curation_pack_chunks"]
+               "curation_pack_chunks",
+               # r04 wave-3 makes room: single-green r03 queries with
+               # unchanged plans (fused repetition aggregate, BM25
+               # top-k, the persisted-index incremental dedup, A-ES
+               # sampler, label centroids)
+               "text_repetition", "text_bm25_topk", "dedup_incremental",
+               "curation_weighted_sample", "emb_label_centroids"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

@@ -104,6 +104,13 @@ HEADLINE = [
     "emb_random_projection",
     "curation_snapshot_diff",
     "w6_outlier_mad",
+    # round 4 wave 3 — bigram LM scoring, Gram/covariance pass,
+    # dataset card, conversion funnel, cohort retention
+    "text_bigram_ppl",
+    "emb_covariance",
+    "curation_data_card",
+    "w7_funnel",
+    "w8_retention",
 ]
 
 

@@ -259,3 +259,45 @@ def corpus_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
         .when(F.col("_h_old") == F.col("_h_new"), F.lit("same"))
         .otherwise(F.lit("changed")))
     return joined.select(F.col(id_col), status.alias("status"))
+
+
+def data_card(docs: DataFrame, domain_col: str = "source",
+              lang_col: str = "lang", text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-domain dataset card: the summary block a corpus release
+    ships with — volume, mean quality, and language diversity.
+
+    One (domain, lang) hash aggregate (map-side combinable counts and
+    fixed-point quality sums), then a domain rollup whose language
+    entropy sums -p ln p over the tiny per-domain language histogram
+    (each term fixed-pointed to 1e-6, so the sum is order-independent
+    and engine-exact). No corpus-wide window, no second scan.
+
+    Returns (domain, n_docs, n_tokens, mean_quality, n_langs,
+    lang_entropy).
+    """
+    q_fp = F.round(TX.quality_expr(text_col) * 1e6).cast("long")
+    per_lang = (docs
+                .select(F.col(domain_col), F.col(lang_col),
+                        F.size(TX.tokens(text_col)).cast("long")
+                        .alias("_nt"),
+                        q_fp.alias("_q"))
+                .groupBy(domain_col, lang_col)
+                .agg(F.count("*").alias("_c"),
+                     F.sum("_nt").alias("_t"),
+                     F.sum("_q").alias("_qs"),
+                     F.count("_q").alias("_cq")))
+    w = Window.partitionBy(domain_col)
+    ent_term = F.round(
+        -(F.col("_c") / F.col("_n")) * F.log(F.col("_c") / F.col("_n"))
+        * 1e6).cast("long")
+    tot = per_lang.withColumn("_n", F.sum("_c").over(w)) \
+        .withColumn("_e", ent_term)
+    return (tot.groupBy(domain_col)
+            .agg(F.sum("_c").alias("n_docs"),
+                 F.sum("_t").alias("n_tokens"),
+                 F.round(F.sum("_qs") / F.sum("_cq") / 1e6, 6)
+                 .alias("mean_quality"),
+                 F.countDistinct(lang_col).alias("n_langs"),
+                 F.round(F.sum("_e").cast("double") / 1e6, 6)
+                 .alias("lang_entropy")))

@@ -515,8 +515,52 @@ def random_project(embeddings: DataFrame, out_dim: int = 8,
                       F.round(F.col("val") * 1e6).cast("long")
                       * F.col("sign")))
     inv_root = 1.0 / float(out_dim) ** 0.5
+    # + 0.0 canonicalizes IEEE -0.0 (Spark's BigDecimal HALF_UP round
+    # drops the sign of a tiny negative; DuckDB's round keeps it)
     return (fp.groupBy(id_col, "out_j")
             .agg(F.sum("_term").alias("_s"))
             .select(id_col, "out_j",
-                    F.round(F.col("_s") / 1e6 * F.lit(inv_root), 6)
-                    .alias("proj")))
+                    (F.round(F.col("_s") / 1e6 * F.lit(inv_root), 6)
+                     + F.lit(0.0)).alias("proj")))
+
+
+def embedding_covariance(embeddings: DataFrame,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Population covariance matrix of the embedding columns — the
+    distributed Gram-accumulation pass that feeds PCA / whitening
+    (eigendecomposition of the d x d result is a driver-side
+    post-step; d is tiny next to N).
+
+    Relational form: posexplode to (id, dim, value), self-join on the
+    id (co-partitioned — both sides shuffle once on the same key),
+    aggregate per (i, j) upper triangle. Products and marginals are
+    summed in 1e-6 fixed point (products exact in 1e-12), so the
+    moment sums are order-independent and engine-exact; the covariance
+    assembles from them in one deterministic float expression.
+
+    This exact form is the right plan for d up to a few hundred (the
+    d^2 blow-up per row is the cost of SQL-exactness); past that, the
+    blocked-GEMM kernel (`_packed_normed` machinery) computes X^T X
+    per block and tree-merges — same result, numpy throughput.
+
+    Returns (i, j, n, cov) for i <= j.
+    """
+    ex = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"))
+    ex = ex.withColumn("xf", F.round(F.col("x") * 1e6).cast("long"))
+    a = ex.select("_id", F.col("i"), F.col("xf").alias("xa"))
+    b = ex.select("_id", F.col("i").alias("j"), F.col("xf").alias("xb"))
+    m = (a.join(b, "_id").where(F.col("i") <= F.col("j"))
+         .groupBy("i", "j")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.col("xa") * F.col("xb")).alias("_sxy"),
+              F.sum("xa").alias("_sx"), F.sum("xb").alias("_sy")))
+    cov = (F.col("_sxy").cast("double") / 1e12
+           - (F.col("_sx").cast("double") / 1e6)
+           * (F.col("_sy").cast("double") / 1e6) / F.col("n")) / F.col("n")
+    # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0 on
+    # one engine and 0.0 on the other; the driver hash compares strings)
+    return m.select("i", "j", "n",
+                    (F.round(cov, 6) + F.lit(0.0)).alias("cov"))

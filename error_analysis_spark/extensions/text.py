@@ -495,3 +495,61 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), F.col("n_tokens"),
                     F.round(ce, 6).alias("cross_entropy"),
                     F.round(F.exp(ce), 6).alias("perplexity")))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Bigram cross-entropy against the corpus's own bigram model —
+    one order up from `unigram_logprob`, catching shuffled-token and
+    template text a unigram model scores as fluent. Add-one smoothing
+    conditioned on the prefix: p(w2 | w1) = (c12 + 1) / (c1 + V) with
+    c12 the corpus bigram count, c1 the prefix-marginal
+    (sum of c12 over continuations of w1) and V the unigram vocab.
+
+    Scale shape mirrors the unigram operator: bigram strings are built
+    and pre-counted ROW-LOCALLY (zip_with over the shifted token array
+    + count-by-value), so the wide stream is (doc, bigram, count) over
+    per-doc DISTINCT bigrams; corpus stats are two hash aggregates
+    over that stream (bigram counts, then their prefix-marginal —
+    both map-side combinable); scoring joins back on the bigram key.
+    Per-bigram ln p is fixed-pointed to 1e-6 before the weighted sum,
+    so the result is order-independent and engine-exact.
+
+    Docs with < 2 tokens carry no bigram and are absent from the
+    output (the caller left-joins if it needs them flagged).
+    """
+    toks = tokens(text_col)
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+            .where(F.size("toks") >= 2))
+    # w1..wn-1 zipped with w2..wn; tokens never contain spaces, so the
+    # joined string is a faithful pair key
+    grams = base.select(
+        F.col(id_col),
+        F.expr("zip_with(slice(toks, 1, size(toks) - 1),"
+               " slice(toks, 2, size(toks) - 1),"
+               " (a, b) -> concat(a, ' ', b))").alias("grams"))
+    pairs = (grams.select(F.col(id_col),
+                          F.explode(count_by_value("grams")).alias("p"))
+             .select(F.col(id_col), F.col("p.v").alias("bigram"),
+                     F.col("p.c").cast("long").alias("c")))
+    bi = pairs.groupBy("bigram").agg(F.sum("c").alias("c12"))
+    prefix = (bi.withColumn("w1", F.substring_index("bigram", " ", 1))
+              .groupBy("w1").agg(F.sum("c12").alias("c1")))
+    vocab_row = (df.select(F.explode(toks).alias("t"))
+                 .agg(F.countDistinct("t").alias("v_size")))
+    lp_fp = F.round(F.log(
+        (F.col("c12") + 1).cast("double")
+        / (F.col("c1") + F.col("v_size")).cast("double")) * 1e6
+    ).cast("long")
+    scored = (pairs.join(bi, "bigram")
+              .withColumn("w1", F.substring_index("bigram", " ", 1))
+              .join(prefix, "w1")
+              .crossJoin(F.broadcast(vocab_row))
+              .select(F.col(id_col), (F.col("c") * lp_fp).alias("_lp"),
+                      F.col("c")))
+    ce = -F.col("_s").cast("double") / F.col("n_bigrams") / 1e6
+    return (scored.groupBy(id_col)
+            .agg(F.sum("c").alias("n_bigrams"), F.sum("_lp").alias("_s"))
+            .select(F.col(id_col), F.col("n_bigrams"),
+                    F.round(ce, 6).alias("cross_entropy"),
+                    F.round(F.exp(ce), 6).alias("perplexity")))

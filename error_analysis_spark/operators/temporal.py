@@ -140,3 +140,73 @@ def rolling_stats(events: DataFrame, key_col: str = "user_id",
         F.count("_v").over(w).alias("n_window"),
         F.round(F.sum("_v").over(w), 6).alias("sum_window"),
         F.round(F.avg("_v").over(w), 6).alias("mean_window"))
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered conversion funnel: for each key, the earliest time it
+    completed step i AFTER its step-(i-1) completion (strictly
+    increasing timestamps through the sequence).
+
+    The classic product-analytics query. Relational shape: one
+    conditional min-aggregate per step, each chained to the previous
+    step's per-key table by an equi-join ON THE SAME KEY — every join
+    and aggregate shuffles on `key_col` alone, so the whole funnel is
+    co-partitioned after the first exchange (and the per-key table
+    shrinks monotonically as the funnel narrows; AQE broadcasts the
+    tail stages when they fit). No window over the raw event stream,
+    no per-key event sorting.
+
+    Returns one row per key with `ts_1..ts_k` (NULL once the key
+    drops out) — aggregate upstream for step-conversion counts.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (events.where(F.col(type_col) == steps[0])
+           .groupBy(key_col).agg(F.min(ts_col).alias("ts_1")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.where(F.col(type_col) == step)
+               .join(cur.select(key_col, f"ts_{i - 1}"), key_col)
+               .where(F.col(ts_col) > F.col(f"ts_{i - 1}"))
+               .groupBy(key_col).agg(F.min(ts_col).alias(f"ts_{i}")))
+        cur = cur.join(nxt, key_col, "left")
+    return cur
+
+
+def cohort_retention(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: keys are cohorted by the ISO week of
+    their first event; a key is retained in week offset w if it has
+    any event in [first + 7w days, first + 7(w+1) days).
+
+    Two key-keyed hash aggregates and one co-partitioned join: the
+    per-key first-event table (one shuffle on the key, map-side
+    combinable min) joins back to the stream on the same key, the
+    (cohort, offset, key) distinct collapses duplicates BEFORE the
+    count — at 100 TB the distinct is the shuffle that matters and it
+    is bounded by keys x active-weeks, not events. Retention fraction
+    is against the week-0 cohort size (every key has an event at
+    offset 0 by construction).
+
+    Returns (cohort_week date, week_offset, n_active, retention).
+    """
+    first = events.groupBy(key_col).agg(F.min(ts_col).alias("_first"))
+    active = (events.join(first, key_col)
+              .select(
+                  F.date_trunc("week", F.col("_first")).cast("date")
+                  .alias("cohort_week"),
+                  F.floor(F.datediff(F.col(ts_col).cast("date"),
+                                     F.col("_first").cast("date")) / 7)
+                  .cast("long").alias("week_offset"),
+                  F.col(key_col))
+              .distinct())
+    counts = active.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(key_col).alias("n_active"))
+    base = (counts.where(F.col("week_offset") == 0)
+            .select("cohort_week", F.col("n_active").alias("_cohort_n")))
+    return (counts.join(F.broadcast(base), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active",
+                    F.round(F.col("n_active")
+                            / F.col("_cohort_n").cast("double"), 6)
+                    .alias("retention")))

@@ -1987,7 +1987,7 @@ p AS (
 SELECT e.vec_id, p.out_j,
        round(CAST(sum(CAST(round(e.u.val * 1e6) AS BIGINT) * p.sign)
                   AS DOUBLE) / 1e6 * (1.0 / sqrt({_RP_OUT_DIM}.0)), 6)
-         AS proj
+         + 0.0 AS proj
 FROM e JOIN p ON p.dim = e.u.dim
 GROUP BY e.vec_id, p.out_j
 """
@@ -2089,6 +2089,145 @@ GROUP BY f.event_type, me.n, f.med, f.mad
 """
 
 
+# --------------------------------------------------------------------------
+# Round-4 wave 3: bigram LM, embedding covariance, dataset card
+# --------------------------------------------------------------------------
+
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram cross-entropy / perplexity against the corpus's own
+    bigram model (text.py:bigram_logprob): add-one smoothing on the
+    prefix-conditional; row-local bigram pre-counts, two map-side-
+    combinable vocab aggs, fixed-point log sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bigram_logprob(docs)
+
+
+BIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, u.g
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1]) AS gs
+        FROM toks WHERE len(t) >= 2), unnest(gs) AS u(g)
+),
+bi AS (SELECT g, count(*) AS c12 FROM bg GROUP BY g),
+pre AS (
+  SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM bi GROUP BY split_part(g, ' ', 1)
+),
+v AS (
+  SELECT count(DISTINCT u.token) AS v_size
+  FROM toks, unnest(t) AS u(token)
+),
+sc AS (
+  SELECT bg.doc_id,
+         CAST(round(ln((bi.c12 + 1) / CAST(pre.c1 + v.v_size AS DOUBLE))
+                    * 1e6) AS BIGINT) AS lp
+  FROM bg JOIN bi USING (g)
+  JOIN pre ON pre.w1 = split_part(bg.g, ' ', 1)
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lp) AS BIGINT) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-(CAST(s AS DOUBLE)) / n_bigrams / 1e6, 6) AS cross_entropy,
+       round(exp(-(CAST(s AS DOUBLE)) / n_bigrams / 1e6), 6) AS perplexity
+FROM agg
+"""
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding dimensions
+    (similarity.py:embedding_covariance) — the Gram-accumulation pass
+    under PCA/whitening; fixed-point moment sums, upper triangle."""
+    from error_analysis_spark.extensions import similarity as SIM2
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM2.embedding_covariance(emb)
+
+
+EMB_COV_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding,
+                (x, i) -> struct_pack(dim := CAST(i - 1 AS BIGINT),
+                                      xf := CAST(round(CAST(x AS DOUBLE)
+                                                       * 1e6) AS BIGINT))))
+           AS u
+  FROM embeddings
+),
+m AS (
+  SELECT a.u.dim AS i, b.u.dim AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.u.xf * b.u.xf) AS BIGINT) AS sxy,
+         CAST(sum(a.u.xf) AS BIGINT) AS sx,
+         CAST(sum(b.u.xf) AS BIGINT) AS sy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.u.dim <= b.u.dim
+  GROUP BY a.u.dim, b.u.dim
+)
+SELECT i, j, n,
+       round((CAST(sxy AS DOUBLE) / 1e12
+              - (CAST(sx AS DOUBLE) / 1e6)
+                * (CAST(sy AS DOUBLE) / 1e6) / n) / n, 6) + 0.0 AS cov
+FROM m
+"""
+
+
+def curation_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (curation.py:data_card): volume, mean
+    quality, language diversity (entropy over the per-source language
+    histogram) — one (source, lang) agg + a bounded rollup."""
+    from error_analysis_spark.extensions import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.data_card(docs)
+
+
+DATA_CARD_SQL = """
+WITH t AS (
+  SELECT doc_id, source, lang, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, lang,
+         CAST(len(toks) AS BIGINT) AS nt,
+         CAST(round(round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE) / length(text)), 6) * 1e6) AS BIGINT) AS q_fp
+  FROM t
+),
+pl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(nt) AS BIGINT) AS tk,
+         CAST(sum(q_fp) AS BIGINT) AS qs,
+         CAST(count(q_fp) AS BIGINT) AS cq
+  FROM q GROUP BY source, lang
+),
+pe AS (
+  SELECT *, CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(round(-(c / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE))
+                    * ln(c / CAST(sum(c) OVER (PARTITION BY source)
+                                  AS DOUBLE)) * 1e6) AS BIGINT) AS e
+  FROM pl
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(tk) AS BIGINT) AS n_tokens,
+       round(CAST(sum(qs) AS DOUBLE) / CAST(sum(cq) AS DOUBLE) / 1e6, 6)
+         AS mean_quality,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(CAST(sum(e) AS DOUBLE) / 1e6, 6) AS lang_entropy
+FROM pe GROUP BY source
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
@@ -2142,4 +2281,7 @@ EXT_QUERIES: dict[str, tuple] = {
                               RANDOM_PROJECTION_SQL),
     "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "w6_outlier_mad": (w6_outlier_mad, OUTLIER_MAD_SQL),
+    "text_bigram_ppl": (text_bigram_ppl, BIGRAM_PPL_SQL),
+    "emb_covariance": (emb_covariance, EMB_COV_SQL),
+    "curation_data_card": (curation_data_card, DATA_CARD_SQL),
 }

@@ -673,8 +673,89 @@ WINDOW w AS (PARTITION BY user_id ORDER BY tus
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def w7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/temporal.py:funnel_steps):
+    earliest view -> later click -> later purchase per user; chained
+    conditional min-aggregates, every join co-partitioned on the user
+    key. Per-user step timestamps (epoch micros, NULL once dropped)."""
+    from error_analysis_spark.operators import temporal as TP
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    wide = TP.funnel_steps(ev, _FUNNEL_STEPS)
+    return wide.select(
+        "user_id",
+        *[F.unix_micros(F.col(f"ts_{i}").cast("timestamp"))
+          .alias(f"ts_{i}_us") for i in range(1, len(_FUNNEL_STEPS) + 1)])
+
+
+W7_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND epoch_us(e.ts) > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS ts_1_us,
+       CAST(s2.t2 AS BIGINT) AS ts_2_us,
+       CAST(s3.t3 AS BIGINT) AS ts_3_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def w8_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/temporal.py:cohort_retention):
+    cohort = ISO week of first event; retained in offset w if any
+    event falls in [first+7w, first+7(w+1)) days. Two key-keyed aggs
+    + one co-partitioned join; the distinct is bounded by
+    keys x active weeks."""
+    from error_analysis_spark.operators import temporal as TP
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return TP.cohort_retention(ev)
+
+
+W8_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT
+         CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+         CAST(date_diff('day', CAST(f.first_ts AS DATE),
+                        CAST(e.ts AS DATE)) // 7 AS BIGINT)
+           AS week_offset,
+         e.user_id
+  FROM events e JOIN f USING (user_id)
+),
+c AS (
+  SELECT cohort_week, week_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM a GROUP BY cohort_week, week_offset
+)
+SELECT c.cohort_week, c.week_offset, c.n_active,
+       round(c.n_active / CAST(b.n_active AS DOUBLE), 6) AS retention
+FROM c JOIN (SELECT cohort_week, n_active FROM c WHERE week_offset = 0) b
+  USING (cohort_week)
+"""
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
+    "w7_funnel": (w7_funnel, W7_FUNNEL_SQL),
+    "w8_retention": (w8_retention, W8_RETENTION_SQL),
     "j10_asof_join": (j10_asof_join, J10_ASOF_SQL),
     "w5_rolling_stats": (w5_rolling_stats, W5_ROLLING_SQL),
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),

@@ -344,3 +344,123 @@ def test_corpus_delta_statuses(spark):
     got = {r["doc_id"]: r["status"]
            for r in corpus_delta(old, new).collect()}
     assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
+
+
+# ------------------------------------------------------- wave 3: funnel
+
+def test_funnel_steps_semantics(spark):
+    from error_analysis_spark.operators.temporal import funnel_steps
+    rows = [
+        # u1 completes all three in order
+        (1, "a", "2024-01-01 00:00:00"), (1, "b", "2024-01-01 01:00:00"),
+        (1, "c", "2024-01-01 02:00:00"),
+        # u2: step-2 event BEFORE step 1 — must not count; drops at b
+        (2, "b", "2024-01-01 00:00:00"), (2, "a", "2024-01-01 01:00:00"),
+        # u3: a then c (no b) — c must NOT count without b
+        (3, "a", "2024-01-01 00:00:00"), (3, "c", "2024-01-01 01:00:00"),
+        # u4: never does a
+        (4, "b", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "s"]) \
+        .select("user_id", "event_type",
+                F.to_timestamp("s").alias("ts"))
+    out = {r["user_id"]: r for r in
+           funnel_steps(df, ["a", "b", "c"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["ts_2"] is not None and out[1]["ts_3"] is not None
+    assert out[2]["ts_2"] is None
+    assert out[3]["ts_2"] is None and out[3]["ts_3"] is None
+
+
+def test_funnel_earliest_valid_chain(spark):
+    from error_analysis_spark.operators.temporal import funnel_steps
+    # two b events after a: the EARLIEST qualifying one is picked
+    rows = [(1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-01 02:00:00"),
+            (1, "b", "2024-01-01 01:00:00")]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "s"]) \
+        .select("user_id", "event_type", F.to_timestamp("s").alias("ts"))
+    r = funnel_steps(df, ["a", "b"]).collect()[0]
+    assert str(r["ts_2"]).startswith("2024-01-01 01:00")
+
+
+# ---------------------------------------------------- wave 3: retention
+
+def test_cohort_retention_bounds(spark):
+    from error_analysis_spark.operators.temporal import cohort_retention
+    from error_analysis_spark.sources.tables import load_table
+    ev = load_table(spark, SF_DIR, "events")
+    out = cohort_retention(ev).toPandas()
+    assert (out.retention > 0).all() and (out.retention <= 1).all()
+    week0 = out[out.week_offset == 0]
+    assert (week0.retention == 1.0).all()
+    # offsets never exceed the observed span (~30 days = 5 weeks)
+    assert out.week_offset.between(0, 5).all()
+
+
+# -------------------------------------------------- wave 3: bigram model
+
+def test_bigram_logprob_is_sensitive_to_order(spark):
+    from error_analysis_spark.extensions.text import bigram_logprob
+    # corpus of repeated fluent docs + one shuffled-token doc; unigram
+    # stats are identical, bigram CE must single out the shuffled doc
+    fluent = "the cat sat on the mat " * 5
+    shuffled = "mat the on sat cat the " + "the cat sat on the mat " * 4
+    rows = [(i, fluent) for i in range(9)] + [(99, shuffled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bigram_logprob(df).toPandas().set_index("doc_id")
+    assert out.loc[99, "cross_entropy"] > out.loc[0, "cross_entropy"]
+    assert (out.drop(99).cross_entropy < out.loc[99, "cross_entropy"]).all()
+
+
+def test_bigram_logprob_short_docs_absent(spark):
+    from error_analysis_spark.extensions.text import bigram_logprob
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two tokens")], ["doc_id", "text"])
+    out = bigram_logprob(df).toPandas()
+    assert set(out.doc_id) == {3}
+    assert out.iloc[0]["n_bigrams"] == 1
+
+
+# ------------------------------------------------- wave 3: covariance
+
+def test_embedding_covariance_numpy_parity(spark):
+    import numpy as np
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    from error_analysis_spark.extensions.similarity import \
+        embedding_covariance
+    out = embedding_covariance(emb).toPandas()
+    pdf = emb.toPandas()
+    X = np.round(np.stack(pdf.embedding.map(
+        lambda a: np.asarray(a, dtype=np.float64))) * 1e6)
+    n = len(X)
+    C = (X.T @ X) / 1e12 / n - np.outer(X.sum(0) / 1e6, X.sum(0) / 1e6) / n / n
+    for r in out.itertuples(index=False):
+        assert abs(C[r.i, r.j] - r.cov) < 2e-6
+    d = X.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    # diagonal entries are variances: non-negative ("cov" shadows the
+    # pandas method — index by name)
+    diag = out[out.i == out.j]
+    assert (diag["cov"] >= 0).all()
+
+
+# --------------------------------------------------- wave 3: data card
+
+def test_data_card_semantics(spark):
+    from error_analysis_spark.extensions.curation import data_card
+    df = spark.createDataFrame(
+        [(1, "s", "en", "alpha beta gamma"),
+         (2, "s", "en", "delta epsilon"),
+         (3, "s", "fr", "zeta eta theta iota"),
+         (4, "t", "en", "kappa")],
+        ["doc_id", "source", "lang", "text"])
+    out = data_card(df).toPandas().set_index("source")
+    import math
+    assert out.loc["s", "n_docs"] == 3
+    assert out.loc["s", "n_tokens"] == 9
+    assert out.loc["s", "n_langs"] == 2
+    expect_h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(out.loc["s", "lang_entropy"] - expect_h) < 1e-5
+    assert out.loc["t", "lang_entropy"] == 0.0
+    assert 0 < out.loc["t", "mean_quality"] <= 1
