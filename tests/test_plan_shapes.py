@@ -68,3 +68,67 @@ def test_domain_weights_window_is_bounded(spark):
     assert plan.index("SinglePartition") < plan.index("FileScan"), \
         "normalization window must consume the aggregated (tiny) side"
     assert "hashpartitioning(source" in plan, plan
+
+
+def test_hash_split_and_normalize_no_exchange(spark):
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(MX.hash_split(docs, seed=7))
+    assert "Exchange" not in plan, plan  # map-only split assignment
+    plan2 = _plan(TX.normalize_stats(docs))
+    assert "Exchange" not in plan2, plan2
+    plan3 = _plan(MX.length_buckets(docs))
+    assert "Exchange" not in plan3, plan3
+
+
+def test_oov_probe_is_broadcast(spark):
+    # the top-k vocab must reach the exploded token stream as a
+    # BroadcastExchange (semi-join probe), never a shuffled join
+    from error_analysis_spark.extensions import sketches as SK
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(SK.oov_stats(docs, vocab_k=16, min_df=2))
+    assert "BroadcastExchange" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_bloom_probe_no_corpus_join(spark):
+    # the Bloom probe is a row-local expression: the TRAIN side of the
+    # plan must contain no join and no exchange at all
+    from error_analysis_spark.extensions import contamination as CT
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    train = docs.where(F.col("doc_id") % 13 != 0)
+    out = CT.bloom_contamination(train, bench, n=5, m_bits=1 << 14,
+                                 k_hashes=4, threshold=0.3)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_covariance_joins_on_id_aggregates_on_dims(spark):
+    from error_analysis_spark.extensions import similarity as SIM
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(SIM.embedding_covariance(emb))
+    # the self-join must key on the vector id — as a broadcast hash
+    # join at small SF (Catalyst's pick) or a co-partitioned shuffle
+    # join at scale; the moment agg shuffles on (i, j) either way
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    id_join = ("BroadcastHashJoin [_id" in plan
+               or any("_id" in k for k in keys))
+    assert id_join, plan
+    assert any("i#" in k and "j#" in k for k in keys), keys
+
+
+def test_funnel_joins_stay_on_user_key(spark):
+    from error_analysis_spark.operators.temporal import funnel_steps
+    spark.catalog.clearCache()
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _plan(funnel_steps(ev, ["view", "click", "purchase"]))
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # every exchange in the funnel shuffles on user_id alone
+    assert keys and all("user_id" in k for k in keys), keys
