@@ -59,6 +59,8 @@ _FRONT = [
     # new in r04 wave 3
     "text_bigram_ppl", "emb_covariance", "curation_data_card",
     "w7_funnel", "w8_retention",
+    # new in r04 wave 4
+    "q05_region_volume", "text_tfidf_topk",
     # changed in r04 (eager pair cache / oracle NULL-quality parity)
     "dedup_jaccard", "curation_quality_prune",
 ]
@@ -91,7 +93,10 @@ _ROTATE_OUT = ["a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
                # top-k, the persisted-index incremental dedup, A-ES
                # sampler, label centroids)
                "text_repetition", "text_bm25_topk", "dedup_incremental",
-               "curation_weighted_sample", "emb_label_centroids"]
+               "curation_weighted_sample", "emb_label_centroids",
+               # r04 wave-4 makes room (single-green r03, plans
+               # unchanged: gram-hash rollup, token-shipping rewrite)
+               "text_dup_ngrams", "text_perplexity"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

@@ -111,6 +111,9 @@ HEADLINE = [
     "curation_data_card",
     "w7_funnel",
     "w8_retention",
+    # round 4 wave 4 — six-table analytic join, per-doc keywords
+    "q05_region_volume",
+    "text_tfidf_topk",
 ]
 
 

@@ -553,3 +553,47 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), F.col("n_bigrams"),
                     F.round(ce, 6).alias("cross_entropy"),
                     F.round(F.exp(ce), 6).alias("perplexity")))
+
+
+def tfidf_topk_per_doc(df: DataFrame, k: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF keywords per document — the tagging/indexing pass
+    of a retrieval or labeling pipeline.
+
+    score(t, d) = tf(t, d) x idf(t), idf = ln((N + 1) / (df + 1)) + 1
+    (the smoothed form; never negative, unseen-safe). All ranking
+    arithmetic is integer: idf is fixed-pointed to 1e-6 once per
+    token, the score is tf x idf_fp (exact product), and the
+    (score desc, token asc) tie-break is total — no float boundary
+    can reorder two keywords differently across engines.
+
+    Scale shape: tf is pre-counted ROW-LOCALLY (count_by_value), df
+    is one token-keyed agg over per-doc distinct tokens, the scoring
+    join ships one row per distinct (doc, token), and the rank window
+    partitions BY DOCUMENT — bounded by a doc's vocabulary, never a
+    corpus-wide funnel.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+            .where(F.size("toks") > 0))
+    pairs = (base.select(F.col(id_col),
+                         F.explode(count_by_value("toks")).alias("p"))
+             .select(F.col(id_col), F.col("p.v").alias("token"),
+                     F.col("p.c").cast("long").alias("tf")))
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
+    n_row = base.agg(F.count("*").alias("n_docs"))
+    idf_fp = F.round((F.log((F.col("n_docs") + 1).cast("double")
+                            / (F.col("df") + 1).cast("double"))
+                      + 1.0) * 1e6).cast("long")
+    scored = (pairs.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_row))
+              .withColumn("_s_fp", F.col("tf") * idf_fp))
+    w = Window.partitionBy(id_col).orderBy(F.col("_s_fp").desc(),
+                                           F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col(id_col), "rank", "token", "tf",
+                    F.round(F.col("_s_fp") / 1e6, 6).alias("score")))

@@ -569,9 +569,76 @@ GROUP BY event_type
 """
 
 
+_Q05_REGION = "ASIA"
+_Q05_LO = "1996-01-01"
+_Q05_HI = "1997-01-01"
+
+
+def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: six-table join (customer ⋈
+    orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with the classic
+    c_nationkey = s_nationkey correlation, revenue per nation in one
+    region and order-date year.
+
+    The join-ORDER test for Catalyst: region→nation→supplier is a
+    broadcast chain of shrinking dims; the customer⋈orders⋈lineitem
+    spine carries the data volume and AQE re-plans it at runtime.
+    Nothing is hand-scheduled — six `.join` calls, filters on the
+    scans, fixed-point revenue so the per-nation sums and the final
+    ordering are exact across engines.
+    """
+    region = (load_table(spark, sf_dir, "region")
+              .where(F.col("r_name") == _Q05_REGION)
+              .select("r_regionkey"))
+    nation = (load_table(spark, sf_dir, "nation")
+              .select("n_nationkey", "n_name", "n_regionkey"))
+    supplier = (load_table(spark, sf_dir, "supplier")
+                .select("s_suppkey", "s_nationkey"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit(_Q05_LO))
+                     & (F.col("o_orderdate") < F.lit(_Q05_HI)))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev")))
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .where(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg((F.sum("_rev").cast("double") / 1e6).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+Q05_SQL = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q05_REGION}'
+  AND CAST(o_orderdate AS DATE) >= DATE '{_Q05_LO}'
+  AND CAST(o_orderdate AS DATE) < DATE '{_Q05_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
+    "q05_region_volume": (q05_region_volume, Q05_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

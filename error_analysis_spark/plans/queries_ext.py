@@ -2089,6 +2089,50 @@ GROUP BY f.event_type, me.n, f.med, f.mad
 """
 
 
+_TFIDF_K = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per doc (text.py:tfidf_topk_per_doc):
+    integer score ranking, per-document rank window bounded by doc
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.tfidf_topk_per_doc(docs, k=_TFIDF_K)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '')) > 0
+),
+pairs AS (
+  SELECT doc_id, u.token, count(*) AS tf
+  FROM toks, unnest(t) AS u(token)
+  GROUP BY doc_id, u.token
+),
+dfreq AS (SELECT token, count(*) AS df FROM pairs GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM toks),
+sc AS (
+  SELECT p.doc_id, p.token, p.tf,
+         p.tf * CAST(round((ln((n.n_docs + 1)
+                               / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0)
+                           * 1e6) AS BIGINT) AS s_fp
+  FROM pairs p JOIN dfreq USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY s_fp DESC, token) AS rank
+  FROM sc
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf,
+       round(s_fp / 1e6, 6) AS score
+FROM r WHERE rank <= {_TFIDF_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # Round-4 wave 3: bigram LM, embedding covariance, dataset card
 # --------------------------------------------------------------------------
@@ -2281,6 +2325,7 @@ EXT_QUERIES: dict[str, tuple] = {
                               RANDOM_PROJECTION_SQL),
     "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "w6_outlier_mad": (w6_outlier_mad, OUTLIER_MAD_SQL),
+    "text_tfidf_topk": (text_tfidf_topk, TFIDF_SQL),
     "text_bigram_ppl": (text_bigram_ppl, BIGRAM_PPL_SQL),
     "emb_covariance": (emb_covariance, EMB_COV_SQL),
     "curation_data_card": (curation_data_card, DATA_CARD_SQL),

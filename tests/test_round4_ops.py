@@ -464,3 +464,54 @@ def test_data_card_semantics(spark):
     assert abs(out.loc["s", "lang_entropy"] - expect_h) < 1e-5
     assert out.loc["t", "lang_entropy"] == 0.0
     assert 0 < out.loc["t", "mean_quality"] <= 1
+
+
+# ------------------------------------------------------- wave 4: tf-idf
+
+def test_tfidf_topk_manual(spark):
+    import math
+    from error_analysis_spark.extensions.text import tfidf_topk_per_doc
+    df = spark.createDataFrame(
+        [(1, "apple apple banana shared"),
+         (2, "cherry shared shared"),
+         (3, "date shared")],
+        ["doc_id", "text"])
+    out = tfidf_topk_per_doc(df, k=2).toPandas()
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+    top1 = out[(out.doc_id == 1) & (out["rank"] == 1)].iloc[0]
+    # apple: tf=2, df=1 → idf = ln(4/2)+1; shared: tf=1, df=3 → ln(1)+1
+    assert top1.token == "apple"
+    idf = math.log(4 / 2) + 1
+    assert abs(top1.score - 2 * round(idf, 6)) < 2e-6
+    # doc 2: 'shared' tf=2 beats cherry tf=1 only if score higher
+    d2 = out[out.doc_id == 2].set_index("rank")
+    assert set(d2.token) == {"cherry", "shared"}
+
+
+def test_tfidf_rank_window_is_per_doc(spark):
+    from error_analysis_spark.extensions.text import tfidf_topk_per_doc
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = tfidf_topk_per_doc(docs, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    wins = re.findall(r"Window .*partitionBy.*", plan)
+    # the only rank window partitions by doc_id (never an empty
+    # partition spec = global funnel)
+    assert "partitionBy(lit(0))" not in plan
+    assert "Window" in plan
+
+
+# --------------------------------------------------------- wave 4: q05
+
+def test_q05_dims_broadcast(spark):
+    from error_analysis_spark.plans.queries_core import q05_region_volume
+    spark.catalog.clearCache()
+    df = q05_region_volume(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the region/nation/supplier dim chain must broadcast, not shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5  # one row per nation in the region
+    # descending revenue order is total
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
