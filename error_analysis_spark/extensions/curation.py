@@ -245,8 +245,12 @@ def corpus_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     {'added', 'removed', 'changed', 'same'}.
     """
     def _hashed(df: DataFrame, side: str) -> DataFrame:
+        # presence is tracked by its own flag — md5(NULL) is NULL, so
+        # keying "row absent" on a NULL hash would misread a NULL-text
+        # doc present in both snapshots as added/removed
         return df.select(
             F.col(id_col),
+            F.lit(True).alias(f"_in_{side}"),
             F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
             .cast("long").alias(f"_h_{side}"))
 
@@ -254,9 +258,9 @@ def corpus_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     n = _hashed(new, "new")
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_h_old").isNull(), F.lit("added"))
-        .when(F.col("_h_new").isNull(), F.lit("removed"))
-        .when(F.col("_h_old") == F.col("_h_new"), F.lit("same"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old").eqNullSafe(F.col("_h_new")), F.lit("same"))
         .otherwise(F.lit("changed")))
     return joined.select(F.col(id_col), status.alias("status"))
 

@@ -472,7 +472,7 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
 
 def random_project(embeddings: DataFrame, out_dim: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   seed: int = 3) -> DataFrame:
+                   seed: int = 3, in_dim: int | None = None) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction with a
     deterministic Rademacher (±1) projection matrix.
 
@@ -494,8 +494,12 @@ def random_project(embeddings: DataFrame, out_dim: int = 8,
     the downstream ANN/bucketing operators without an array rebuild.
     """
     spark = embeddings.sparkSession
-    in_dim = embeddings.select(
-        F.max(F.size(vec_col)).alias("d")).first()["d"]
+    if in_dim is None:
+        # fixed-width embedding tables: read ONE row for the width
+        # (a limit-1 scan, not a full-table aggregate); pass `in_dim`
+        # explicitly to keep plan construction fully lazy
+        in_dim = embeddings.select(
+            F.size(vec_col).alias("d")).limit(1).first()["d"]
     dims = spark.range(int(in_dim)).select(F.col("id").alias("dim"))
     outs = spark.range(int(out_dim)).select(F.col("id").alias("out_j"))
     parity = F.conv(F.substring(
@@ -552,10 +556,15 @@ def embedding_covariance(embeddings: DataFrame,
     ex = ex.withColumn("xf", F.round(F.col("x") * 1e6).cast("long"))
     a = ex.select("_id", F.col("i"), F.col("xf").alias("xa"))
     b = ex.select("_id", F.col("i").alias("j"), F.col("xf").alias("xb"))
+    # products are ~1e12 each: an int64 accumulator overflows past
+    # ~9M vectors (ANSI abort), so the product sum runs in
+    # decimal(38,0) — the 128-bit accumulator DuckDB's HUGEINT sum
+    # uses; the 1e6-scale marginals stay exact in int64 to ~9e12 rows
     m = (a.join(b, "_id").where(F.col("i") <= F.col("j"))
          .groupBy("i", "j")
          .agg(F.count("*").alias("n"),
-              F.sum(F.col("xa") * F.col("xb")).alias("_sxy"),
+              F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)"))
+              .alias("_sxy"),
               F.sum("xa").alias("_sx"), F.sum("xb").alias("_sy")))
     cov = (F.col("_sxy").cast("double") / 1e12
            - (F.col("_sx").cast("double") / 1e6)

@@ -185,6 +185,9 @@ def cms_topk(docs: DataFrame, d: int = 4, w: int = 1024, k: int = 20,
           .groupBy("token").agg(F.count("*").alias("tf")))
     tf = tf.persist()
     try:
+        # ONE definition of the cell hash — the probe reuses the
+        # hashed frame (semi-join against the top-k tokens), so sketch
+        # build and audit probe can never hash into different cells
         j = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
         hashed = tf.select("token", "tf", j).withColumn(
             "col",
@@ -195,13 +198,8 @@ def cms_topk(docs: DataFrame, d: int = 4, w: int = 1024, k: int = 20,
         cells = hashed.groupBy("j", "col").agg(
             F.sum("tf").alias("cell"))
         top = (tf.orderBy(F.desc("tf"), F.asc("token")).limit(k))
-        probe = top.select("token", "tf", F.explode(
-            F.sequence(F.lit(0), F.lit(d - 1))).alias("j")).withColumn(
-            "col",
-            F.conv(F.substring(
-                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
-                               F.col("token"))), 1, 15), 16, 10)
-            .cast("long") % w)
+        probe = hashed.join(F.broadcast(top.select("token")),
+                            "token", "left_semi")
         est = (probe.join(cells, ["j", "col"])
                .groupBy("token", "tf")
                .agg(F.min("cell").alias("tf_est")))
@@ -241,43 +239,56 @@ def robust_outliers(df: DataFrame, group_col: str, value_col: str,
     v_fp = F.round(F.col(value_col) * scale).cast("long")
     vals = (df.select(F.col(group_col), v_fp.alias("_v"))
             .where(F.col("_v").isNotNull()))
+    # med and the deviation histogram are BOUNDED (|groups|, resp.
+    # |groups| x grid) but their lineages scan the corpus — cache them
+    # so the two corpus passes (median build, deviation build) happen
+    # exactly once; the bounded result is materialized eagerly and the
+    # caches released before returning (jaccard_pairs discipline)
     med = (grouped_quantiles(df, group_col, value_col, qs=(0.5,),
                              scale=scale)
            .select(group_col,
-                   F.round(F.col("v") * scale).cast("long").alias("_med")))
-    # med/mad tables are |groups|-sized — broadcast, never shuffle the
-    # corpus side for them
+                   F.round(F.col("v") * scale).cast("long")
+                   .alias("_med"))).persist()
     dev = (vals.join(F.broadcast(med), group_col)
            .select(group_col, F.abs(F.col("_v") - F.col("_med"))
-                   .alias("_d"), "_v", "_med"))
-    # MAD = the grouped-quantile median of the deviation histogram
-    dhist = dev.groupBy(group_col, "_d").agg(F.count("*").alias("_c"))
-    w_cum = (Window.partitionBy(group_col).orderBy("_d")
-             .rowsBetween(Window.unboundedPreceding, 0))
-    w_all = (Window.partitionBy(group_col)
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
-    dcum = (dhist.withColumn("_cum", F.sum("_c").over(w_cum))
-            .withColumn("_n", F.sum("_c").over(w_all)))
-    mad = (dcum.where(F.col("_cum") >= F.ceil(F.col("_n") / 2))
-           .groupBy(group_col)
-           .agg(F.min("_d").alias("_mad"), F.min("_n").alias("n")))
-    flagged = (dev.join(F.broadcast(mad.select(group_col, "_mad")),
-                        group_col)
-               .withColumn("_out",
-                           (F.lit(6745) * F.col("_d")
-                            > F.lit(z_x10000) * F.col("_mad"))
-                           .cast("long")))
-    counts = flagged.groupBy(group_col).agg(
-        F.sum("_out").alias("_n_out"),
-        F.min("_med").alias("_med"), F.min("_mad").alias("_madv"))
-    return (counts.join(mad.select(group_col, "n"), group_col)
-            .select(
-                group_col, "n",
-                F.round(F.col("_med") / scale, 6).alias("median"),
-                F.round(F.col("_madv") / scale, 6).alias("mad"),
-                F.when(F.col("_madv") > 0, F.col("_n_out"))
-                .alias("n_outliers")))
+                   .alias("_d")))
+    dhist = dev.groupBy(group_col, "_d") \
+        .agg(F.count("*").alias("_c")).persist()
+    try:
+        # MAD = the grouped-quantile median of the deviation histogram
+        w_cum = (Window.partitionBy(group_col).orderBy("_d")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        w_all = (Window.partitionBy(group_col)
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+        dcum = (dhist.withColumn("_cum", F.sum("_c").over(w_cum))
+                .withColumn("_n", F.sum("_c").over(w_all)))
+        mad = (dcum.where(F.col("_cum") >= F.ceil(F.col("_n") / 2))
+               .groupBy(group_col)
+               .agg(F.min("_d").alias("_mad"), F.min("_n").alias("n")))
+        # outlier counts come from the HISTOGRAM, not a second corpus
+        # pass: every row with deviation bin _d is flagged iff
+        # 6745*_d > z*MAD, so summing bin counts is exact
+        outc = (dhist.join(F.broadcast(mad.select(group_col, "_mad")),
+                           group_col)
+                .where(F.lit(6745) * F.col("_d")
+                       > F.lit(z_x10000) * F.col("_mad"))
+                .groupBy(group_col).agg(F.sum("_c").alias("_n_out")))
+        out = (mad.join(med, group_col)
+               .join(outc, group_col, "left")
+               .select(
+                   group_col, "n",
+                   F.round(F.col("_med") / scale, 6).alias("median"),
+                   F.round(F.col("_mad") / scale, 6).alias("mad"),
+                   F.when(F.col("_mad") > 0,
+                          F.coalesce(F.col("_n_out"),
+                                     F.lit(0).cast("long")))
+                   .alias("n_outliers")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        med.unpersist()
+        dhist.unpersist()
+    return out
 
 
 def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,

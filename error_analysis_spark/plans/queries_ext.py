@@ -2027,7 +2027,8 @@ j AS (
   SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
          CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN o.h = n.h THEN 'same'
+              -- null-safe: two NULL-text snapshots of a doc are 'same'
+              WHEN o.h IS NOT DISTINCT FROM n.h THEN 'same'
               ELSE 'changed' END AS status
   FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 )
@@ -2210,7 +2211,7 @@ WITH e AS (
 m AS (
   SELECT a.u.dim AS i, b.u.dim AS j,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(a.u.xf * b.u.xf) AS BIGINT) AS sxy,
+         sum(a.u.xf * b.u.xf) AS sxy,
          CAST(sum(a.u.xf) AS BIGINT) AS sx,
          CAST(sum(b.u.xf) AS BIGINT) AS sy
   FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.u.dim <= b.u.dim

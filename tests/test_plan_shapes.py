@@ -63,9 +63,14 @@ def test_domain_weights_window_is_bounded(spark):
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(MX.domain_mix_weights(docs))
     # the ONLY single-partition stage permitted is the normalization
-    # window over the ≤|domains|-row aggregate — it must sit above the
-    # source-keyed hash aggregate, never above the raw scan
-    assert plan.index("SinglePartition") < plan.index("FileScan"), \
+    # window over the ≤|domains|-row aggregate. toString prints parent
+    # BEFORE child, so "SinglePartition appears before FileScan" is
+    # vacuously true in any single-source plan; the directional check
+    # is that an aggregate sits BETWEEN the single-partition exchange
+    # and the scan — a funnel directly over the raw corpus would have
+    # none
+    seg = plan[plan.index("SinglePartition"):plan.index("FileScan")]
+    assert "HashAggregate" in seg, \
         "normalization window must consume the aggregated (tiny) side"
     assert "hashpartitioning(source" in plan, plan
 

@@ -515,3 +515,17 @@ def test_q05_dims_broadcast(spark):
     # descending revenue order is total
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_corpus_delta_null_text(spark):
+    # a NULL-text doc present in both snapshots is 'same', not 'added';
+    # NULL vs non-NULL under one id is 'changed'
+    from error_analysis_spark.extensions.curation import corpus_delta
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    old = spark.createDataFrame([(1, None), (2, "x"), (3, None)], schema)
+    new = spark.createDataFrame([(1, None), (2, None), (4, None)], schema)
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_delta(old, new).collect()}
+    assert got == {1: "same", 2: "changed", 3: "removed", 4: "added"}
