@@ -251,8 +251,7 @@ def corpus_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
         return df.select(
             F.col(id_col),
             F.lit(True).alias(f"_in_{side}"),
-            F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
-            .cast("long").alias(f"_h_{side}"))
+            TX.md5_prefix_long(F.col(text_col)).alias(f"_h_{side}"))
 
     o = _hashed(old, "old")
     n = _hashed(new, "new")

@@ -27,8 +27,11 @@ _MERSENNE31 = (1 << 31) - 1  # keeps every product below 2^62: no int64 overflow
 
 
 def _md5_long(col, hex_chars: int = 15):
-    """First `hex_chars` hex chars of md5 → non-negative long."""
-    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+    """Canonical md5-prefix key — delegates to text.md5_prefix_long so
+    every operator family hashes content identically (join-compatible
+    dedup keys)."""
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    return md5_prefix_long(col, hex_chars)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

