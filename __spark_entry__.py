@@ -61,6 +61,8 @@ _FRONT = [
     "w7_funnel", "w8_retention",
     # new in r04 wave 4
     "q05_region_volume", "text_tfidf_topk",
+    # new in r04 wave 5
+    "q10_returned_revenue", "dedup_containment",
     # changed in r04 (eager pair cache / oracle NULL-quality parity)
     "dedup_jaccard", "curation_quality_prune",
 ]
@@ -96,7 +98,10 @@ _ROTATE_OUT = ["a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
                "curation_weighted_sample", "emb_label_centroids",
                # r04 wave-4 makes room (single-green r03, plans
                # unchanged: gram-hash rollup, token-shipping rewrite)
-               "text_dup_ngrams", "text_perplexity"]
+               "text_dup_ngrams", "text_perplexity",
+               # r04 wave-5 makes room (consolidated r03-green mask
+               # algebra, sim_lsh_topk unchanged since its r03 fix)
+               "so_mask_algebra", "sim_lsh_topk"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

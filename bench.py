@@ -114,6 +114,9 @@ HEADLINE = [
     # round 4 wave 4 — six-table analytic join, per-doc keywords
     "q05_region_volume",
     "text_tfidf_topk",
+    # round 4 wave 5 — returned-item report, containment near-dup
+    "q10_returned_revenue",
+    "dedup_containment",
 ]
 
 

@@ -512,3 +512,67 @@ def incremental_dedup(corpus: DataFrame, delta: DataFrame,
                     .otherwise("kept").alias("status"),
                     F.coalesce("exact_match", "near_match")
                     .alias("match_id")))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric near-dup by token-set CONTAINMENT: flag a pair when
+    the smaller set sits (mostly) inside the larger — cont(A→B) =
+    |A∩B| / |A|. Jaccard misses exactly this case (a paragraph pasted
+    into a long page has tiny Jaccard but containment ≈ 1), which is
+    why fuzzy-dedup stacks run both signals (Broder's resemblance AND
+    containment, 1997).
+
+    Same scale shape as `jaccard_pairs`' pruned path: inverted-index
+    candidates (optionally df-capped against hot tokens), exact verify
+    on row-local token-set arrays, both direction containments from
+    one intersection. The caveat sharpens here: pruning can only miss
+    pairs whose entire overlap is ultra-common tokens, but a SMALL doc
+    of only stopwords is precisely a high-containment pair — so pick
+    max_df well above the stopword df, or leave it None below the
+    skew scale.
+
+    Returns (id_a, id_b, inter, sz_a, sz_b, cont_a, cont_b) for pairs
+    with max(cont_a, cont_b) >= threshold.
+    """
+    toks = doc_tokens(df, text_col, id_col).cache()
+    try:
+        sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+        posting = toks
+        if max_df is not None:
+            tok_df = toks.groupBy("token").agg(F.count("*").alias("df"))
+            posting = toks.join(tok_df.where(F.col("df") <= max_df),
+                                "token")
+        pa = posting.select(F.col("id").alias("id_a"), "token")
+        pb = posting.select(F.col("id").alias("id_b"), "token")
+        cand = (pa.join(pb, "token")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        tok_arr = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(text_col)).alias("toks"))
+        ja = tok_arr.select(F.col("id").alias("id_a"),
+                            F.col("toks").alias("toks_a"))
+        jb = tok_arr.select(F.col("id").alias("id_b"),
+                            F.col("toks").alias("toks_b"))
+        inter = (cand.join(ja, "id_a").join(jb, "id_b")
+                 .select("id_a", "id_b",
+                         F.size(F.array_intersect("toks_a", "toks_b"))
+                         .alias("inter")))
+        sa = sizes.select(F.col("id").alias("id_a"),
+                          F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("id").alias("id_b"),
+                          F.col("sz").alias("sz_b"))
+        cont_a = F.col("inter") / F.col("sz_a")
+        cont_b = F.col("inter") / F.col("sz_b")
+        result = (inter.join(sa, "id_a").join(sb, "id_b")
+                  .where(F.greatest(cont_a, cont_b) >= threshold)
+                  .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+                          F.round(cont_a, 6).alias("cont_a"),
+                          F.round(cont_b, 6).alias("cont_b"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        result.count()  # materialize before the token cache drops
+    finally:
+        toks.unpersist()
+    return result

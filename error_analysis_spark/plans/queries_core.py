@@ -635,10 +635,68 @@ ORDER BY revenue DESC, n_name
 """
 
 
+_Q10_LO = "1996-01-01"
+_Q10_HI = "1996-04-01"
+_Q10_K = 20
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: customers ranked by the
+    revenue they returned in one quarter — customer ⋈ orders (quarter
+    filter) ⋈ lineitem (returnflag filter) ⋈ nation, top-20.
+
+    Four-table join with the fact-side filters pushed to both scans
+    and the two dim joins broadcastable; fixed-point revenue makes the
+    ranking exact, TakeOrderedAndProject caps the result without a
+    full sort."""
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit(_Q10_LO))
+                     & (F.col("o_orderdate") < F.lit(_Q10_HI)))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev")))
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg((F.sum("_rev").cast("double") / 1e6).alias("revenue"),
+                 F.round(F.min("c_acctbal"), 2).alias("c_acctbal"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(_Q10_K))
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue,
+       round(min(c_acctbal), 2) AS c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '{_Q10_LO}'
+  AND CAST(o_orderdate AS DATE) < DATE '{_Q10_HI}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {_Q10_K}
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
     "q05_region_volume": (q05_region_volume, Q05_SQL),
+    "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

@@ -2140,6 +2140,87 @@ FROM r WHERE rank <= {_TFIDF_K}
 """
 
 
+_CONT_THRESH = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (dedup.py:containment_pairs):
+    |A∩B|/|A| — catches a small doc pasted inside a big one, which
+    Jaccard structurally misses. Inverted-index candidates with the
+    same 50%-df hot-token cap the jaccard headline runs (the form
+    you'd run at scale — the oracle pins the pruned semantics), exact
+    row-local set verify; aggregated per containing doc (the raw pair
+    set is large on this self-similar synthetic corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pairs = DD.containment_pairs(docs, threshold=_CONT_THRESH,
+                                 max_df=max(1, int(n_docs * 0.5)))
+    # report per doc: in how many pairs it CONTAINS the partner
+    contains = F.when(
+        (F.col("cont_a") >= _CONT_THRESH)
+        & (F.col("sz_a") <= F.col("sz_b")), F.col("id_b")) \
+        .otherwise(F.when((F.col("cont_b") >= _CONT_THRESH)
+                          & (F.col("sz_b") < F.col("sz_a")),
+                          F.col("id_a")))
+    return (pairs.withColumn("_big", contains)
+            .where(F.col("_big").isNotNull())
+            .groupBy(F.col("_big").alias("container_id"))
+            .agg(F.count("*").alias("n_contained"),
+                 F.sum("inter").alias("inter_sum")))
+
+
+CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS t(token)
+),
+sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+tok_df AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+nd AS (
+  SELECT greatest(1, CAST(floor(count(*) * 0.5) AS BIGINT)) AS max_df
+  FROM documents
+),
+posting AS (
+  SELECT t.id, t.token
+  FROM toks t JOIN tok_df d ON t.token = d.token, nd
+  WHERE d.df <= nd.max_df
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM posting a JOIN posting b ON a.token = b.token AND a.id < b.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks ta ON ta.id = c.id_a
+  JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+  GROUP BY c.id_a, c.id_b
+),
+p AS (
+  SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         CAST(inter AS DOUBLE) / sa.sz AS cont_a,
+         CAST(inter AS DOUBLE) / sb.sz AS cont_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE greatest(CAST(inter AS DOUBLE) / sa.sz,
+                 CAST(inter AS DOUBLE) / sb.sz) >= {_CONT_THRESH}
+),
+big AS (
+  SELECT CASE WHEN cont_a >= {_CONT_THRESH} AND sz_a <= sz_b THEN id_b
+              WHEN cont_b >= {_CONT_THRESH} AND sz_b < sz_a THEN id_a
+         END AS container_id, inter
+  FROM p
+)
+SELECT container_id, count(*) AS n_contained,
+       CAST(sum(inter) AS BIGINT) AS inter_sum
+FROM big WHERE container_id IS NOT NULL
+GROUP BY container_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Round-4 wave 3: bigram LM, embedding covariance, dataset card
 # --------------------------------------------------------------------------
@@ -2333,6 +2414,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "w6_outlier_mad": (w6_outlier_mad, OUTLIER_MAD_SQL),
     "text_tfidf_topk": (text_tfidf_topk, TFIDF_SQL),
+    "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "text_bigram_ppl": (text_bigram_ppl, BIGRAM_PPL_SQL),
     "emb_covariance": (emb_covariance, EMB_COV_SQL),
     "curation_data_card": (curation_data_card, DATA_CARD_SQL),

@@ -542,3 +542,32 @@ def test_corpus_delta_null_text(spark):
     got = {r["doc_id"]: r["status"]
            for r in corpus_delta(old, new).collect()}
     assert got == {1: "same", 2: "changed", 3: "removed", 4: "added"}
+
+
+# ---------------------------------------------------- wave 5: containment
+
+def test_containment_catches_what_jaccard_misses(spark):
+    from error_analysis_spark.extensions.dedup import (containment_pairs,
+                                                       jaccard_pairs)
+    big = " ".join(f"w{i}" for i in range(40))
+    small = " ".join(f"w{i}" for i in range(8))  # subset of big
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, "totally different words here")],
+        ["doc_id", "text"])
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    r = cont[0]
+    assert r["cont_b"] == 1.0 and r["inter"] == 8
+    # jaccard on the same pair: 8/40 = 0.2 — invisible at any sane
+    # jaccard threshold
+    jac = jaccard_pairs(df, threshold=0.5).collect()
+    assert not any({p["id_a"], p["id_b"]} == {1, 2} for p in jac)
+    jac[0] if jac else None
+
+
+def test_containment_symmetric_fields(spark):
+    from error_analysis_spark.extensions.dedup import containment_pairs
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"])
+    r = containment_pairs(df, threshold=0.9).collect()[0]
+    assert r["cont_a"] == 1.0 and r["cont_b"] == 1.0
