@@ -52,26 +52,25 @@ def doc_tokens(df: DataFrame, text_col: str = "text",
     return t.distinct() if distinct else t
 
 
-def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.5, max_df: int | None = None) -> DataFrame:
-    """N-gram/token Jaccard near-dup: inverted-index self-join on shared
-    tokens → |A∩B| per pair → J = inter/(|A|+|B|−inter) ≥ threshold.
+def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
+                         id_col: str, max_df: int | None) -> DataFrame:
+    """Shared candidate-generation + exact-verify pipeline behind the
+    set-overlap near-dup operators (`jaccard_pairs`,
+    `containment_pairs`): inverted-index self-join on shared tokens
+    (optionally df-capped against hot tokens), exact |A∩B| per
+    candidate, per-side set sizes. Returns
+    (id_a, id_b, inter, sz_a, sz_b); the caller applies its metric.
 
-    `max_df` prunes tokens appearing in more than that many docs before
-    the join (skew + cost control; exactness caveat documented: a pair
-    sharing ONLY ultra-common tokens can be missed — at sensible
-    thresholds such pairs are below threshold anyway).
+    `toks` is the caller's CACHED (id, token) distinct table — up to
+    four consumers read it (sizes, both join sides, the df-cap), and
+    the caller owns its release.
 
-    Cache note: the exploded (id, token) table is cached because four
-    consumers read it (sizes, both join sides, the df-cap). The result
-    (the near-dup pair list — bounded by the threshold, orders of
-    magnitude smaller than the corpus) is materialized eagerly into its
-    own persisted DataFrame so the corpus-sized token cache can be
-    released HERE, deterministically, before returning; a loop over
-    corpora therefore pins only pair lists, each releasable via the
-    standard `result.unpersist()`.
-    """
-    toks = doc_tokens(df, text_col, id_col).cache()
+    Unpruned path: the intersection comes straight off the
+    shared-token join (one shuffle). Pruned path: postings generate
+    CANDIDATES only, and the intersection is recomputed on the full
+    token-set arrays row-locally, so every surfaced pair carries its
+    exact overlap — pruning may only MISS pairs whose entire overlap
+    is ultra-common tokens (documented caveat in both callers)."""
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     if max_df is None:
         a = toks.select(F.col("id").alias("id_a"), "token")
@@ -83,10 +82,6 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .agg(F.count("*").alias("inter"))
         )
     else:
-        # pruned postings generate CANDIDATES only; the intersection is
-        # recomputed on the full token sets so every surfaced pair
-        # carries its exact jaccard (pruning may only MISS pairs whose
-        # entire overlap is ultra-common tokens — documented caveat)
         tok_df = toks.groupBy("token").agg(F.count("*").alias("df"))
         posting = toks.join(tok_df.where(F.col("df") <= max_df), "token")
         pa = posting.select(F.col("id").alias("id_a"), "token")
@@ -111,8 +106,32 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          .alias("inter")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.5, max_df: int | None = None) -> DataFrame:
+    """N-gram/token Jaccard near-dup: inverted-index self-join on shared
+    tokens → |A∩B| per pair → J = inter/(|A|+|B|−inter) ≥ threshold.
+
+    `max_df` prunes tokens appearing in more than that many docs before
+    the join (skew + cost control; exactness caveat documented: a pair
+    sharing ONLY ultra-common tokens can be missed — at sensible
+    thresholds such pairs are below threshold anyway).
+
+    Cache note: the exploded (id, token) table is cached because four
+    consumers read it (sizes, both join sides, the df-cap). The result
+    (the near-dup pair list — bounded by the threshold, orders of
+    magnitude smaller than the corpus) is materialized eagerly into its
+    own persisted DataFrame so the corpus-sized token cache can be
+    released HERE, deterministically, before returning; a loop over
+    corpora therefore pins only pair lists, each releasable via the
+    standard `result.unpersist()`.
+    """
+    toks = doc_tokens(df, text_col, id_col).cache()
+    base = _verified_pair_stats(df, toks, text_col, id_col, max_df)
     result = (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        base
         .withColumn("jaccard", F.col("inter")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
@@ -538,35 +557,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     """
     toks = doc_tokens(df, text_col, id_col).cache()
     try:
-        sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-        posting = toks
-        if max_df is not None:
-            tok_df = toks.groupBy("token").agg(F.count("*").alias("df"))
-            posting = toks.join(tok_df.where(F.col("df") <= max_df),
-                                "token")
-        pa = posting.select(F.col("id").alias("id_a"), "token")
-        pb = posting.select(F.col("id").alias("id_b"), "token")
-        cand = (pa.join(pb, "token")
-                .where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
-        tok_arr = df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(tokens(text_col)).alias("toks"))
-        ja = tok_arr.select(F.col("id").alias("id_a"),
-                            F.col("toks").alias("toks_a"))
-        jb = tok_arr.select(F.col("id").alias("id_b"),
-                            F.col("toks").alias("toks_b"))
-        inter = (cand.join(ja, "id_a").join(jb, "id_b")
-                 .select("id_a", "id_b",
-                         F.size(F.array_intersect("toks_a", "toks_b"))
-                         .alias("inter")))
-        sa = sizes.select(F.col("id").alias("id_a"),
-                          F.col("sz").alias("sz_a"))
-        sb = sizes.select(F.col("id").alias("id_b"),
-                          F.col("sz").alias("sz_b"))
+        base = _verified_pair_stats(df, toks, text_col, id_col, max_df)
         cont_a = F.col("inter") / F.col("sz_a")
         cont_b = F.col("inter") / F.col("sz_b")
-        result = (inter.join(sa, "id_a").join(sb, "id_b")
+        result = (base
                   .where(F.greatest(cont_a, cont_b) >= threshold)
                   .select("id_a", "id_b", "inter", "sz_a", "sz_b",
                           F.round(cont_a, 6).alias("cont_a"),

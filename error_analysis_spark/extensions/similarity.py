@@ -495,11 +495,12 @@ def random_project(embeddings: DataFrame, out_dim: int = 8,
     """
     spark = embeddings.sparkSession
     if in_dim is None:
-        # fixed-width embedding tables: read ONE row for the width
-        # (a limit-1 scan, not a full-table aggregate); pass `in_dim`
-        # explicitly to keep plan construction fully lazy
+        # width probe must be max(size): a limit-1 row is partition-
+        # dependent and silently truncates ragged tables (or yields
+        # NULL on a NULL vector). Pass `in_dim` explicitly to skip
+        # this aggregate and keep plan construction fully lazy.
         in_dim = embeddings.select(
-            F.size(vec_col).alias("d")).limit(1).first()["d"]
+            F.max(F.size(vec_col)).alias("d")).first()["d"]
     dims = spark.range(int(in_dim)).select(F.col("id").alias("dim"))
     outs = spark.range(int(out_dim)).select(F.col("id").alias("out_j"))
     parity = F.conv(F.substring(

@@ -2162,11 +2162,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.when((F.col("cont_b") >= _CONT_THRESH)
                           & (F.col("sz_b") < F.col("sz_a")),
                           F.col("id_a")))
-    return (pairs.withColumn("_big", contains)
-            .where(F.col("_big").isNotNull())
-            .groupBy(F.col("_big").alias("container_id"))
-            .agg(F.count("*").alias("n_contained"),
-                 F.sum("inter").alias("inter_sum")))
+    out = (pairs.withColumn("_big", contains)
+           .where(F.col("_big").isNotNull())
+           .groupBy(F.col("_big").alias("container_id"))
+           .agg(F.count("*").alias("n_contained"),
+                F.sum("inter").alias("inter_sum")))
+    # containment_pairs returns a persisted pair table (caller-release
+    # contract); materialize the tiny per-container aggregate and
+    # release the corpus-scale cache here
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
 
 
 CONTAINMENT_SQL = f"""

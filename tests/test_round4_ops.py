@@ -171,7 +171,6 @@ def test_rolling_stats_tie_peers(spark):
 # ---------------------------------------------------------------- quantiles
 
 def test_grouped_quantiles_matches_sorted_pick(spark):
-    import math
     import random
     rnd = random.Random(11)
     rows = [(f"g{i % 3}", round(rnd.uniform(0, 50), 2)) for i in range(999)]
@@ -189,7 +188,6 @@ def test_grouped_quantiles_matches_sorted_pick(spark):
             rank = (round(q * 10000) * len(vals) + 9999) // 10000
             want = vals[rank - 1]
             assert abs(got[(g, q)] - want) < 1e-9, (g, q)
-    _ = math
 
 
 def test_grouped_quantiles_fp_ceil_regression(spark):
@@ -562,7 +560,6 @@ def test_containment_catches_what_jaccard_misses(spark):
     # jaccard threshold
     jac = jaccard_pairs(df, threshold=0.5).collect()
     assert not any({p["id_a"], p["id_b"]} == {1, 2} for p in jac)
-    jac[0] if jac else None
 
 
 def test_containment_symmetric_fields(spark):
