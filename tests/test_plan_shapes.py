@@ -88,13 +88,23 @@ def test_hash_split_and_normalize_no_exchange(spark):
 
 def test_oov_probe_is_broadcast(spark):
     # the top-k vocab must reach the exploded token stream as a
-    # BroadcastExchange (semi-join probe), never a shuffled join
+    # BroadcastExchange (one-pass tag join), never a shuffled join —
+    # and the corpus side must aggregate exactly once (a single
+    # doc-keyed exchange)
     from error_analysis_spark.extensions import sketches as SK
     spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(SK.oov_stats(docs, vocab_k=16, min_df=2))
     assert "BroadcastExchange" in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    import re
+    # exchanges keyed on the doc id ALONE (the probe's per-doc count);
+    # vocab_topk's countDistinct expansion keys on (token, _id) and is
+    # vocab-side work, not a second corpus aggregation
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    id_only = [k for k in keys
+               if "_id" in k and "token" not in k]
+    assert len(id_only) == 1, keys
 
 
 def test_bloom_probe_no_corpus_join(spark):
