@@ -63,6 +63,8 @@ _FRONT = [
     "q05_region_volume", "text_tfidf_topk",
     # new in r04 wave 5
     "q10_returned_revenue", "dedup_containment",
+    # new in r04 wave 6
+    "q06_forecast_revenue", "q14_promo_revenue",
     # changed in r04 (eager pair cache / oracle NULL-quality parity)
     "dedup_jaccard", "curation_quality_prune",
 ]
@@ -101,7 +103,10 @@ _ROTATE_OUT = ["a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
                "text_dup_ngrams", "text_perplexity",
                # r04 wave-5 makes room (consolidated r03-green mask
                # algebra, sim_lsh_topk unchanged since its r03 fix)
-               "so_mask_algebra", "sim_lsh_topk"]
+               "so_mask_algebra", "sim_lsh_topk",
+               # r04 wave-6 makes room (consolidated r03-green focal
+               # and fill families, plans unchanged since their green)
+               "r2_focal_all", "r3_fill_all"]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:

@@ -117,6 +117,9 @@ HEADLINE = [
     # round 4 wave 5 — returned-item report, containment near-dup
     "q10_returned_revenue",
     "dedup_containment",
+    # round 4 wave 6 — pushdown showcase, promo-share dim join
+    "q06_forecast_revenue",
+    "q14_promo_revenue",
 ]
 
 

@@ -692,11 +692,95 @@ LIMIT {_Q10_K}
 """
 
 
+_Q06_LO = "1996-01-01"
+_Q06_HI = "1997-01-01"
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue change: one lineitem scan, three
+    pushed predicates (ship-date year, discount band, quantity cap),
+    a single global sum — the canonical predicate-pushdown/
+    column-pruning showcase (the scan must read 4 columns and carry
+    the filters in PushedFilters; asserted in test_plan_shapes).
+    Fixed-point product sum for cross-engine exactness."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit(_Q06_LO))
+                 & (F.col("l_shipdate") < F.lit(_Q06_HI))
+                 & (F.col("l_discount") >= 0.05)
+                 & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24)))
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 1e6) \
+        .cast("decimal(38,0)")
+    return li.agg(
+        (F.sum(rev).cast("double") / 1e6).alias("revenue"),
+        F.count("*").alias("n_items"))
+
+
+Q06_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q06_LO}'
+  AND CAST(l_shipdate AS DATE) < DATE '{_Q06_HI}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+_Q14_LO = "1996-03-01"
+_Q14_HI = "1996-04-01"
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: lineitem (month filter) ⋈
+    part, share of revenue from PROMO-type parts. The part side is a
+    dimension — broadcastable; conditional aggregation computes both
+    sums in one pass. Fixed-point sums; the ratio divides two exact
+    integers."""
+    part = (load_table(spark, sf_dir, "part")
+            .select("p_partkey", "p_type"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit(_Q14_LO))
+                 & (F.col("l_shipdate") < F.lit(_Q14_HI)))
+          .select("l_partkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev")))
+    j = li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rev"))
+                  .otherwise(F.lit(0).cast("decimal(38,0)")))
+    total = F.sum("_rev")
+    return j.agg(
+        F.round(F.lit(100.0) * promo.cast("double")
+                / total.cast("double"), 6).alias("promo_pct"),
+        (total.cast("double") / 1e6).alias("total_revenue"))
+
+
+Q14_SQL = f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 1e6) AS HUGEINT)
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 1e6) AS HUGEINT)) AS DOUBLE), 6)
+         AS promo_pct,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q14_LO}'
+  AND CAST(l_shipdate AS DATE) < DATE '{_Q14_HI}'
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
     "q05_region_volume": (q05_region_volume, Q05_SQL),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+    "q06_forecast_revenue": (q06_forecast_revenue, Q06_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

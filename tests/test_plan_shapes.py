@@ -147,3 +147,26 @@ def test_funnel_joins_stay_on_user_key(spark):
     keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     # every exchange in the funnel shuffles on user_id alone
     assert keys and all("user_id" in k for k in keys), keys
+
+
+def test_q06_filters_reach_the_scan(spark):
+    from error_analysis_spark.plans.queries_core import q06_forecast_revenue
+    spark.catalog.clearCache()
+    df = q06_forecast_revenue(spark, SF_DIR)
+    # toString truncates the scan node mid-attribute; formatted mode
+    # prints PushedFilters/ReadSchema in full
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    import re
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    # discount band and quantity cap are plain comparisons — they must
+    # reach the parquet reader, not sit in a post-scan Filter only
+    assert "l_discount" in pushed.group(1), pushed.group(1)
+    assert "l_quantity" in pushed.group(1), pushed.group(1)
+    # column pruning: the scan reads only the four needed columns
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all(
+        "l_extendedprice" in s and "l_returnflag" not in s
+        and "l_orderkey" not in s for s in schemas), schemas
