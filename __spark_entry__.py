@@ -68,6 +68,14 @@ _FRONT = [
     # changed in r04 (eager pair cache / oracle NULL-quality parity)
     "dedup_jaccard", "curation_quality_prune",
 ]
+# r04 wave 7 (q04_priority_exists, q13_order_distribution,
+# q19_disjunctive_revenue, curation_drift_psi) lands AFTER the window:
+# every front slot is held by an r03-unverified return or an earlier
+# r04 query, and the policy forbids bumping those. The merge loop below
+# places wave 7 at positions 51-54 — first in the r05 window — and the
+# full declared set (including these four) is locally oracle-verified
+# per-commit by tests/test_oracle.py under the driver's own compare
+# semantics, so they ship with a local green, not no signal.
 # Only queries with >=2 lifetime green rows rotate out, plus five
 # single-green queries whose plans are pure expression/aggregate
 # pipelines unchanged since their green (pii regexp, quantize

@@ -120,6 +120,12 @@ HEADLINE = [
     # round 4 wave 6 — pushdown showcase, promo-share dim join
     "q06_forecast_revenue",
     "q14_promo_revenue",
+    # round 4 wave 7 — semi-join EXISTS, outer-join distribution,
+    # disjunctive-predicate pushdown, PSI drift monitor
+    "q04_priority_exists",
+    "q13_order_distribution",
+    "q19_disjunctive_revenue",
+    "curation_drift_psi",
 ]
 
 

@@ -264,6 +264,59 @@ def corpus_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     return joined.select(F.col(id_col), status.alias("status"))
 
 
+def distribution_drift(docs: DataFrame, group_col: str = "source",
+                       value_col: str = "n_chars",
+                       bin_width: float = 64.0,
+                       n_bins: int = 16) -> DataFrame:
+    """Population-stability-index (PSI) drift monitor: how far each
+    group's value distribution sits from the corpus-wide reference —
+    the standard gate for "did this source's length/quality profile
+    shift between crawl snapshots".
+
+    One corpus scan bins the value (fixed width, top bin clamped),
+    then ONE (group, bin) count aggregate — everything after that
+    operates on tables bounded by groups × n_bins regardless of corpus
+    size: per-group totals, the global per-bin reference, a dense
+    group×bin grid (explode of a literal sequence, so zero-count bins
+    are represented), share-space smoothed probabilities
+    p=(c/n + s)/(1 + s·B) (every bin defined, and a group whose bin
+    shares exactly equal the global ones gets PSI exactly 0 — additive
+    count smoothing would not, since group and corpus totals differ),
+    and the PSI sum Σ (p−q)·ln(p/q). Each term is fixed-pointed to
+    1e-6 before summing so the reduction is order-independent and
+    engine-exact.
+
+    Returns (group_col, psi) — PSI ≥ 0, conventional alert bands
+    0.1 (drifting) / 0.25 (shifted).
+    """
+    binned = docs.select(
+        F.col(group_col),
+        F.least(F.floor(F.col(value_col) / F.lit(float(bin_width)))
+                .cast("long"),
+                F.lit(n_bins - 1).cast("long")).alias("_bin"))
+    per = binned.groupBy(group_col, "_bin").agg(F.count("*").alias("_c"))
+    totals = per.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    glob = per.groupBy("_bin").agg(F.sum("_c").alias("_gc"))
+    tot = per.agg(F.sum("_c").alias("_gtot"))
+    grid = totals.withColumn(
+        "_bin", F.explode(F.sequence(F.lit(0).cast("long"),
+                                     F.lit(n_bins - 1).cast("long"))))
+    j = (grid
+         .join(per, [group_col, "_bin"], "left")
+         .join(F.broadcast(glob), "_bin", "left")
+         .crossJoin(F.broadcast(tot)))
+    s = 1e-4
+    denom = 1.0 + s * n_bins
+    p = (F.coalesce(F.col("_c"), F.lit(0)) / F.col("_n") + F.lit(s)) \
+        / F.lit(denom)
+    q = (F.coalesce(F.col("_gc"), F.lit(0)) / F.col("_gtot") + F.lit(s)) \
+        / F.lit(denom)
+    term = F.round((p - q) * F.log(p / q) * 1e6).cast("long")
+    return (j.select(F.col(group_col), term.alias("_t"))
+            .groupBy(group_col)
+            .agg(F.round(F.sum("_t").cast("double") / 1e6, 6).alias("psi")))
+
+
 def data_card(docs: DataFrame, domain_col: str = "source",
               lang_col: str = "lang", text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:

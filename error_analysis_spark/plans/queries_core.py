@@ -774,6 +774,147 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q14_LO}'
 """
 
 
+_Q04_LO = "1996-01-01"
+_Q04_HI = "1996-07-01"
+
+
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style priority check: count orders per priority that
+    have at least one returned lineitem — the canonical EXISTS /
+    left-semi-join shape.
+
+    The semi join ships only the fact table's key column (the probe
+    side is pruned to `l_orderkey` before the exchange, no DISTINCT
+    needed — semi-join semantics dedup for free), the date window is
+    pushed to the orders scan, and the final aggregate is over the
+    five-value priority domain (map-side combinable, trivially
+    bounded)."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit(_Q04_LO))
+                     & (F.col("o_orderdate") < F.lit(_Q04_HI)))
+              .select("o_orderkey", "o_orderpriority"))
+    returned = (load_table(spark, sf_dir, "lineitem")
+                .where(F.col("l_returnflag") == "R")
+                .select("l_orderkey"))
+    return (orders
+            .join(returned,
+                  F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+Q04_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '{_Q04_LO}'
+  AND CAST(o_orderdate AS DATE) < DATE '{_Q04_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: customer LEFT
+    JOIN orders (with the order-side filter inside the join, so
+    customers with zero qualifying orders count at 0), orders per
+    customer, then the histogram of those counts.
+
+    Two-level aggregation: the first agg is keyed on the customer key
+    the join already shuffled on (co-partitioned, no extra exchange
+    under AQE), the second collapses onto the tiny count domain —
+    the outer-join-preserving-rows shape at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (cust
+                .join(orders,
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# Disjunctive branch predicates (brand, max size, quantity band) plus
+# the union-bound conjuncts pushed explicitly to each scan — Catalyst
+# does not fully CNF-convert OR-of-ANDs into per-side scan filters, so
+# stating the derivable envelope (brand IN set, size/quantity ranges)
+# keeps the parquet reader pruning while the exact disjunction applies
+# post-join. This is how production TPC-H Q19 plans are written.
+_Q19_BRANCHES = [("Brand#11", 15, 1, 11),
+                 ("Brand#12", 25, 10, 20),
+                 ("Brand#13", 35, 20, 30)]
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: lineitem ⋈ part
+    under an OR of three (brand, size-range, quantity-band) branches.
+
+    Each scan gets the explicit union envelope of its side's branch
+    predicates (pushed filters), the part side stays a broadcastable
+    dimension, and the exact OR-of-ANDs evaluates as one JVM boolean
+    expression after the join. Fixed-point revenue sum."""
+    brands = [b for b, _, _, _ in _Q19_BRANCHES]
+    max_size = max(s for _, s, _, _ in _Q19_BRANCHES)
+    min_q = min(lo for _, _, lo, _ in _Q19_BRANCHES)
+    max_q = max(hi for _, _, _, hi in _Q19_BRANCHES)
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_brand").isin(brands)
+                   & (F.col("p_size") >= 1)
+                   & (F.col("p_size") <= max_size))
+            .select("p_partkey", "p_brand", "p_size"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_quantity") >= min_q)
+                 & (F.col("l_quantity") <= max_q))
+          .select("l_partkey", "l_quantity",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev")))
+    branch = None
+    for b, sz, lo, hi in _Q19_BRANCHES:
+        c = ((F.col("p_brand") == b)
+             & (F.col("p_size") <= sz)
+             & (F.col("l_quantity") >= lo) & (F.col("l_quantity") <= hi))
+        branch = c if branch is None else (branch | c)
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .where(branch)
+            .agg((F.sum("_rev").cast("double") / 1e6).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def _q19_branch_sql() -> str:
+    parts = []
+    for b, sz, lo, hi in _Q19_BRANCHES:
+        parts.append(
+            f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sz} "
+            f"AND l_quantity BETWEEN {lo} AND {hi})")
+    return " OR ".join(parts)
+
+
+Q19_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_q19_branch_sql()}
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
@@ -781,6 +922,9 @@ CORE_QUERIES: dict[str, tuple] = {
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "q06_forecast_revenue": (q06_forecast_revenue, Q06_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q04_priority_exists": (q04_priority_exists, Q04_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

@@ -2366,7 +2366,49 @@ FROM pe GROUP BY source
 """
 
 
+def curation_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI drift vs the corpus length distribution
+    (curation.py:distribution_drift): one scan + one bounded
+    (source, bin) aggregate; share-space smoothed probabilities over a
+    dense group×bin grid, fixed-point Σ(p−q)ln(p/q) terms."""
+    from error_analysis_spark.extensions import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.distribution_drift(docs)
+
+
+DRIFT_PSI_SQL = """
+WITH b AS (
+  SELECT source,
+         least(CAST(floor(n_chars / 64.0) AS BIGINT), 15) AS bin
+  FROM documents
+),
+per AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY source, bin),
+gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY source),
+gl AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM per GROUP BY bin),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM per),
+grid AS (
+  SELECT gt.source, gt.n, r.bin
+  FROM gt CROSS JOIN (SELECT unnest(range(16)) AS bin) r
+),
+j AS (
+  SELECT grid.source,
+         (COALESCE(per.c, 0) / grid.n + 1e-4) / (1.0 + 1e-4 * 16) AS p,
+         (COALESCE(gl.gc, 0) / tot.N + 1e-4) / (1.0 + 1e-4 * 16) AS q
+  FROM grid
+  LEFT JOIN per ON per.source = grid.source AND per.bin = grid.bin
+  LEFT JOIN gl ON gl.bin = grid.bin
+  CROSS JOIN tot
+)
+SELECT source,
+       round(CAST(sum(CAST(round((p - q) * ln(p / q) * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e6, 6) AS psi
+FROM j GROUP BY source
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
+    "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),

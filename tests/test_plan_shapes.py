@@ -170,3 +170,60 @@ def test_q06_filters_reach_the_scan(spark):
     assert schemas and all(
         "l_extendedprice" in s and "l_returnflag" not in s
         and "l_orderkey" not in s for s in schemas), schemas
+
+
+# ---------------------------------------------------------------- wave 7
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_q04_semi_join_prunes_probe_side(spark):
+    from error_analysis_spark.plans.queries_core import q04_priority_exists
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q04_priority_exists(spark, SF_DIR))
+    # EXISTS compiles to a semi join — no DISTINCT, no full join output
+    assert "LeftSemi" in plan, plan
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    # lineitem probe side ships only its key + the filter column
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all("l_extendedprice" not in s and "l_quantity" not in s
+                      for s in li), schemas
+
+
+def test_q19_envelope_filters_reach_both_scans(spark):
+    from error_analysis_spark.plans.queries_core import q19_disjunctive_revenue
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q19_disjunctive_revenue(spark, SF_DIR))
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # the explicit union envelope must reach the parquet readers even
+    # though the exact OR-of-ANDs only evaluates post-join
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p for p in pushed), pushed
+    # the filtered part side is a broadcastable dimension
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q13_outer_join_preserves_rows(spark):
+    from error_analysis_spark.plans.queries_core import q13_order_distribution
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q13_order_distribution(spark, SF_DIR))
+    # customers with zero qualifying orders must survive to count at 0
+    assert "LeftOuter" in plan, plan
+    # no rank/window funnel anywhere — two hash aggregates only
+    assert "Window" not in plan, plan
+
+
+def test_drift_psi_bounded_after_one_corpus_agg(spark):
+    from error_analysis_spark.extensions.curation import distribution_drift
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(distribution_drift(docs))
+    # everything after the (group, bin) count agg operates on tables
+    # bounded by groups x bins: the reference joins are broadcast, and
+    # nothing drops into Python
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "PythonUDF" not in plan, plan

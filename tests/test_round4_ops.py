@@ -568,3 +568,43 @@ def test_containment_symmetric_fields(spark):
         [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"])
     r = containment_pairs(df, threshold=0.9).collect()[0]
     assert r["cont_a"] == 1.0 and r["cont_b"] == 1.0
+
+
+# ---------------------------------------------------------------- PSI drift
+
+def test_drift_psi_zero_when_identical(spark):
+    from error_analysis_spark.extensions.curation import distribution_drift
+    # two groups with identical value multisets: each group's
+    # distribution IS the global one, so PSI must be exactly 0
+    # (Laplace smoothing shifts p and q identically)
+    vals = [10, 80, 200, 400, 900, 900]
+    rows = [(g, v) for g in ("a", "b") for v in vals]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r["psi"]
+           for r in distribution_drift(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"] == 0.0 and out["b"] == 0.0
+
+
+def test_drift_psi_orders_shift_severity(spark):
+    from error_analysis_spark.extensions.curation import distribution_drift
+    # 'near' matches the bulk; 'far' sits in a disjoint bin range —
+    # PSI must rank far > near > ~0, and be non-negative
+    bulk = [(f"bulk", v) for v in range(0, 400, 4)]
+    near = [("near", v + 16) for v in range(0, 400, 4)]
+    far = [("far", v) for v in range(600, 1000, 4)]
+    df = spark.createDataFrame(bulk + near + far, ["source", "n_chars"])
+    out = {r["source"]: r["psi"]
+           for r in distribution_drift(df).collect()}
+    assert all(v >= 0 for v in out.values()), out
+    assert out["far"] > out["near"] >= 0, out
+
+
+def test_drift_psi_partitioning_invariant(spark):
+    from error_analysis_spark.extensions.curation import distribution_drift
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["source"]: r["psi"]
+         for r in distribution_drift(docs).collect()}
+    b = {r["source"]: r["psi"]
+         for r in distribution_drift(docs.repartition(7, "doc_id")).collect()}
+    assert a == b
