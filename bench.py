@@ -126,6 +126,11 @@ HEADLINE = [
     "q13_order_distribution",
     "q19_disjunctive_revenue",
     "curation_drift_psi",
+    # round 4 wave 8 — decorrelated scalar subquery, HAVING semi
+    # carrier, argmax-with-ties
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q15_top_supplier",
 ]
 
 

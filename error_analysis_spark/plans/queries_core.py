@@ -915,6 +915,165 @@ WHERE {_q19_branch_sql()}
 """
 
 
+_Q17_BRAND = "Brand#23"
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: average yearly
+    revenue lost if small orders (quantity below half the per-part
+    mean) were not filled — the canonical correlated scalar-aggregate
+    subquery.
+
+    Decorrelated here into a PER-PART window aggregate, not an
+    aggregate-plus-join-back: the window needs ONE lineitem scan and
+    one key-partitioned shuffle where the join form scans the fact
+    twice (and its threshold table is brand-pruned *part*-dimension
+    sized — not broadcastable at large SF). The window partitions on
+    `l_partkey`, whose per-key multiplicity is a constant of the
+    schema (≈30 lineitems per part at every TPC-H scale factor), so
+    no partition grows with data size. The quantity sum is exact in
+    doubles (quantities are integers), making the 0.5·avg threshold
+    one deterministic IEEE divide on both engines."""
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_brand") == _Q17_BRAND)
+            .select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity",
+                  F.round(F.col("l_extendedprice") * 1e6)
+                  .cast("decimal(38,0)").alias("_rev")))
+    branded = li.join(F.broadcast(part),
+                      F.col("l_partkey") == F.col("p_partkey"))
+    w = W.partitionBy("l_partkey")
+    thr = F.lit(0.5) * (F.sum("l_quantity").over(w)
+                        / F.count("*").over(w))
+    return (branded
+            .withColumn("_thr", thr)
+            .where(F.col("l_quantity") < F.col("_thr"))
+            .agg(F.round(F.sum("_rev").cast("double") / 1e6 / 7.0, 4)
+                 .alias("avg_yearly"),
+                 F.count("*").alias("n_items")))
+
+
+Q17_SQL = f"""
+WITH b AS (
+  SELECT l_partkey, l_quantity,
+         CAST(round(l_extendedprice * 1e6) AS HUGEINT) AS rv
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q17_BRAND}'
+),
+t AS (
+  SELECT l_partkey AS pk, 0.5 * (sum(l_quantity) / count(*)) AS thr
+  FROM b GROUP BY l_partkey
+)
+SELECT round(CAST(sum(rv) AS DOUBLE) / 1e6 / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM b JOIN t ON l_partkey = pk
+WHERE l_quantity < thr
+"""
+
+
+_Q18_MIN_QTY = 300
+_Q18_K = 20
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose lineitem
+    quantity sum exceeds a threshold, joined back to order and
+    customer detail — the HAVING-filtered aggregate as a semi-join
+    carrier (the aggregate both filters and supplies the payload).
+
+    The post-HAVING key set is highly selective, so AQE converts the
+    orders join to broadcast at runtime from the aggregate's actual
+    size — exactly the shape where a static planner must shuffle.
+    Quantity sums are exact in doubles (integer quantities); top-20 by
+    total price caps the result via TakeOrderedAndProject, no window."""
+    big = (load_table(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_quantity")
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > _Q18_MIN_QTY))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_totalprice"))
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name")
+    return (orders
+            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(_Q18_K))
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+)
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {_Q18_K}
+"""
+
+
+_Q15_LO = "1997-01-01"
+_Q15_HI = "1997-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) with maximum
+    revenue in one quarter — the argmax-with-ties shape, computed as
+    a 1-row max aggregate broadcast back against the per-supplier
+    revenue table (exact decimal equality keeps ties correct), never
+    a global rank window.
+
+    The per-supplier table is bounded by the supplier dimension; the
+    supplier-detail join is broadcast."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit(_Q15_LO))
+                 & (F.col("l_shipdate") < F.lit(_Q15_HI)))
+          .select("l_suppkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev")))
+    per = li.groupBy("l_suppkey").agg(F.sum("_rev").alias("_r"))
+    mx = per.agg(F.max("_r").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (per
+            .join(F.broadcast(mx), F.col("_r") == F.col("_mx"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("_r").cast("double") / 1e6)
+                    .alias("total_revenue")))
+
+
+Q15_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                  AS HUGEINT)) AS rv
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q15_LO}'
+    AND CAST(l_shipdate AS DATE) < DATE '{_Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rv AS DOUBLE) / 1e6 AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rv = (SELECT max(rv) FROM r)
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
@@ -925,6 +1084,9 @@ CORE_QUERIES: dict[str, tuple] = {
     "q04_priority_exists": (q04_priority_exists, Q04_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

@@ -218,6 +218,40 @@ def test_q13_outer_join_preserves_rows(spark):
     assert "Window" not in plan, plan
 
 
+def test_q15_argmax_without_window(spark):
+    from error_analysis_spark.plans.queries_core import q15_top_supplier
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q15_top_supplier(spark, SF_DIR))
+    # argmax-with-ties = broadcast 1-row max joined back — never a
+    # global rank window
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_q18_having_semi_carrier_no_window(spark):
+    from error_analysis_spark.plans.queries_core import q18_large_orders
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q18_large_orders(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    # top-20 caps via TakeOrderedAndProject, not a full global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q17_single_fact_scan_keyed_window(spark):
+    from error_analysis_spark.plans.queries_core import q17_small_quantity_revenue
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q17_small_quantity_revenue(spark, SF_DIR))
+    # decorrelated scalar subquery = per-part window over ONE lineitem
+    # scan (the join-back form scans the fact twice); the window must
+    # partition on the part key, never a global window
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert sum("l_quantity" in s for s in schemas) == 1, schemas
+    assert re.search(r"windowspecdefinition\(l_partkey", plan), plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p for p in pushed), pushed
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")
