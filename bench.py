@@ -131,6 +131,11 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q15_top_supplier",
+    # round 4 wave 9 — anti-join + exact scalar threshold, the
+    # single-scan Q21 rewrite, grouped-vs-global concentration
+    "q22_idle_balance",
+    "q21_sole_late_supplier",
+    "q11_value_concentration",
 ]
 
 

@@ -1074,6 +1074,184 @@ WHERE rv = (SELECT max(rv) FROM r)
 """
 
 
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style lost-customer report: per nation, customers
+    whose balance beats the positive-balance average but who placed no
+    order since a cutoff — scalar-aggregate broadcast + anti join.
+
+    The average threshold is compared in EXACT integer arithmetic
+    (cents·n_pos > sum_cents — no float average crosses the engines),
+    the 1-row stats aggregate broadcasts, the anti join ships only the
+    filtered orders key column, and the final aggregate is bounded by
+    the nation domain."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey", cents.alias("_cents")))
+    stats = (cust.where(F.col("_cents") > 0)
+             .agg(F.sum("_cents").cast("decimal(38,0)").alias("_sum"),
+                  F.count("*").alias("_npos")))
+    recent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF))
+              .select("o_custkey"))
+    rich = (cust.crossJoin(F.broadcast(stats))
+            .where(F.col("_cents").cast("decimal(38,0)") * F.col("_npos")
+                   > F.col("_sum")))
+    return (rich
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_cust"),
+                 F.round(F.sum("_cents").cast("double") / 100.0, 2)
+                 .alias("total_bal")))
+
+
+Q22_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+s AS (
+  SELECT CAST(sum(cents) AS HUGEINT) AS sm, count(*) AS npos
+  FROM c WHERE cents > 0
+)
+SELECT c_nationkey, count(*) AS n_cust,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_bal
+FROM c CROSS JOIN s
+WHERE CAST(cents AS HUGEINT) * npos > sm
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '{_Q22_CUTOFF}')
+GROUP BY c_nationkey
+"""
+
+
+_Q21_LATE_DAYS = 365
+_Q21_K = 20
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style waiting-orders report: for each supplier, the
+    number of multi-supplier orders on which THEY were the only late
+    shipper (ship lag > 365 days) — the double-correlated
+    EXISTS / NOT-EXISTS shape.
+
+    Rewritten for scale as ONE co-partitioned fact-fact join
+    (lineitem ⋈ orders on the order key) plus ONE per-order aggregate
+    — `n_supp > 1 AND n_late_supp == 1` replaces both correlated
+    subqueries, and `max(late supplier)` is exact because the filter
+    guarantees uniqueness. The textbook triple self-join scans
+    lineitem three times; this scans it once. The DuckDB oracle runs
+    the correlated form, so the rewrite is equivalence-checked against
+    the canonical semantics. Per-order lineitem counts are schema-
+    bounded (≤7 per order at any SF), so the aggregate never skews."""
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) \
+        > _Q21_LATE_DAYS
+    # Two stacked aggregates instead of two countDistinct()s: the
+    # multi-distinct form Expands every row 3x before the shuffle,
+    # while hash(orderkey) from the join satisfies the clustered
+    # distribution of BOTH group-bys, so neither aggregate below adds
+    # an exchange (plan-asserted: exactly 2 shuffles, no Expand).
+    per_supp = (li
+                .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max(late).alias("_late_s")))
+    per_order = (per_supp
+                 .groupBy("l_orderkey")
+                 .agg(F.count("*").alias("_ns"),
+                      F.sum(F.col("_late_s").cast("int")).alias("_nl"),
+                      F.max(F.when(F.col("_late_s"), F.col("l_suppkey")))
+                      .alias("_late_supp")))
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (per_order
+            .where((F.col("_nl") == 1) & (F.col("_ns") > 1))
+            .groupBy("_late_supp")
+            .agg(F.count("*").alias("numwait"))
+            .join(F.broadcast(supp),
+                  F.col("_late_supp") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+            .limit(_Q21_K))
+
+
+Q21_SQL = f"""
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE date_diff('day', o_orderdate, l_shipdate) > {_Q21_LATE_DAYS}
+)
+SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                    ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND date_diff('day', o3.o_orderdate, l3.l_shipdate)
+                        > {_Q21_LATE_DAYS})
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT {_Q21_K}
+"""
+
+
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style value concentration: parts whose revenue
+    exceeds 1.5× the average per-part revenue — a grouped sum filtered
+    against a GLOBAL scalar computed from the same grouped table.
+
+    The per-part table shuffles once. The global (total, n_parts)
+    scalar is computed by a SEPARATE 2-column reduce of the fact scan
+    (sum + map-side-partial distinct count), not by re-aggregating the
+    per-part table: sharing the grouped lineage would either recompute
+    the full groupBy pipeline (AQE does not reuse the exchange when
+    one occurrence sits under the broadcast branch — measured) or pin
+    a partkey-sized cache. The threshold compares in exact decimal
+    arithmetic (2·r·n > 3·total — the relative threshold keeps
+    selectivity stable across scale factors, unlike Q11's absolute
+    fraction)."""
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 1e6).cast("decimal(38,0)")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", rev.alias("_rev"))
+    per = li.groupBy("l_partkey").agg(F.sum("_rev").alias("_r"))
+    stats = li.agg(F.sum("_rev").alias("_tot"),
+                   F.countDistinct("l_partkey").alias("_np"))
+    return (per.crossJoin(F.broadcast(stats))
+            .where(F.col("_r") * 2 * F.col("_np")
+                   > F.col("_tot") * 3)
+            .select("l_partkey",
+                    (F.col("_r").cast("double") / 1e6).alias("revenue"),
+                    F.round(F.col("_r").cast("double")
+                            / F.col("_tot").cast("double"), 9)
+                    .alias("share")))
+
+
+Q11_SQL = """
+WITH per AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                  AS HUGEINT)) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+s AS (SELECT CAST(sum(r) AS HUGEINT) AS tot, count(*) AS np FROM per)
+SELECT l_partkey, CAST(r AS DOUBLE) / 1e6 AS revenue,
+       round(CAST(r AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share
+FROM per CROSS JOIN s
+WHERE r * 2 * np > tot * 3
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
@@ -1087,6 +1265,9 @@ CORE_QUERIES: dict[str, tuple] = {
     "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q22_idle_balance": (q22_idle_balance, Q22_SQL),
+    "q21_sole_late_supplier": (q21_sole_late_supplier, Q21_SQL),
+    "q11_value_concentration": (q11_value_concentration, Q11_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

@@ -252,6 +252,52 @@ def test_q17_single_fact_scan_keyed_window(spark):
     assert any("p_brand" in p for p in pushed), pushed
 
 
+def test_q22_anti_join_prunes_probe(spark):
+    from error_analysis_spark.plans.queries_core import q22_idle_balance
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q22_idle_balance(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    # the orders probe ships only custkey (+ the pushed date filter)
+    oscans = [s for s in schemas if "o_custkey" in s]
+    assert oscans and all("o_totalprice" not in s for s in oscans), schemas
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_q21_single_lineitem_scan(spark):
+    from error_analysis_spark.plans.queries_core import q21_sole_late_supplier
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q21_sole_late_supplier(spark, SF_DIR))
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    # the double-correlated EXISTS/NOT-EXISTS rewrite must scan
+    # lineitem ONCE (the textbook triple self-join scans it 3x)
+    assert sum("l_suppkey" in s for s in schemas) == 1, schemas
+    assert "TakeOrderedAndProject" in plan, plan
+    # stacked group-bys reuse the join's hash(orderkey) distribution —
+    # no multi-distinct Expand, no extra exchange per aggregate
+    assert "Expand" not in plan, plan
+
+
+def test_q11_global_scalar_from_grouped_table(spark):
+    from error_analysis_spark.plans.queries_core import q11_value_concentration
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q11_value_concentration(spark, SF_DIR))
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    # two fact scans by design (AQE does not reuse the grouped
+    # exchange under the broadcast branch) — but both must prune to
+    # exactly the needed columns
+    li = [s for s in schemas if "l_partkey" in s]
+    assert len(li) == 2 and all(
+        "l_quantity" not in s and "l_shipdate" not in s for s in li), schemas
+    # 1-row scalar joins back via broadcast
+    assert "BroadcastNestedLoopJoin" in plan or \
+        plan.count("BroadcastExchange") >= 1, plan
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")
