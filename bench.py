@@ -136,6 +136,10 @@ HEADLINE = [
     "q22_idle_balance",
     "q21_sole_late_supplier",
     "q11_value_concentration",
+    # round 4 wave 10 — HLL registers, struct-max argmax, CUBE rollup
+    "sketch_hll_distinct",
+    "curation_argmax_doc",
+    "olap_cube_counts",
 ]
 
 

@@ -65,6 +65,109 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
                 .alias("est_distinct")))
 
 
+_HLL_P = 9                      # 2^9 = 512 registers
+_HLL_M = 1 << _HLL_P
+_HLL_W = 60 - _HLL_P            # rest-bits of the 60-bit md5 prefix
+# alpha_m for m >= 128 (Flajolet et al. 2007), baked to a literal so
+# both engines consume identical digits
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def hll_distinct(df: DataFrame, group_col: str,
+                 value_col: str) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate — the
+    register-based counterpart to `kmv_distinct`, in EXACT integer
+    bit arithmetic so DuckDB reproduces every register.
+
+    The 60-bit md5 prefix splits into a 9-bit register index and a
+    51-bit rest; the rank rho = 52 − bitlength(rest) is computed via
+    `length(bin(rest))` — a pure integer path, no float log2 whose
+    last-ulp could flip a floor across engines. The register table is
+    a (group, bucket) MAX aggregate: map-side combinable, mergeable
+    (sketch union = elementwise max), bounded by groups × 512 rows at
+    ANY corpus size — this is why HLL beats exact COUNT(DISTINCT) at
+    100 TB, where the distinct shuffle is value-cardinality-sized.
+    The 2^{-M_j} harmonic sum is fixed-pointed at 2^52 (every term an
+    exact power of two, the integer sum order-independent); the only
+    floats are the final estimator divisions, identical expressions
+    on both engines. Small-range path: linear counting
+    m·ln(m/V) when the raw estimate ≤ 2.5m and empty registers
+    remain.
+
+    Returns (group_col, n_est) with n_est rounded to integer."""
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                           1, 15), 16, 10).cast("long")
+    bucket = F.shiftright(h, _HLL_W).alias("_bucket")
+    rest = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
+    rho = (F.when(rest == 0, F.lit(_HLL_W + 1))
+           .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin(rest))))
+    regs = (df.select(F.col(group_col), bucket, rho.alias("_rho"))
+            .groupBy(group_col, "_bucket")
+            .agg(F.max("_rho").alias("_m")))
+    # term = 2^(52 - M_j), an exact long; sum is order-independent
+    term = F.expr(f"CAST(1 AS BIGINT) << ({_HLL_W + 1} - _m)")
+    per = (regs.groupBy(group_col)
+           .agg(F.count("*").alias("_nregs"),
+                F.sum(term).alias("_s")))
+    two52 = float(1 << (_HLL_W + 1))
+    v = F.lit(_HLL_M) - F.col("_nregs")
+    # empty registers contribute 2^-0 = 1 each to the harmonic sum,
+    # i.e. 2^52 per empty register in fixed point (V·2^52 ≤ 2^61,
+    # no overflow)
+    s_full = F.col("_s") + v * F.lit(1 << (_HLL_W + 1))
+    raw = (F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M * two52
+           / s_full.cast("double"))
+    est = F.when((raw <= 2.5 * _HLL_M) & (v > 0),
+                 F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M))
+                                              / v.cast("double"))) \
+        .otherwise(raw)
+    return per.select(F.col(group_col),
+                      F.round(est).cast("long").alias("n_est"))
+
+
+def hll_distinct_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle for `hll_distinct` — same integer register path."""
+    w, m, a = _HLL_W, _HLL_M, _HLL_ALPHA
+    return f"""
+WITH h AS (
+  SELECT {group_col},
+         CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM {table}
+),
+b AS (
+  SELECT {group_col}, hv >> {w} AS bucket,
+         hv & ((CAST(1 AS BIGINT) << {w}) - 1) AS rest
+  FROM h
+),
+regs AS (
+  SELECT {group_col}, bucket,
+         max(CASE WHEN rest = 0 THEN {w + 1}
+                  ELSE {w + 1} - length(bin(rest)) END) AS m
+  FROM b GROUP BY {group_col}, bucket
+),
+per AS (
+  SELECT {group_col}, count(*) AS nregs,
+         sum(CAST(1 AS BIGINT) << ({w + 1} - m))
+         + ({m} - count(*)) * (CAST(1 AS BIGINT) << {w + 1}) AS s
+  FROM regs GROUP BY {group_col}
+)
+SELECT {group_col},
+       CAST(round(CASE WHEN ({a}::DOUBLE * {m} * {m}
+                             * {float(1 << (w + 1))}::DOUBLE
+                             / CAST(s AS DOUBLE)) <= {2.5 * m}::DOUBLE
+                        AND ({m} - nregs) > 0
+                  THEN {float(m)}::DOUBLE
+                       * ln({float(m)}::DOUBLE
+                            / CAST({m} - nregs AS DOUBLE))
+                  ELSE {a}::DOUBLE * {m} * {m}
+                       * {float(1 << (w + 1))}::DOUBLE
+                       / CAST(s AS DOUBLE) END)
+            AS BIGINT) AS n_est
+FROM per
+"""
+
+
 def vocab_topk(docs: DataFrame, k: int = 50, min_df: int = 2,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus vocabulary heavy hitters: the k most frequent tokens with

@@ -2407,8 +2407,81 @@ FROM j GROUP BY source
 """
 
 
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate via HyperLogLog
+    (sketches.py:hll_distinct): exact integer register path
+    (md5-prefix split + bin-length rank), (group, bucket) MAX
+    aggregate bounded by groups × 512 at any scale, fixed-point
+    harmonic sum. The register-based counterpart to the KMV sketch."""
+    from error_analysis_spark.extensions import sketches as SK
+    ev = load_table(spark, sf_dir, "events")
+    return SK.hll_distinct(ev, "event_type", "user_id")
+
+
+def _hll_oracle() -> str:
+    from error_analysis_spark.extensions.sketches import hll_distinct_sql
+    return hll_distinct_sql("events", "event_type", "user_id")
+
+
+def curation_argmax_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document-per-source selection (keep-longest dedup):
+    ONE struct-max aggregate — max(struct(n_chars, doc_id)) gives the
+    argmax with a deterministic tie (larger doc_id wins), map-side
+    combinable, one shuffle bounded by the group count. The common
+    row_number()-over-window form (which the DuckDB oracle runs as the
+    equivalence check) sorts every group's full row set instead; at
+    100 TB the struct-max never materializes more than one row per
+    group per partition."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("source", "n_chars", "doc_id")
+    return (docs.groupBy("source")
+            .agg(F.max(F.struct("n_chars", "doc_id")).alias("_m"))
+            .select("source",
+                    F.col("_m.n_chars").alias("n_chars"),
+                    F.col("_m.doc_id").alias("doc_id")))
+
+
+ARGMAX_DOC_SQL = """
+SELECT source, n_chars, doc_id FROM (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def olap_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup over (source, lang) via CUBE: doc
+    counts and total chars at every grouping granularity in ONE pass
+    — Expand ×4 feeds a single map-side-combinable hash aggregate
+    whose output is bounded by the (sources+1)×(langs+1) grid.
+    Subtotal rows surface as 'ALL' (the corpus has no NULL dimension
+    values, asserted upstream by the data card)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.cube("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .select(F.coalesce("source", F.lit("ALL")).alias("source"),
+                    F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    "n_docs", "total_chars"))
+
+
+CUBE_SQL = """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
+    "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
+    "curation_argmax_doc": (curation_argmax_doc, ARGMAX_DOC_SQL),
+    "olap_cube_counts": (olap_cube_counts, CUBE_SQL),
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),

@@ -298,6 +298,47 @@ def test_q11_global_scalar_from_grouped_table(spark):
         plan.count("BroadcastExchange") >= 1, plan
 
 
+def test_argmax_doc_no_window(spark):
+    from error_analysis_spark.plans.queries_ext import curation_argmax_doc
+    spark.catalog.clearCache()
+    plan = _formatted(spark, curation_argmax_doc(spark, SF_DIR))
+    # argmax-per-group = struct-max aggregate, never a rank window.
+    # Struct buffers force SortAggregate, but the PARTIAL aggregate
+    # still runs before the exchange — the shuffle carries one row per
+    # group per partition where the window form shuffles every row.
+    assert "Window" not in plan, plan
+    assert plan.count("SortAggregate") == 4, plan  # 2 tree + 2 detail
+    import re
+    # tree prints final→…→scan: final agg, then the exchange, then the
+    # partial agg below it
+    assert plan.index("SortAggregate") < plan.index("Exchange") \
+        < plan.rindex("SortAggregate"), plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_hll_register_agg_stays_jvm(spark):
+    from error_analysis_spark.plans.queries_ext import sketch_hll_distinct
+    spark.catalog.clearCache()
+    plan = _formatted(spark, sketch_hll_distinct(spark, SF_DIR))
+    # two stacked hash aggregates (group×bucket then group), pure JVM
+    assert "PythonUDF" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final ×2
+
+
+def test_cube_single_pass_expand(spark):
+    from error_analysis_spark.plans.queries_ext import olap_cube_counts
+    spark.catalog.clearCache()
+    plan = _formatted(spark, olap_cube_counts(spark, SF_DIR))
+    # CUBE = one Expand feeding one (partial+final) aggregate — one
+    # scan for all four granularities
+    assert "Expand" in plan, plan
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len([s for s in schemas if "n_chars" in s]) == 1, schemas
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")

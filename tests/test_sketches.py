@@ -79,3 +79,27 @@ def test_quantize_error_bound(spark):
     # saturation can only happen at the max element, which maps to
     # exactly +-127 — so every vector has at least one saturated code
     assert (out["n_sat"] >= 1).all()
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_accuracy_across_cardinalities(spark):
+    # standard error is 1.04/sqrt(512) ~ 4.6%; assert within ~3 sigma
+    rows = [(f"g{card}", v) for card in (50, 500, 5000)
+            for v in range(card)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r["n_est"] for r in SK.hll_distinct(df, "g", "v").collect()}
+    for card in (50, 500, 5000):
+        est = out[f"g{card}"]
+        assert abs(est - card) / card < 0.14, (card, est)
+
+
+def test_hll_partitioning_invariant_and_dup_blind(spark):
+    # duplicates cannot move the estimate (register max is idempotent),
+    # and the register table is partitioning-independent
+    base = [("a", v) for v in range(300)]
+    df1 = spark.createDataFrame(base, ["g", "v"])
+    df2 = spark.createDataFrame(base * 3, ["g", "v"]).repartition(7)
+    a = SK.hll_distinct(df1, "g", "v").collect()[0]["n_est"]
+    b = SK.hll_distinct(df2, "g", "v").collect()[0]["n_est"]
+    assert a == b
