@@ -72,7 +72,8 @@ _FRONT = [
 # q19_disjunctive_revenue, curation_drift_psi; q17_small_qty_revenue,
 # q18_large_orders, q15_top_supplier; q22_idle_balance,
 # q21_sole_late_supplier, q11_value_concentration; sketch_hll_distinct,
-# curation_argmax_doc, olap_cube_counts) land AFTER the window:
+# curation_argmax_doc, olap_cube_counts; q20_dominant_supplier,
+# w9_anomaly_days, emb_centroid_eval) land AFTER the window:
 # every front slot is held by an r03-unverified return or an earlier
 # r04 query, and the policy forbids bumping those. The merge loop below
 # places wave 7 at positions 51-54 — first in the r05 window — and the

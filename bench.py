@@ -140,6 +140,11 @@ HEADLINE = [
     "sketch_hll_distinct",
     "curation_argmax_doc",
     "olap_cube_counts",
+    # round 4 wave 11 — threshold semi join, integer z-test anomalies,
+    # nearest-centroid eval
+    "q20_dominant_supplier",
+    "w9_anomaly_days",
+    "emb_centroid_eval",
 ]
 
 

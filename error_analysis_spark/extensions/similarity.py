@@ -470,6 +470,63 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
                             / F.col("n_vecs") / 1e9, 6).alias("mean_val")))
 
 
+def nearest_centroid_eval(embeddings: DataFrame,
+                          label_col: str = "label",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluation: predict each
+    vector's label by maximum cosine to the per-class centroid, report
+    per-class accuracy — the standard embedding-quality probe for a
+    labeled eval slice.
+
+    Scale shape: the centroid table is |classes| × dims (BROADCAST);
+    the corpus side posexplodes, repartitions ONCE on the vector id,
+    and the per-(vec,label) dot product, the per-vec argmax, and the
+    vector norm all reuse that distribution (stacked aggregates, no
+    extra exchange). Since the vector norm is constant within a vec,
+    argmax cosine = argmax dot/|centroid| — |v| never needs computing.
+    Determinism: dot terms fixed-pointed to 1e-9 before the integer
+    sum (order-independent); centroid norms are sqrt of a fixed-point
+    sum (IEEE sqrt is correctly rounded, so identical cross-engine);
+    the score is one multiply+divide of identical doubles; ties break
+    to the smaller label via max(struct(score, −label)).
+
+    Returns (label, n_vecs, n_correct, accuracy)."""
+    cents = label_centroids(embeddings, label_col, vec_col) \
+        .select(F.col("label").alias("_cl"), "dim", "mean_val")
+    cnorm = (cents.groupBy("_cl")
+             .agg(F.sqrt(F.sum(F.round(F.col("mean_val")
+                                       * F.col("mean_val") * 1e12)
+                               .cast("long")).cast("double") / 1e12)
+                  .alias("_cn")))
+    expl = (embeddings
+            .select(F.col(id_col),
+                    F.col(label_col).cast("long").alias("_true"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .repartition(id_col))
+    term = F.round(F.col("val").cast("double")
+                   * F.col("mean_val") * 1e9).cast("long")
+    scored = (expl
+              .join(F.broadcast(cents), "dim")
+              .groupBy(id_col, "_true", "_cl")
+              .agg(F.sum(term).alias("_dot")))
+    score = (F.col("_dot").cast("double") / 1e9) / F.col("_cn")
+    pred = (scored
+            .join(F.broadcast(cnorm), "_cl")
+            .groupBy(id_col, "_true")
+            .agg(F.max(F.struct(score.alias("_s"),
+                                (-F.col("_cl")).alias("_nl"))).alias("_m"))
+            .select(F.col("_true"), (-F.col("_m._nl")).alias("_pred")))
+    return (pred.groupBy("_true")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum(F.when(F.col("_true") == F.col("_pred"), 1)
+                       .otherwise(0)).alias("n_correct"))
+            .select(F.col("_true").alias("label"), "n_vecs", "n_correct",
+                    F.round(F.col("n_correct")
+                            / F.col("n_vecs").cast("double"), 6)
+                    .alias("accuracy")))
+
+
 def random_project(embeddings: DataFrame, out_dim: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    seed: int = 3, in_dim: int | None = None) -> DataFrame:

@@ -210,3 +210,64 @@ def cohort_retention(events: DataFrame, key_col: str = "user_id",
                     F.round(F.col("n_active")
                             / F.col("_cohort_n").cast("double"), 6)
                     .alias("retention")))
+
+
+def anomaly_days(events: DataFrame, key_col: str = "event_type",
+                 ts_col: str = "ts", trailing_days: int = 28,
+                 z: int = 3, min_baseline: int = 14,
+                 top_k: int | None = None) -> DataFrame:
+    """Daily-volume anomaly detector: flag (key, day) cells whose event
+    count sits more than `z` standard deviations above/below the mean
+    of the TRAILING `trailing_days` days — the monitoring gate for
+    "did this source's ingest volume spike or collapse today".
+
+    The corpus collapses to daily counts first (one shuffle, output
+    bounded by keys × days), so the trailing window runs over the
+    bounded count table, never raw events. The z-test is EXACT integer
+    arithmetic — (x·n − S)² > z²·(n·Q − S²)·n is the cross-multiplied
+    form of ((x−μ)/σ)² > z² with μ=S/n, σ²=(nQ−S²)/n² — in
+    decimal(38,0) so no float mean/stddev crosses engines and no sqrt
+    is needed. Frames shorter than `min_baseline` days are warm-up and
+    never flag. Window partitions per key; at very long horizons
+    partition additionally by year.
+
+    With `top_k` set, the threshold is replaced by a ranking: the k
+    most anomalous eligible cells by z² (the two exact integers meet
+    in ONE IEEE division, identical on both engines; deterministic
+    (key, day) tie-break; TakeOrderedAndProject, no global sort).
+    Zero-variance baselines are excluded in ranked mode.
+
+    Returns flagged rows (key, day, n_events, n_baseline, base_sum),
+    plus z2 in ranked mode.
+    """
+    daily = (events
+             .select(F.col(key_col),
+                     F.datediff(F.col(ts_col).cast("date"),
+                                F.lit("1970-01-01").cast("date"))
+                     .cast("long").alias("_epoch_day"))
+             .groupBy(key_col, "_epoch_day")
+             .agg(F.count("*").alias("n_events")))
+    w = (Window.partitionBy(key_col).orderBy("_epoch_day")
+         .rangeBetween(-trailing_days, -1))
+    d = (daily
+         .withColumn("_n", F.count("n_events").over(w))
+         .withColumn("_s", F.sum("n_events").over(w))
+         .withColumn("_q", F.sum(F.col("n_events") * F.col("n_events"))
+                     .over(w)))
+    big = lambda c: c.cast("decimal(38,0)")
+    x, n, s, q = (F.col("n_events"), F.col("_n"), F.col("_s"), F.col("_q"))
+    dev2 = (big(x) * n - big(s)) * (big(x) * n - big(s))
+    var_n = (big(n) * q - big(s) * s) * n
+    day = F.date_add(F.lit("1970-01-01").cast("date"),
+                     F.col("_epoch_day").cast("int")).alias("day")
+    base_cols = [F.col(key_col), day, F.col("n_events"),
+                 n.alias("n_baseline"), s.alias("base_sum")]
+    if top_k is None:
+        rhs = F.lit(z * z) * var_n
+        return d.where((n >= min_baseline) & (dev2 > rhs)) \
+            .select(*base_cols)
+    z2 = F.round(dev2.cast("double") / var_n.cast("double"), 6)
+    return (d.where((n >= min_baseline) & (var_n > 0))
+            .select(*base_cols, z2.alias("z2"))
+            .orderBy(F.desc("z2"), F.asc(key_col), F.asc("day"))
+            .limit(top_k))

@@ -1252,6 +1252,68 @@ WHERE r * 2 * np > tot * 3
 """
 
 
+_Q20_LO = "1997-01-01"
+_Q20_HI = "1998-01-01"
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style threshold semi join: suppliers who shipped MORE
+    THAN HALF of some part's total quantity in one year — the
+    nested-aggregate-threshold shape (Q20's "stock > half of shipped
+    quantity" correlated subquery, adapted to the lineitem schema).
+
+    One explicit repartition on the part key up front, then the
+    (part, supplier) aggregate, the per-part total window, and the
+    share filter ALL reuse that distribution — a single fact shuffle,
+    no extra exchange per step (same trick as Q21). The share test is
+    exact integer arithmetic (2·sq > tq — quantities are integral).
+    The dominated-parts count per supplier is a second, tiny shuffle;
+    supplier detail joins broadcast."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit(_Q20_LO))
+                 & (F.col("l_shipdate") < F.lit(_Q20_HI)))
+          .select("l_partkey", "l_suppkey",
+                  F.col("l_quantity").cast("long").alias("_q"))
+          .repartition("l_partkey"))
+    per_ps = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("_q").alias("_sq")))
+    tot = F.sum("_sq").over(W.partitionBy("l_partkey"))
+    dominant = (per_ps.withColumn("_tq", tot)
+                .where(F.col("_sq") * 2 > F.col("_tq")))
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (dominant
+            .groupBy("l_suppkey")
+            .agg(F.count("*").alias("n_parts_dominated"),
+                 F.sum("_sq").alias("qty_dominated"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "n_parts_dominated",
+                    "qty_dominated"))
+
+
+Q20_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q20_LO}'
+    AND CAST(l_shipdate AS DATE) < DATE '{_Q20_HI}'
+  GROUP BY l_partkey, l_suppkey
+),
+d AS (
+  SELECT l_partkey, l_suppkey, sq
+  FROM (SELECT ps.*, sum(sq) OVER (PARTITION BY l_partkey) AS tq FROM ps)
+  WHERE sq * 2 > tq
+)
+SELECT s_suppkey, s_name,
+       count(*) AS n_parts_dominated,
+       CAST(sum(sq) AS BIGINT) AS qty_dominated
+FROM d JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
@@ -1268,6 +1330,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "q22_idle_balance": (q22_idle_balance, Q22_SQL),
     "q21_sole_late_supplier": (q21_sole_late_supplier, Q21_SQL),
     "q11_value_concentration": (q11_value_concentration, Q11_SQL),
+    "q20_dominant_supplier": (q20_dominant_supplier, Q20_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

@@ -2477,11 +2477,66 @@ GROUP BY CUBE (source, lang)
 """
 
 
+def emb_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier accuracy per label
+    (similarity.py:nearest_centroid_eval): broadcast |classes|×dims
+    centroid table, one corpus repartition reused by every stacked
+    aggregate, fixed-point dot products, argmax cosine with a
+    deterministic tie to the smaller label."""
+    from error_analysis_spark.extensions import similarity as SIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.nearest_centroid_eval(emb)
+
+
+CENTROID_EVAL_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS tl,
+         unnest(list_transform(embedding,
+                (x, i) -> struct_pack(dim := CAST(i - 1 AS BIGINT),
+                                      val := CAST(x AS DOUBLE)))) AS u
+  FROM embeddings
+),
+cents AS (
+  SELECT tl AS cl, u.dim AS dim,
+         round(CAST(sum(CAST(round(u.val * 1e9) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e9, 6) AS mean_val
+  FROM e GROUP BY tl, u.dim
+),
+cn AS (
+  SELECT cl,
+         sqrt(CAST(sum(CAST(round(mean_val * mean_val * 1e12) AS BIGINT))
+                   AS DOUBLE) / 1e12) AS cnorm
+  FROM cents GROUP BY cl
+),
+dots AS (
+  SELECT e.vec_id, e.tl, c.cl,
+         CAST(sum(CAST(round(e.u.val * c.mean_val * 1e9) AS BIGINT))
+              AS BIGINT) AS dot
+  FROM e JOIN cents c ON e.u.dim = c.dim
+  GROUP BY e.vec_id, e.tl, c.cl
+),
+pred AS (
+  SELECT vec_id, tl,
+         max(struct_pack(s := (CAST(dot AS DOUBLE) / 1e9) / cn.cnorm,
+                         nl := -cl)) AS m
+  FROM dots JOIN cn USING (cl)
+  GROUP BY vec_id, tl
+)
+SELECT tl AS label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN tl = -m.nl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN tl = -m.nl THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred GROUP BY tl
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
     "curation_argmax_doc": (curation_argmax_doc, ARGMAX_DOC_SQL),
     "olap_cube_counts": (olap_cube_counts, CUBE_SQL),
+    "emb_centroid_eval": (emb_centroid_eval, CENTROID_EVAL_SQL),
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),

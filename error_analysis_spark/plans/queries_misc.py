@@ -752,12 +752,74 @@ FROM c JOIN (SELECT cohort_week, n_active FROM c WHERE week_offset = 0) b
 """
 
 
+_ANOM_DAYS = 28
+_ANOM_Z = 3
+_ANOM_MIN = 14
+
+
+_ANOM_K = 10
+
+
+def w9_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most anomalous (event_type, day) volume cells
+    (operators/temporal.py:anomaly_days, ranked mode): trailing-28-day
+    exact-integer z² statistic over the bounded daily-count table —
+    no float mean/stddev/sqrt crosses engines, the two exact integers
+    meet in one IEEE division. (The production threshold mode z>3 is
+    the same pipeline; the synthetic events are too smooth to trip it,
+    so the oracle gates the ranked form — a 0-row check verifies
+    nothing.)"""
+    from error_analysis_spark.operators import temporal as TP
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    out = TP.anomaly_days(ev, trailing_days=_ANOM_DAYS, z=_ANOM_Z,
+                          min_baseline=_ANOM_MIN, top_k=_ANOM_K)
+    return out.select("event_type",
+                      F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      "n_events", "n_baseline", "base_sum", "z2")
+
+
+W9_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, ed
+),
+d AS (
+  SELECT event_type, ed, n_events,
+         CAST(count(n_events) OVER w AS BIGINT) AS n,
+         CAST(sum(n_events) OVER w AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) OVER w AS BIGINT) AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY ed
+               RANGE BETWEEN {_ANOM_DAYS} PRECEDING AND 1 PRECEDING)
+),
+e AS (
+  SELECT event_type, ed, n_events, n, s,
+         (CAST(n_events AS HUGEINT) * n - s)
+         * (CAST(n_events AS HUGEINT) * n - s) AS dev2,
+         (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * n AS var_n
+  FROM d WHERE n >= {_ANOM_MIN}
+)
+SELECT event_type,
+       strftime(DATE '1970-01-01' + INTERVAL (ed) DAY, '%Y-%m-%d') AS day,
+       n_events, n AS n_baseline, s AS base_sum,
+       round(CAST(dev2 AS DOUBLE) / CAST(var_n AS DOUBLE), 6) AS z2
+FROM e
+WHERE var_n > 0
+ORDER BY z2 DESC, event_type, ed
+LIMIT {_ANOM_K}
+"""
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
     "w7_funnel": (w7_funnel, W7_FUNNEL_SQL),
     "w8_retention": (w8_retention, W8_RETENTION_SQL),
     "j10_asof_join": (j10_asof_join, J10_ASOF_SQL),
     "w5_rolling_stats": (w5_rolling_stats, W5_ROLLING_SQL),
+    "w9_anomaly_days": (w9_anomaly_days, W9_ANOMALY_SQL),
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),

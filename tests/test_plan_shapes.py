@@ -339,6 +339,48 @@ def test_cube_single_pass_expand(spark):
     assert len([s for s in schemas if "n_chars" in s]) == 1, schemas
 
 
+def test_q20_single_fact_shuffle(spark):
+    from error_analysis_spark.plans.queries_core import q20_dominant_supplier
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q20_dominant_supplier(spark, SF_DIR))
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert sum("l_quantity" in s for s in schemas) == 1, schemas
+    # the (part,supp) agg and the per-part window both reuse the
+    # explicit repartition on the part key: the window must sit with
+    # NO Exchange between it and the aggregate below it
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    agg = next(i for i, l in enumerate(lines)
+               if i > win and "Aggregate" in l)
+    assert not any("Exchange" in l for l in lines[win:agg]), tree
+
+
+def test_anomaly_window_over_bounded_daily_table(spark):
+    from error_analysis_spark.plans.queries_misc import w9_anomaly_days
+    spark.catalog.clearCache()
+    plan = _formatted(spark, w9_anomaly_days(spark, SF_DIR))
+    # the trailing window must run over the (key, day) COUNT table,
+    # i.e. an aggregate sits below the window in the tree
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("Aggregate" in l for l in lines[win:]), tree
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_centroid_eval_broadcasts_and_stays_jvm(spark):
+    from error_analysis_spark.plans.queries_ext import emb_centroid_eval
+    spark.catalog.clearCache()
+    plan = _formatted(spark, emb_centroid_eval(spark, SF_DIR))
+    # centroid table and norms broadcast; corpus side never collects
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "PythonUDF" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")

@@ -608,3 +608,57 @@ def test_drift_psi_partitioning_invariant(spark):
     b = {r["source"]: r["psi"]
          for r in distribution_drift(docs.repartition(7, "doc_id")).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- anomalies
+
+def test_anomaly_flags_injected_spike(spark):
+    from datetime import datetime, timedelta
+    from error_analysis_spark.operators.temporal import anomaly_days
+    base = datetime(2024, 1, 1)
+    rows = []
+    # smooth 10/day for 40 days, except a 60-event spike on day 35
+    for d in range(40):
+        n = 60 if d == 35 else 10
+        for i in range(n):
+            rows.append(("a", base + timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = anomaly_days(df, trailing_days=28, z=3, min_baseline=14) \
+        .collect()
+    days = {(r["event_type"], str(r["day"])) for r in out}
+    assert ("a", "2024-02-05") in days, out
+    # constant series contributes no other flags
+    assert len(days) == 1, out
+
+
+def test_anomaly_flags_collapse_too(spark):
+    from datetime import datetime, timedelta
+    from error_analysis_spark.operators.temporal import anomaly_days
+    base = datetime(2024, 1, 1)
+    rows = []
+    # noisy-ish baseline, then a collapse to 1 event on day 30
+    for d in range(32):
+        n = 1 if d == 30 else (20 + (d % 3))
+        for i in range(n):
+            rows.append(("a", base + timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = anomaly_days(df, trailing_days=28, z=3, min_baseline=14) \
+        .collect()
+    assert any(str(r["day"]) == "2024-01-31" and r["n_events"] == 1
+               for r in out), out
+
+
+def test_centroid_eval_beats_chance_and_is_partition_stable(spark):
+    from error_analysis_spark.extensions.similarity import \
+        nearest_centroid_eval
+    from tests.conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {r["label"]: (r["n_correct"], r["n_vecs"])
+         for r in nearest_centroid_eval(emb).collect()}
+    total_correct = sum(c for c, _ in a.values())
+    total = sum(n for _, n in a.values())
+    n_labels = len(a)
+    assert total_correct / total > 2.0 / n_labels, a
+    b = {r["label"]: (r["n_correct"], r["n_vecs"])
+         for r in nearest_centroid_eval(emb.repartition(7)).collect()}
+    assert a == b
