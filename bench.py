@@ -145,6 +145,9 @@ HEADLINE = [
     "q20_dominant_supplier",
     "w9_anomaly_days",
     "emb_centroid_eval",
+    # round 4 wave 12 — deepest dim-chain share join, PMI collocations
+    "q08_market_share",
+    "text_pmi_pairs",
 ]
 
 

@@ -609,3 +609,57 @@ def tfidf_topk_per_doc(df: DataFrame, k: int = 3,
             .where(F.col("rank") <= k)
             .select(F.col(id_col), "rank", "token", "tf",
                     F.round(F.col("_s_fp") / 1e6, 6).alias("score")))
+
+
+def pmi_pairs(docs: DataFrame, vocab_k: int = 40, top_k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token co-occurrence PMI over the top-`vocab_k` vocabulary —
+    the collocation/phrase-mining statistic (ln of observed-vs-
+    independent document co-occurrence).
+
+    Scale shape: the vocabulary is a TakeOrderedAndProject top-k
+    (broadcast); the doc×token incidence is a broadcast semi join +
+    distinct bounded by docs × vocab_k; pairs are generated ROW-LOCALLY
+    from each doc's sorted vocab-token set (≤ C(vocab_k,2) per doc —
+    never a corpus self-join); pair counts and token document
+    frequencies are map-side-combinable aggregates. All counts are
+    exact integers; PMI is one ln of a ratio of exact products
+    (decimal cross-multiplied, so no int64 overflow at corpus scale),
+    rounded to 4.
+
+    Returns the `top_k` most frequent pairs:
+    (t1, t2, n_pair, df1, df2, pmi)."""
+    vocab = (docs.select(F.explode(tokens(text_col)).alias("token"))
+             .groupBy("token").agg(F.count("*").alias("_tf"))
+             .orderBy(F.desc("_tf"), F.asc("token"))
+             .limit(vocab_k)
+             .select("token"))
+    incidence = (docs.select(F.col(id_col).alias("_id"),
+                             F.explode(tokens(text_col)).alias("token"))
+                 .join(F.broadcast(vocab), "token")
+                 .distinct())
+    dfreq = incidence.groupBy("token") \
+        .agg(F.count("*").alias("_df"))
+    n_row = docs.agg(F.count("*").alias("_n"))
+    sets = (incidence.groupBy("_id")
+            .agg(F.array_sort(F.collect_set("token")).alias("_a")))
+    pair = F.explode(F.flatten(F.expr(
+        "transform(_a, (x, i) -> "
+        "transform(slice(_a, i + 2, size(_a)), y -> struct(x AS t1, "
+        "y AS t2)))"))).alias("_p")
+    pairs = (sets.select(pair)
+             .select(F.col("_p.t1").alias("t1"), F.col("_p.t2").alias("t2"))
+             .groupBy("t1", "t2").agg(F.count("*").alias("n_pair")))
+    j = (pairs
+         .join(F.broadcast(dfreq.select(F.col("token").alias("t1"),
+                                        F.col("_df").alias("df1"))), "t1")
+         .join(F.broadcast(dfreq.select(F.col("token").alias("t2"),
+                                        F.col("_df").alias("df2"))), "t2")
+         .crossJoin(F.broadcast(n_row)))
+    num = (F.col("n_pair").cast("decimal(38,0)") * F.col("_n"))
+    den = (F.col("df1").cast("decimal(38,0)") * F.col("df2"))
+    pmi = F.round(F.log(num.cast("double") / den.cast("double")), 4)
+    return (j.select("t1", "t2", "n_pair", "df1", "df2",
+                     pmi.alias("pmi"))
+            .orderBy(F.desc("n_pair"), F.asc("t1"), F.asc("t2"))
+            .limit(top_k))

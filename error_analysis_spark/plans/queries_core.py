@@ -1314,6 +1314,87 @@ GROUP BY s_suppkey, s_name
 """
 
 
+_Q08_REGION = "ASIA"
+_Q08_NATION = "NATION_2"
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: for orders by customers
+    in one region, the share of revenue supplied by one nation, per
+    order YEAR — the deepest dim-chain join in the suite
+    (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on the demand
+    side, ⋈ supplier ⋈ nation on the supply side) plus a per-year
+    conditional share.
+
+    Scale shape: region→nation→customer collapses to a broadcast
+    filter on the orders side; supplier⋈nation broadcasts on the
+    lineitem side; the only big exchange is the orderkey fact-fact
+    join, and the share numerator/denominator come from ONE
+    conditional aggregation over it (no second pass). Fixed-point
+    revenue; the share divides two exact integers."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region") \
+        .where(F.col("r_name") == _Q08_REGION)
+    cust_nations = (nation.join(F.broadcast(region),
+                                F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select(F.col("n_nationkey").alias("_cnk")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(cust_nations),
+                  F.col("c_nationkey") == F.col("_cnk"))
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.year("o_orderdate").alias("o_year")))
+    demand = orders.join(F.broadcast(cust),
+                         F.col("o_custkey") == F.col("c_custkey"))
+    supp_nation = (load_table(spark, sf_dir, "supplier")
+                   .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .select("s_suppkey", "n_name"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev"))
+          .join(F.broadcast(supp_nation),
+                F.col("l_suppkey") == F.col("s_suppkey")))
+    j = li.join(demand, F.col("l_orderkey") == F.col("o_orderkey"))
+    target = F.when(F.col("n_name") == _Q08_NATION, F.col("_rev")) \
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+    return (j.groupBy("o_year")
+            .agg(F.sum(target).alias("_tr"), F.sum("_rev").alias("_ar"))
+            .select("o_year",
+                    F.round(F.col("_tr").cast("double")
+                            / F.col("_ar").cast("double"), 6)
+                    .alias("mkt_share"),
+                    (F.col("_ar").cast("double") / 1e6)
+                    .alias("total_revenue")))
+
+
+Q08_SQL = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+         CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+              AS HUGEINT) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{_Q08_REGION}'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = '{_Q08_NATION}'
+                           THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(rev) AS DOUBLE) / 1e6 AS total_revenue
+FROM j GROUP BY o_year
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
@@ -1331,6 +1412,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "q21_sole_late_supplier": (q21_sole_late_supplier, Q21_SQL),
     "q11_value_concentration": (q11_value_concentration, Q11_SQL),
     "q20_dominant_supplier": (q20_dominant_supplier, Q20_SQL),
+    "q08_market_share": (q08_market_share, Q08_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

@@ -2531,12 +2531,63 @@ FROM pred GROUP BY tl
 """
 
 
+_PMI_VOCAB = 40
+_PMI_K = 20
+
+
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by document co-occurrence PMI
+    (text.py:pmi_pairs): broadcast top-40 vocabulary, row-local pair
+    generation from each doc's sorted vocab-token set (no corpus
+    self-join), exact integer counts, one ln per surviving pair."""
+    from error_analysis_spark.extensions import text as TX
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pmi_pairs(docs, vocab_k=_PMI_VOCAB, top_k=_PMI_K)
+
+
+PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS _id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> '')) AS t(token)
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS tf FROM toks GROUP BY token
+    ORDER BY tf DESC, token LIMIT {_PMI_VOCAB})
+),
+inc AS (
+  SELECT DISTINCT _id, token FROM toks SEMI JOIN vocab USING (token)
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+          FROM inc GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM inc a JOIN inc b ON a._id = b._id AND a.token < b.token
+  GROUP BY a.token, b.token
+)
+SELECT t1, t2, n_pair, d1.df AS df1, d2.df AS df2,
+       round(ln(CAST(CAST(n_pair AS HUGEINT) * nd AS DOUBLE)
+                / CAST(CAST(d1.df AS HUGEINT) * d2.df AS DOUBLE)), 4)
+         AS pmi
+FROM pairs
+JOIN dfreq d1 ON t1 = d1.token
+JOIN dfreq d2 ON t2 = d2.token
+CROSS JOIN n
+ORDER BY n_pair DESC, t1, t2
+LIMIT {_PMI_K}
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
     "curation_argmax_doc": (curation_argmax_doc, ARGMAX_DOC_SQL),
     "olap_cube_counts": (olap_cube_counts, CUBE_SQL),
     "emb_centroid_eval": (emb_centroid_eval, CENTROID_EVAL_SQL),
+    "text_pmi_pairs": (text_pmi_pairs, PMI_SQL),
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),

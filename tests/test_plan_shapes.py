@@ -381,6 +381,33 @@ def test_centroid_eval_broadcasts_and_stays_jvm(spark):
     assert "Window" not in plan, plan
 
 
+def test_q08_one_fact_fact_exchange_rest_broadcast(spark):
+    from error_analysis_spark.plans.queries_core import q08_market_share
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q08_market_share(spark, SF_DIR))
+    # the dim chains all collapse into broadcasts; numerator and
+    # denominator come from ONE conditional aggregation (no second
+    # fact pass)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert sum("l_extendedprice" in s for s in schemas) == 1, schemas
+    assert sum("o_orderdate" in s for s in schemas) == 1, schemas
+
+
+def test_pmi_no_corpus_self_join(spark):
+    from error_analysis_spark.plans.queries_ext import text_pmi_pairs
+    spark.catalog.clearCache()
+    plan = _formatted(spark, text_pmi_pairs(spark, SF_DIR))
+    # pairs are generated row-locally from each doc's vocab-token set:
+    # the documents table is scanned for the vocab and the incidence
+    # but NEVER joined against itself (no doc-keyed join at all —
+    # every join in the plan is a broadcast of vocab-bounded tables)
+    assert "SortMergeJoin" not in plan, plan
+    assert "PythonUDF" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")

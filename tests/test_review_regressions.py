@@ -153,8 +153,12 @@ def test_registry_window_policy():
     for q in E._FRONT:
         assert q in window, f"front-priority query {q} fell out of the window"
     outside = set(names[50:])
-    assert outside <= set(E._ROTATE_OUT), \
-        f"unplanned queries outside the window: {outside - set(E._ROTATE_OUT)}"
+    planned = set(E._ROTATE_OUT) | set(E._POST_WINDOW_NEW)
+    assert outside <= planned, \
+        f"unplanned queries outside the window: {outside - planned}"
+    # every post-window declaration is new-this-round (not displacing a
+    # verified query) and carries a local oracle row via test_oracle
+    assert not (set(E._POST_WINDOW_NEW) & set(names[:50]))
     oracles = E.oracle_sql()
     # rows-only queries (no SQL-expressible oracle — e.g. KMeans-based
     # sim_semantic_dedup) may enter the window only DELIBERATELY (named
