@@ -148,6 +148,11 @@ HEADLINE = [
     # round 4 wave 12 — deepest dim-chain share join, PMI collocations
     "q08_market_share",
     "text_pmi_pairs",
+    # round 4 wave 13 — grouped OLS trend, lag-window change capture,
+    # histogram-driven Pareto deciles
+    "w10_trend_slope",
+    "w11_transitions",
+    "curation_pareto",
 ]
 
 

@@ -317,6 +317,49 @@ def distribution_drift(docs: DataFrame, group_col: str = "source",
             .agg(F.round(F.sum("_t").cast("double") / 1e6, 6).alias("psi")))
 
 
+def pareto_curve(docs: DataFrame, value_col: str = "n_chars",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus concentration (Pareto) curve: for each decile of
+    documents ranked by `value_col` descending, the fraction of the
+    total value mass those documents hold — "the top 10% of docs carry
+    X% of the characters", the budget-allocation view of a corpus.
+
+    No global sort: ONE value-histogram aggregate (bounded by the
+    distinct value grid — document lengths, not documents), a driver
+    cumsum over that bounded table, and exact integer rank cuts
+    k = ⌈i·N/10⌉ = (i·N+9) div 10. Tie groups share one length, so a
+    partial group's mass is count×length — rank order within ties
+    never matters and the result is partition- and order-independent.
+    The SQL oracle runs the row_number window form over the full
+    corpus as the equivalence check.
+
+    Returns (frac_tenths, n_docs, value_frac) for deciles 1..9."""
+    hist = (docs.groupBy(F.col(value_col).alias("_val"))
+            .agg(F.count("*").alias("_cnt"))
+            .collect())
+    rows = sorted(((r["_val"], r["_cnt"]) for r in hist), reverse=True)
+    n_total = sum(c for _, c in rows)
+    mass_total = sum(v * c for v, c in rows)
+    out = []
+    for i in range(1, 10):
+        k = (i * n_total + 9) // 10
+        taken, mass = 0, 0
+        for v, c in rows:
+            if taken + c <= k:
+                taken += c
+                mass += v * c
+                if taken == k:
+                    break
+            else:
+                mass += v * (k - taken)
+                taken = k
+                break
+        out.append((i, k, round(mass / mass_total, 6)))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "frac_tenths long, n_docs long, value_frac double")
+
+
 def data_card(docs: DataFrame, domain_col: str = "source",
               lang_col: str = "lang", text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:

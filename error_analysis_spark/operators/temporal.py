@@ -271,3 +271,43 @@ def anomaly_days(events: DataFrame, key_col: str = "event_type",
             .select(*base_cols, z2.alias("z2"))
             .orderBy(F.desc("z2"), F.asc(key_col), F.asc("day"))
             .limit(top_k))
+
+
+def trend_slope(events: DataFrame, key_col: str = "event_type",
+                ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Per-key OLS trend of value over time — closed-form regression
+    from five map-side-combinable moment sums (n, Σt, Σv, Σtv, Σt²,
+    Σv²), every sum an exact integer (t = epoch day, v fixed-pointed
+    to 1e-6), so the slope and Pearson r come out of a handful of
+    deterministic IEEE ops on identical operands. ONE aggregation over
+    the fact — the grouped-regression shape that needs no window, no
+    sort, no second pass at any scale.
+
+    Returns (key, n_events, slope_per_day, pearson_r)."""
+    t = F.datediff(F.col(ts_col).cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+    v = F.round(F.col(value_col) * 1e6).cast("long")
+    big = lambda c: c.cast("decimal(38,0)")
+    g = (events.select(key_col, t.alias("_t"), v.alias("_v"))
+         .groupBy(key_col)
+         .agg(F.count("*").alias("_n"),
+              F.sum(big(F.col("_t"))).alias("_st"),
+              F.sum(big(F.col("_v"))).alias("_sv"),
+              F.sum(big(F.col("_t")) * F.col("_v")).alias("_stv"),
+              F.sum(big(F.col("_t")) * F.col("_t")).alias("_stt"),
+              F.sum(big(F.col("_v")) * F.col("_v")).alias("_svv")))
+    num = (big(F.col("_n")) * F.col("_stv")
+           - F.col("_st") * F.col("_sv")).cast("double")
+    dent = (big(F.col("_n")) * F.col("_stt")
+            - F.col("_st") * F.col("_st")).cast("double")
+    denv = (big(F.col("_n")) * F.col("_svv")
+            - F.col("_sv") * F.col("_sv")).cast("double")
+    # ANSI Spark raises DIVIDE_BY_ZERO even for doubles: a group with
+    # zero time- or value-variance (single day / constant value) must
+    # short-circuit to NULL, not error the whole job
+    return g.select(
+        F.col(key_col), F.col("_n").alias("n_events"),
+        F.when(dent > 0, F.round(num / dent / 1e6, 8))
+        .alias("slope_per_day"),
+        F.when(dent * denv > 0, F.round(num / F.sqrt(dent * denv), 6))
+        .alias("pearson_r"))

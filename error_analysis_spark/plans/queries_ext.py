@@ -2581,6 +2581,31 @@ LIMIT {_PMI_K}
 """
 
 
+def curation_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration deciles (curation.py:pareto_curve): one
+    bounded value-histogram aggregate + driver cumsum, exact integer
+    rank cuts, tie-exact mass — no global sort at any corpus size."""
+    from error_analysis_spark.extensions import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.pareto_curve(docs)
+
+
+PARETO_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(n_chars) AS BIGINT) AS m FROM documents),
+r AS (SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) AS rn
+      FROM documents),
+f AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS i),
+k AS (SELECT i, CAST((i * nd + 9) // 10 AS BIGINT) AS kk, m
+      FROM f CROSS JOIN n)
+SELECT k.i AS frac_tenths, k.kk AS n_docs,
+       round(CAST(sum(r.n_chars) AS DOUBLE) / k.m, 6) AS value_frac
+FROM k JOIN r ON r.rn <= k.kk
+GROUP BY k.i, k.kk, k.m
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
@@ -2588,6 +2613,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "olap_cube_counts": (olap_cube_counts, CUBE_SQL),
     "emb_centroid_eval": (emb_centroid_eval, CENTROID_EVAL_SQL),
     "text_pmi_pairs": (text_pmi_pairs, PMI_SQL),
+    "curation_pareto": (curation_pareto, PARETO_SQL),
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),

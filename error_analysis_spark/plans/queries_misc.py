@@ -6,6 +6,7 @@ parameter percentiles), W1 (catalog sort) — each oracle-checked."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from error_analysis_spark.functions import scalars as SC
@@ -813,6 +814,83 @@ LIMIT {_ANOM_K}
 """
 
 
+def w10_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time
+    (operators/temporal.py:trend_slope): closed-form regression from
+    five exact-integer moment sums in ONE map-side-combinable
+    aggregation — no window, no sort, no second pass at any scale."""
+    from error_analysis_spark.operators import temporal as TP
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return TP.trend_slope(ev)
+
+
+W10_TREND_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS HUGEINT)) AS st,
+         sum(CAST(round(value * 1e6) AS HUGEINT)) AS sv,
+         sum(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS HUGEINT)
+             * CAST(round(value * 1e6) AS BIGINT)) AS stv,
+         sum(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS HUGEINT)
+             * date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+           AS stt,
+         sum(CAST(round(value * 1e6) AS HUGEINT)
+             * CAST(round(value * 1e6) AS BIGINT)) AS svv
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       CASE WHEN CAST(n * stt - st * st AS DOUBLE) > 0 THEN
+         round(CAST(n * stv - st * sv AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) / 1e6, 8) END
+         AS slope_per_day,
+       CASE WHEN CAST(n * stt - st * st AS DOUBLE)
+                 * CAST(n * svv - sv * sv AS DOUBLE) > 0 THEN
+         round(CAST(n * stv - st * sv AS DOUBLE)
+               / sqrt(CAST(n * stt - st * st AS DOUBLE)
+                      * CAST(n * svv - sv * sv AS DOUBLE)), 6) END
+         AS pearson_r
+FROM m
+"""
+
+
+def w11_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user state-transition log (SCD2-style change capture): for
+    each user's event stream ordered by (ts, event_id), the rows where
+    event_type changed vs the previous event — the lag-window change-
+    detection idiom. Window partitions per user (bounded), output is
+    the transition log keyed (user, ts)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.select("user_id", "event_id", "event_type",
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us"))
+         .withColumn("_prev", F.lag("event_type").over(
+             W.partitionBy("user_id").orderBy("ts_us", "event_id"))))
+    return (d.where(F.col("_prev").isNotNull()
+                    & (F.col("_prev") != F.col("event_type")))
+            .select("user_id", "event_id", "ts_us",
+                    F.col("_prev").alias("from_type"),
+                    F.col("event_type").alias("to_type")))
+
+
+W11_TRANSITIONS_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+)
+SELECT user_id, event_id, CAST(ts_us AS BIGINT) AS ts_us,
+       prev AS from_type, event_type AS to_type
+FROM d WHERE prev IS NOT NULL AND prev <> event_type
+"""
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
     "w7_funnel": (w7_funnel, W7_FUNNEL_SQL),
@@ -820,6 +898,8 @@ MISC_QUERIES: dict[str, tuple] = {
     "j10_asof_join": (j10_asof_join, J10_ASOF_SQL),
     "w5_rolling_stats": (w5_rolling_stats, W5_ROLLING_SQL),
     "w9_anomaly_days": (w9_anomaly_days, W9_ANOMALY_SQL),
+    "w10_trend_slope": (w10_trend_slope, W10_TREND_SQL),
+    "w11_transitions": (w11_transitions, W11_TRANSITIONS_SQL),
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),

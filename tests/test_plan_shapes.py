@@ -408,6 +408,28 @@ def test_pmi_no_corpus_self_join(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_trend_slope_single_agg_no_window(spark):
+    from error_analysis_spark.plans.queries_misc import w10_trend_slope
+    spark.catalog.clearCache()
+    plan = _formatted(spark, w10_trend_slope(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    # one scan, pruned to the three needed columns
+    assert len(schemas) == 1 and "props" not in schemas[0], schemas
+
+
+def test_transitions_keyed_lag_window(spark):
+    from error_analysis_spark.plans.queries_misc import w11_transitions
+    spark.catalog.clearCache()
+    plan = _formatted(spark, w11_transitions(spark, SF_DIR))
+    import re
+    # the lag window must partition on the user key (bounded runs),
+    # never a global window
+    assert re.search(r"windowspecdefinition\(user_id", plan), plan
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")

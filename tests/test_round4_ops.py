@@ -662,3 +662,49 @@ def test_centroid_eval_beats_chance_and_is_partition_stable(spark):
     b = {r["label"]: (r["n_correct"], r["n_vecs"])
          for r in nearest_centroid_eval(emb.repartition(7)).collect()}
     assert a == b
+
+
+# ------------------------------------------------------------ trend/pareto
+
+def test_trend_slope_recovers_exact_line(spark):
+    from datetime import datetime, timedelta
+    from error_analysis_spark.operators.temporal import trend_slope
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = datetime(2024, 1, 1)
+    rows = [("lin", base + timedelta(days=d), 2.0 * d + 5.0)
+            for d in range(50)] + \
+           [("flat", base + timedelta(days=d), 7.0) for d in range(50)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {r["event_type"]: r for r in trend_slope(df).collect()}
+    assert abs(out["lin"]["slope_per_day"] - 2.0) < 1e-6, out
+    assert abs(out["lin"]["pearson_r"] - 1.0) < 1e-6, out
+    # zero value-variance: slope 0, correlation undefined (NULL, not
+    # an ANSI DIVIDE_BY_ZERO error)
+    assert out["flat"]["slope_per_day"] == 0.0, out
+    assert out["flat"]["pearson_r"] is None, out
+
+
+def test_pareto_curve_hand_case(spark):
+    from error_analysis_spark.extensions.curation import pareto_curve
+    # 10 docs, lengths 10,9,...,1 → total 55; top-k (by length desc)
+    # masses: k=1:10, k=2:19, ... deciles i -> k=i
+    rows = [(i, 11 - i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = {r["frac_tenths"]: (r["n_docs"], r["value_frac"])
+           for r in pareto_curve(df).collect()}
+    masses = {i: sum(range(11 - i, 11)) for i in range(1, 10)}
+    for i in range(1, 10):
+        assert out[i][0] == i
+        assert out[i][1] == round(masses[i] / 55, 6), (i, out[i])
+
+
+def test_pareto_tie_exactness(spark):
+    from error_analysis_spark.extensions.curation import pareto_curve
+    # all docs the same length: decile i must cover exactly i/10 of
+    # the mass regardless of which tied docs are "taken"
+    df = spark.createDataFrame([(i, 7) for i in range(100)],
+                               ["doc_id", "n_chars"])
+    out = {r["frac_tenths"]: r["value_frac"]
+           for r in pareto_curve(df).collect()}
+    for i in range(1, 10):
+        assert out[i] == round(i / 10, 6), out
