@@ -289,11 +289,17 @@ def distribution_drift(docs: DataFrame, group_col: str = "source",
     Returns (group_col, psi) — PSI ≥ 0, conventional alert bands
     0.1 (drifting) / 0.25 (shifted).
     """
+    # both ends clamped: without the lower clamp a negative value
+    # (legal for a generic value_col) would land in bin -1 — counted
+    # in the group totals but invisible to the dense 0..n_bins-1 grid,
+    # silently dropping its probability mass from the PSI sum
     binned = docs.select(
         F.col(group_col),
-        F.least(F.floor(F.col(value_col) / F.lit(float(bin_width)))
-                .cast("long"),
-                F.lit(n_bins - 1).cast("long")).alias("_bin"))
+        F.greatest(F.lit(0).cast("long"),
+                   F.least(F.floor(F.col(value_col)
+                                   / F.lit(float(bin_width)))
+                           .cast("long"),
+                           F.lit(n_bins - 1).cast("long"))).alias("_bin"))
     per = binned.groupBy(group_col, "_bin").agg(F.count("*").alias("_c"))
     totals = per.groupBy(group_col).agg(F.sum("_c").alias("_n"))
     glob = per.groupBy("_bin").agg(F.sum("_c").alias("_gc"))
@@ -317,8 +323,8 @@ def distribution_drift(docs: DataFrame, group_col: str = "source",
             .agg(F.round(F.sum("_t").cast("double") / 1e6, 6).alias("psi")))
 
 
-def pareto_curve(docs: DataFrame, value_col: str = "n_chars",
-                 id_col: str = "doc_id") -> DataFrame:
+def pareto_curve(docs: DataFrame,
+                 value_col: str = "n_chars") -> DataFrame:
     """Corpus concentration (Pareto) curve: for each decile of
     documents ranked by `value_col` descending, the fraction of the
     total value mass those documents hold — "the top 10% of docs carry
@@ -329,17 +335,25 @@ def pareto_curve(docs: DataFrame, value_col: str = "n_chars",
     cumsum over that bounded table, and exact integer rank cuts
     k = ⌈i·N/10⌉ = (i·N+9) div 10. Tie groups share one length, so a
     partial group's mass is count×length — rank order within ties
-    never matters and the result is partition- and order-independent.
-    The SQL oracle runs the row_number window form over the full
-    corpus as the equivalence check.
+    never matters and the result is partition- and order-independent
+    (which is also why the function needs no id column: no per-row
+    tie-break can change any decile's mass). The SQL oracle runs the
+    row_number window form over the full corpus as the equivalence
+    check. An empty corpus (or all-zero mass) yields 0 rows, matching
+    the oracle.
 
     Returns (frac_tenths, n_docs, value_frac) for deciles 1..9."""
+    import math
+    spark = docs.sparkSession
+    schema = "frac_tenths long, n_docs long, value_frac double"
     hist = (docs.groupBy(F.col(value_col).alias("_val"))
             .agg(F.count("*").alias("_cnt"))
             .collect())
     rows = sorted(((r["_val"], r["_cnt"]) for r in hist), reverse=True)
     n_total = sum(c for _, c in rows)
     mass_total = sum(v * c for v, c in rows)
+    if n_total == 0 or mass_total == 0:
+        return spark.createDataFrame([], schema)
     out = []
     for i in range(1, 10):
         k = (i * n_total + 9) // 10
@@ -354,10 +368,11 @@ def pareto_curve(docs: DataFrame, value_col: str = "n_chars",
                 mass += v * (k - taken)
                 taken = k
                 break
-        out.append((i, k, round(mass / mass_total, 6)))
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        out, "frac_tenths long, n_docs long, value_frac double")
+        # half-UP to 6 decimals: Python's round() is half-even, which
+        # diverges from DuckDB/Spark round() on exact midpoints
+        frac = math.floor(mass / mass_total * 1e6 + 0.5) / 1e6
+        out.append((i, k, frac))
+    return spark.createDataFrame(out, schema)
 
 
 def data_card(docs: DataFrame, domain_col: str = "source",

@@ -27,6 +27,8 @@ of the usual probabilistic tools:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -71,6 +73,13 @@ _HLL_W = 60 - _HLL_P            # rest-bits of the 60-bit md5 prefix
 # alpha_m for m >= 128 (Flajolet et al. 2007), baked to a literal so
 # both engines consume identical digits
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# linear-counting estimates round(m·ln(m/V)) for V = 1..m-1, BAKED to
+# integers at import: ln is the one libm call whose last ulp differs
+# between Java's Math.log and DuckDB's glibc ln, and a 1-ulp flip at a
+# .5 boundary would break the exact-equality oracle — a lookup keyed
+# on the (integer) empty-register count has no float path at all
+_HLL_LC = [round(_HLL_M * math.log(_HLL_M / v))
+           for v in range(1, _HLL_M)]
 
 
 def hll_distinct(df: DataFrame, group_col: str,
@@ -90,13 +99,14 @@ def hll_distinct(df: DataFrame, group_col: str,
     The 2^{-M_j} harmonic sum is fixed-pointed at 2^52 (every term an
     exact power of two, the integer sum order-independent); the only
     floats are the final estimator divisions, identical expressions
-    on both engines. Small-range path: linear counting
-    m·ln(m/V) when the raw estimate ≤ 2.5m and empty registers
-    remain.
+    on both engines. Small-range path: linear counting m·ln(m/V) when
+    the raw estimate ≤ 2.5m and empty registers remain — served from
+    the baked integer lookup `_HLL_LC` keyed on V, so no runtime ln
+    whose last ulp could differ between libm implementations.
 
     Returns (group_col, n_est) with n_est rounded to integer."""
-    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
-                           1, 15), 16, 10).cast("long")
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    h = md5_prefix_long(F.col(value_col).cast("string"))
     bucket = F.shiftright(h, _HLL_W).alias("_bucket")
     rest = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
     rho = (F.when(rest == 0, F.lit(_HLL_W + 1))
@@ -117,12 +127,11 @@ def hll_distinct(df: DataFrame, group_col: str,
     s_full = F.col("_s") + v * F.lit(1 << (_HLL_W + 1))
     raw = (F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M * two52
            / s_full.cast("double"))
-    est = F.when((raw <= 2.5 * _HLL_M) & (v > 0),
-                 F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M))
-                                              / v.cast("double"))) \
-        .otherwise(raw)
-    return per.select(F.col(group_col),
-                      F.round(est).cast("long").alias("n_est"))
+    lc = F.element_at(F.array(*[F.lit(int(x)) for x in _HLL_LC]),
+                      v.cast("int"))
+    est = F.when((raw <= 2.5 * _HLL_M) & (v > 0), lc) \
+        .otherwise(F.round(raw).cast("long"))
+    return per.select(F.col(group_col), est.alias("n_est"))
 
 
 def hll_distinct_sql(table: str, group_col: str, value_col: str) -> str:
@@ -153,17 +162,14 @@ per AS (
   FROM regs GROUP BY {group_col}
 )
 SELECT {group_col},
-       CAST(round(CASE WHEN ({a}::DOUBLE * {m} * {m}
-                             * {float(1 << (w + 1))}::DOUBLE
-                             / CAST(s AS DOUBLE)) <= {2.5 * m}::DOUBLE
-                        AND ({m} - nregs) > 0
-                  THEN {float(m)}::DOUBLE
-                       * ln({float(m)}::DOUBLE
-                            / CAST({m} - nregs AS DOUBLE))
-                  ELSE {a}::DOUBLE * {m} * {m}
-                       * {float(1 << (w + 1))}::DOUBLE
-                       / CAST(s AS DOUBLE) END)
-            AS BIGINT) AS n_est
+       CASE WHEN ({a}::DOUBLE * {m} * {m}
+                  * {float(1 << (w + 1))}::DOUBLE
+                  / CAST(s AS DOUBLE)) <= {2.5 * m}::DOUBLE
+              AND ({m} - nregs) > 0
+            THEN (CAST({list(_HLL_LC)} AS BIGINT[]))[{m} - nregs]
+            ELSE CAST(round({a}::DOUBLE * {m} * {m}
+                            * {float(1 << (w + 1))}::DOUBLE
+                            / CAST(s AS DOUBLE)) AS BIGINT) END AS n_est
 FROM per
 """
 

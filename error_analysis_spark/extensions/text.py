@@ -638,18 +638,29 @@ def pmi_pairs(docs: DataFrame, vocab_k: int = 40, top_k: int = 20,
                              F.explode(tokens(text_col)).alias("token"))
                  .join(F.broadcast(vocab), "token")
                  .distinct())
-    dfreq = incidence.groupBy("token") \
-        .agg(F.count("*").alias("_df"))
     n_row = docs.agg(F.count("*").alias("_n"))
     sets = (incidence.groupBy("_id")
             .agg(F.array_sort(F.collect_set("token")).alias("_a")))
-    pair = F.explode(F.flatten(F.expr(
-        "transform(_a, (x, i) -> "
-        "transform(slice(_a, i + 2, size(_a)), y -> struct(x AS t1, "
-        "y AS t2)))"))).alias("_p")
-    pairs = (sets.select(pair)
-             .select(F.col("_p.t1").alias("t1"), F.col("_p.t2").alias("t2"))
-             .groupBy("t1", "t2").agg(F.count("*").alias("n_pair")))
+    # ONE unified explode emits each doc's singleton marks (t2 NULL,
+    # for document frequency) AND its ordered pairs, so the corpus
+    # incidence subtree is computed exactly once — a second consumer
+    # of `incidence`/`sets` would recompute the whole tokenize +
+    # broadcast-join + distinct pipeline (AQE does not reuse shared
+    # exchanges here). The resulting count table is bounded by
+    # vocab_k + C(vocab_k, 2) rows, so caching it is ~1k rows.
+    items = sets.select(F.explode(F.expr(
+        "concat("
+        " transform(_a, x -> struct(x AS t1, CAST(NULL AS STRING) AS t2)),"
+        " flatten(transform(_a, (x, i) -> "
+        "  transform(slice(_a, i + 2, size(_a)), "
+        "   y -> struct(x AS t1, y AS t2)))))")).alias("_p"))
+    counts = (items.select(F.col("_p.t1").alias("t1"),
+                           F.col("_p.t2").alias("t2"))
+              .groupBy("t1", "t2").agg(F.count("*").alias("n_pair"))
+              .persist())
+    dfreq = counts.where(F.col("t2").isNull()) \
+        .select(F.col("t1").alias("token"), F.col("n_pair").alias("_df"))
+    pairs = counts.where(F.col("t2").isNotNull())
     j = (pairs
          .join(F.broadcast(dfreq.select(F.col("token").alias("t1"),
                                         F.col("_df").alias("df1"))), "t1")

@@ -2379,7 +2379,8 @@ def curation_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIFT_PSI_SQL = """
 WITH b AS (
   SELECT source,
-         least(CAST(floor(n_chars / 64.0) AS BIGINT), 15) AS bin
+         greatest(CAST(0 AS BIGINT),
+                  least(CAST(floor(n_chars / 64.0) AS BIGINT), 15)) AS bin
   FROM documents
 ),
 per AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
