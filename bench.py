@@ -153,6 +153,8 @@ HEADLINE = [
     "w10_trend_slope",
     "w11_transitions",
     "curation_pareto",
+    # round 4 wave 14 — order-independent corpus checksum
+    "curation_checksum",
 ]
 
 

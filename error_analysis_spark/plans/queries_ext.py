@@ -2607,6 +2607,42 @@ GROUP BY k.i, k.kk, k.m
 """
 
 
+def curation_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-corpus content checksum (dataset
+    versioning / transfer-integrity gate): per-row md5-prefix hash of
+    (doc_id, content-hash), combined with BOTH a commutative XOR and a
+    128-bit sum plus the row count — one map-side-combinable aggregate,
+    no shuffle beyond the 1-row reduce, identical at any partitioning.
+    Two combiners because XOR alone is blind to duplicated rows (x⊕x=0)
+    while the sum alone is blind to certain swap patterns; together
+    with n they pin the multiset."""
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    docs = load_table(spark, sf_dir, "documents")
+    row_h = md5_prefix_long(
+        F.concat_ws("\x1f", F.col("doc_id").cast("string"),
+                    F.md5(F.coalesce(F.col("text"), F.lit("")))))
+    return (docs.select(row_h.alias("_h"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.expr("bit_xor(_h)").alias("xor_hash"),
+                 F.sum(F.col("_h").cast("decimal(38,0)"))
+                 .cast("string").alias("sum_hash")))
+
+
+CHECKSUM_SQL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) ||
+           md5(COALESCE(text, ''))), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(hv) AS xor_hash,
+       CAST(CAST(sum(CAST(hv AS HUGEINT)) AS HUGEINT) AS VARCHAR)
+         AS sum_hash
+FROM h
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
@@ -2615,6 +2651,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "emb_centroid_eval": (emb_centroid_eval, CENTROID_EVAL_SQL),
     "text_pmi_pairs": (text_pmi_pairs, PMI_SQL),
     "curation_pareto": (curation_pareto, PARETO_SQL),
+    "curation_checksum": (curation_checksum, CHECKSUM_SQL),
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),

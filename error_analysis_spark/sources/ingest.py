@@ -134,3 +134,46 @@ def read_documents_jsonl(spark: SparkSession, path: str,
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(path))
+
+
+def read_documents_csv(spark: SparkSession, path: str,
+                       schema: str = DOCUMENTS_SCHEMA,
+                       keep_corrupt: bool = False,
+                       sep: str = ",", header: bool = True) -> DataFrame:
+    """Schema-pinned CSV scan with the same quarantine contract as the
+    JSONL reader: an explicit schema (no inference pre-pass over the
+    corpus), PERMISSIVE mode, and an optional `_corrupt_record`
+    column for the cleaning stage. multiLine stays OFF — quoted
+    embedded newlines make shards non-splittable, which at 100 TB
+    serializes the scan; corpora with newlines in text belong in
+    JSONL/parquet instead."""
+    s = schema + (", _corrupt_record STRING" if keep_corrupt else "")
+    return (spark.read.schema(s)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .option("header", str(header).lower())
+            .option("sep", sep)
+            .option("multiLine", "false")
+            .csv(path))
+
+
+def write_compacted(df: DataFrame, path: str,
+                    target_rows_per_file: int,
+                    mode: str = "overwrite") -> None:
+    """Small-files compaction sink: bin-pack the output into parquet
+    files of ~`target_rows_per_file` rows.
+
+    The row-count route (`maxRecordsPerFile` + a repartition sized
+    from a cheap count) beats leaving 10k tiny micro-batch files on
+    disk — the classic small-files problem that makes every downstream
+    100 TB scan pay per-file open/footer costs. The count is one
+    metadata-cheap job; `maxRecordsPerFile` then caps stragglers when
+    partitions skew. (On a real cluster pair this with AQE coalesce so
+    the shuffle that produces `df` already lands near the target.)"""
+    n = df.count()
+    n_files = max(1, (n + target_rows_per_file - 1)
+                  // target_rows_per_file)
+    (df.repartition(n_files)
+     .write.mode(mode)
+     .option("maxRecordsPerFile", target_rows_per_file)
+     .parquet(path))
