@@ -85,7 +85,7 @@ _POST_WINDOW_NEW = [
     "curation_argmax_doc", "olap_cube_counts", "q20_dominant_supplier",
     "w9_anomaly_days", "emb_centroid_eval", "q08_market_share",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
-    "curation_pareto", "curation_checksum",
+    "curation_pareto", "curation_checksum", "curation_merge_upsert",
 ]
 # Only queries with >=2 lifetime green rows rotate out, plus five
 # single-green queries whose plans are pure expression/aggregate

@@ -155,6 +155,8 @@ HEADLINE = [
     "curation_pareto",
     # round 4 wave 14 — order-independent corpus checksum
     "curation_checksum",
+    # round 4 wave 15 — MERGE INTO snapshot apply
+    "curation_merge_upsert",
 ]
 
 

@@ -323,6 +323,45 @@ def distribution_drift(docs: DataFrame, group_col: str = "source",
             .agg(F.round(F.sum("_t").cast("double") / 1e6, 6).alias("psi")))
 
 
+def merge_upsert(target: DataFrame, delta: DataFrame,
+                 id_col: str = "doc_id",
+                 payload_cols: tuple = ("text", "lang", "source",
+                                        "n_chars"),
+                 op_col: str = "_op") -> DataFrame:
+    """MERGE INTO semantics for snapshot tables: apply a keyed delta
+    (op ∈ {'upsert', 'delete'}) to a target snapshot and return the
+    next snapshot — insert unmatched upserts, replace matched ones,
+    drop matched deletes, pass every untouched target row through.
+
+    ONE co-partitioned full-outer join on the id — the relational core
+    of Delta/Iceberg MERGE, expressed so the only corpus-scale
+    exchange is the id shuffle both sides need anyway (at scale,
+    bucketed snapshots make it exchange-free). A delete for a missing
+    id is a no-op, matching SQL MERGE. Rows carry an `_action` column
+    ('insert'/'update'/'delete'/'keep') so callers can audit the
+    write before committing it."""
+    t = target.select(F.col(id_col),
+                      *[F.col(c).alias(f"_t_{c}") for c in payload_cols])
+    d = delta.select(F.col(id_col).alias("_did"),
+                     F.col(op_col).alias("_op"),
+                     *[F.col(c).alias(f"_d_{c}") for c in payload_cols])
+    j = t.join(d, F.col(id_col) == F.col("_did"), "full_outer")
+    in_t = F.col(id_col).isNotNull()
+    in_d = F.col("_did").isNotNull()
+    action = (F.when(in_d & (F.col("_op") == "delete") & in_t, "delete")
+              .when(in_d & (F.col("_op") == "delete"), "noop")
+              .when(in_d & in_t, "update")
+              .when(in_d, "insert")
+              .otherwise("keep"))
+    take_delta = in_d & (F.col("_op") != "delete")
+    cols = [F.when(take_delta, F.col(f"_d_{c}"))
+            .otherwise(F.col(f"_t_{c}")).alias(c) for c in payload_cols]
+    return (j.select(F.coalesce(F.col(id_col), F.col("_did"))
+                     .alias(id_col),
+                     *cols, action.alias("_action"))
+            .where(F.col("_action").isin("keep", "update", "insert")))
+
+
 def pareto_curve(docs: DataFrame,
                  value_col: str = "n_chars") -> DataFrame:
     """Corpus concentration (Pareto) curve: for each decile of

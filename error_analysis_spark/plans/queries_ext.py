@@ -2643,6 +2643,75 @@ FROM h
 """
 
 
+def curation_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO applied to the documents snapshot
+    (curation.py:merge_upsert) with a deterministic synthetic delta —
+    ids ≡ 0 (mod 7) upserted with rewritten text, ids ≡ 3 (mod 13)
+    deleted, and shifted new ids inserted — then summarized per action
+    with an order-independent content XOR so the whole merged snapshot
+    is pinned by one row-count + checksum row per action."""
+    from error_analysis_spark.extensions import curation as CU
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    docs = load_table(spark, sf_dir, "documents")
+    ups = (docs.where(F.col("doc_id") % 7 == 0)
+           .select("doc_id", F.upper(F.col("text")).alias("text"),
+                   "lang", "source", "n_chars",
+                   F.lit("upsert").alias("_op")))
+    dels = (docs.where(F.col("doc_id") % 13 == 3)
+            .select("doc_id", "text", "lang", "source", "n_chars",
+                    F.lit("delete").alias("_op")))
+    ins = (docs.where(F.col("doc_id") % 11 == 5)
+           .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                   "text", "lang", "source", "n_chars",
+                   F.lit("upsert").alias("_op")))
+    merged = CU.merge_upsert(docs, ups.unionByName(dels)
+                             .unionByName(ins))
+    row_h = md5_prefix_long(
+        F.concat_ws("\x1f", F.col("doc_id").cast("string"),
+                    F.md5(F.coalesce(F.col("text"), F.lit("")))))
+    return (merged.select("_action", row_h.alias("_h"))
+            .groupBy("_action")
+            .agg(F.count("*").alias("n_rows"),
+                 F.expr("bit_xor(_h)").alias("xor_hash"))
+            .select(F.col("_action").alias("action"), "n_rows",
+                    "xor_hash"))
+
+
+MERGE_SQL = """
+WITH ups AS (
+  SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 7 = 0
+),
+dels AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 3),
+ins AS (SELECT doc_id + 1000000000 AS doc_id, text
+        FROM documents WHERE doc_id % 11 = 5),
+delta AS (
+  SELECT doc_id, text, 'upsert' AS op FROM ups
+  UNION ALL SELECT doc_id, NULL, 'delete' FROM dels
+  UNION ALL SELECT doc_id, text, 'upsert' FROM ins
+),
+m AS (
+  SELECT COALESCE(t.doc_id, d.doc_id) AS doc_id,
+         CASE WHEN d.doc_id IS NOT NULL AND d.op <> 'delete'
+              THEN d.text ELSE t.text END AS text,
+         CASE WHEN d.doc_id IS NOT NULL AND d.op = 'delete'
+                   AND t.doc_id IS NOT NULL THEN 'delete'
+              WHEN d.doc_id IS NOT NULL AND d.op = 'delete' THEN 'noop'
+              WHEN d.doc_id IS NOT NULL AND t.doc_id IS NOT NULL
+                   THEN 'update'
+              WHEN d.doc_id IS NOT NULL THEN 'insert'
+              ELSE 'keep' END AS action
+  FROM documents t FULL OUTER JOIN delta d ON t.doc_id = d.doc_id
+)
+SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(('0x' || substr(md5(
+                CAST(doc_id AS VARCHAR) || chr(31) ||
+                md5(COALESCE(text, ''))), 1, 15)) AS BIGINT)) AS xor_hash
+FROM m
+WHERE action IN ('keep', 'update', 'insert')
+GROUP BY action
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
@@ -2652,6 +2721,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_pmi_pairs": (text_pmi_pairs, PMI_SQL),
     "curation_pareto": (curation_pareto, PARETO_SQL),
     "curation_checksum": (curation_checksum, CHECKSUM_SQL),
+    "curation_merge_upsert": (curation_merge_upsert, MERGE_SQL),
     "sim_lsh_topk": (sim_lsh_topk, LSH_TOPK_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "text_vocab_topk": (text_vocab_topk, VOCAB_SQL),

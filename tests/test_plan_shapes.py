@@ -430,6 +430,16 @@ def test_transitions_keyed_lag_window(spark):
     assert re.search(r"windowspecdefinition\(user_id", plan), plan
 
 
+def test_merge_upsert_co_partitioned_full_outer(spark):
+    from error_analysis_spark.plans.queries_ext import curation_merge_upsert
+    spark.catalog.clearCache()
+    plan = _formatted(spark, curation_merge_upsert(spark, SF_DIR))
+    # the merge core is ONE id-keyed full-outer join; neither corpus
+    # side broadcasts and nothing drops into Python
+    assert "FullOuter" in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")

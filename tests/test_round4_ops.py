@@ -708,3 +708,44 @@ def test_pareto_tie_exactness(spark):
            for r in pareto_curve(df).collect()}
     for i in range(1, 10):
         assert out[i] == round(i / 10, 6), out
+
+
+# ---------------------------------------------------------------- merge
+
+def test_merge_upsert_actions(spark):
+    from error_analysis_spark.extensions.curation import merge_upsert
+    target = spark.createDataFrame(
+        [(1, "a", "en", "s", 1), (2, "b", "en", "s", 1),
+         (3, "c", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    delta = spark.createDataFrame(
+        [(2, "B2", "en", "s", 2, "upsert"),    # update
+         (3, None, None, None, None, "delete"),  # delete existing
+         (9, "new", "fr", "s", 3, "upsert"),   # insert
+         (42, None, None, None, None, "delete")],  # delete missing=noop
+        ["doc_id", "text", "lang", "source", "n_chars", "_op"])
+    out = merge_upsert(target, delta).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2, 9]
+    acts = dict(zip(out["doc_id"], out["_action"]))
+    assert acts == {1: "keep", 2: "update", 9: "insert"}
+    texts = dict(zip(out["doc_id"], out["text"]))
+    assert texts == {1: "a", 2: "B2", 9: "new"}
+
+
+def test_merge_upsert_idempotent(spark):
+    from error_analysis_spark.extensions.curation import merge_upsert
+    from pyspark.sql import functions as F
+    target = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", i) for i in range(20)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    delta = spark.createDataFrame(
+        [(5, "T5", "en", "s", 2, "upsert"),
+         (7, None, None, None, None, "delete")],
+        ["doc_id", "text", "lang", "source", "n_chars", "_op"])
+    once = merge_upsert(target, delta).drop("_action")
+    twice = merge_upsert(once, delta).drop("_action")
+    a = sorted(once.select("doc_id", "text").collect())
+    b = sorted(twice.select("doc_id", "text").collect())
+    assert a == b
+    _ = F
