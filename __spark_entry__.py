@@ -86,6 +86,7 @@ _POST_WINDOW_NEW = [
     "w9_anomaly_days", "emb_centroid_eval", "q08_market_share",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
     "curation_pareto", "curation_checksum", "curation_merge_upsert",
+    "q02_first_supplier", "q12_priority_by_lateness",
 ]
 # Only queries with >=2 lifetime green rows rotate out, plus five
 # single-green queries whose plans are pure expression/aggregate

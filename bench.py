@@ -157,6 +157,9 @@ HEADLINE = [
     "curation_checksum",
     # round 4 wave 15 — MERGE INTO snapshot apply
     "curation_merge_upsert",
+    # round 4 wave 16 — argmin-per-group detail, two-way conditional
+    "q02_first_supplier",
+    "q12_priority_by_lateness",
 ]
 
 

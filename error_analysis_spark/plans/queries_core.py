@@ -1395,6 +1395,104 @@ FROM j GROUP BY o_year
 """
 
 
+_Q02_BRAND = "Brand#14"
+
+
+def q02_first_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style argmin-per-group with detail join-back: for each
+    part of one brand, the supplier who shipped it EARLIEST (the
+    min-cost-supplier shape re-keyed to the available schema).
+
+    min(struct(shipdate, suppkey)) gives the per-part argmin with a
+    deterministic tie (smaller suppkey) in ONE partial-combining
+    aggregate — the shuffle carries one row per (part, partition), and
+    the detail join-back hits only dimension tables (broadcast). The
+    common row_number-per-part window form shuffles every branded
+    lineitem instead."""
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_brand") == _Q02_BRAND)
+            .select("p_partkey", "p_name"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.date_format("l_shipdate", "yyyy-MM-dd")
+                  .alias("_sd")))
+    first = (li.join(F.broadcast(part),
+                     F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("p_partkey", "p_name")
+             .agg(F.min(F.struct(F.col("_sd").alias("sd"),
+                                 F.col("l_suppkey").alias("sk")))
+                  .alias("_m")))
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (first
+            .join(F.broadcast(supp),
+                  F.col("_m.sk") == F.col("s_suppkey"))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                    F.col("_m.sd").alias("first_ship")))
+
+
+Q02_SQL = f"""
+WITH b AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         strftime(l_shipdate, '%Y-%m-%d') AS sd
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q02_BRAND}'
+),
+r AS (
+  SELECT p_partkey, p_name, l_suppkey, sd,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY sd, l_suppkey) AS rn
+  FROM b
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, sd AS first_ship
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+
+_Q12_LATE_DAYS = 90
+
+
+def q12_priority_by_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style two-way conditional count: lineitems classified
+    by shipping lateness (> 90 days after order date), counting
+    high-priority vs low-priority orders per class — the
+    join-then-pivot-by-CASE shape.
+
+    One orderkey fact-fact join (the only big exchange), one
+    conditional aggregation over the two-value class domain; the
+    priority test is evaluated once per row as a JVM boolean."""
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = (F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > _Q12_LATE_DAYS)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.select(F.when(late, "late").otherwise("ontime")
+                     .alias("ship_class"),
+                     high.alias("_high"))
+            .groupBy("ship_class")
+            .agg(F.sum(F.when(F.col("_high"), 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(F.col("_high"), 0).otherwise(1))
+                 .alias("low_line_count")))
+
+
+Q12_SQL = f"""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                 > {_Q12_LATE_DAYS}
+            THEN 'late' ELSE 'ontime' END AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ship_class
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
@@ -1413,6 +1511,8 @@ CORE_QUERIES: dict[str, tuple] = {
     "q11_value_concentration": (q11_value_concentration, Q11_SQL),
     "q20_dominant_supplier": (q20_dominant_supplier, Q20_SQL),
     "q08_market_share": (q08_market_share, Q08_SQL),
+    "q02_first_supplier": (q02_first_supplier, Q02_SQL),
+    "q12_priority_by_lateness": (q12_priority_by_lateness, Q12_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),

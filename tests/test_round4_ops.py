@@ -749,3 +749,34 @@ def test_merge_upsert_idempotent(spark):
     b = sorted(twice.select("doc_id", "text").collect())
     assert a == b
     _ = F
+
+
+# ---------------------------------------------------------------- SQL path
+
+def test_sql_surface_matches_dataframe_path(spark):
+    """register_all exposes every driver table to raw spark.sql; the
+    SQL path must produce the same plans/results as the DataFrame
+    path (Catalyst compiles both to the same logical algebra)."""
+    from error_analysis_spark.sources.tables import register_all
+    from tests.conftest import SF_DIR
+    register_all(spark, SF_DIR)
+    got = spark.sql("""
+        SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT))
+                                  AS BIGINT) AS qty
+        FROM lineitem WHERE l_shipdate >= '1997-01-01'
+        GROUP BY l_returnflag
+    """).toPandas().set_index("l_returnflag")["qty"].to_dict()
+    import pyspark.sql.functions as SF
+    from error_analysis_spark.sources.tables import load_table
+    want = (load_table(spark, SF_DIR, "lineitem")
+            .where(SF.col("l_shipdate") >= "1997-01-01")
+            .groupBy("l_returnflag")
+            .agg(SF.sum(SF.col("l_quantity").cast("long")).alias("qty"))
+            .toPandas().set_index("l_returnflag")["qty"].to_dict())
+    assert got == want and len(got) >= 2
+    join = spark.sql("""
+        SELECT count(*) AS n FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+    """).collect()[0]["n"]
+    assert join > 0
