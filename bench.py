@@ -160,6 +160,11 @@ HEADLINE = [
     # round 4 wave 16 — argmin-per-group detail, two-way conditional
     "q02_first_supplier",
     "q12_priority_by_lateness",
+    # round 4 wave 17 — bi-nation matrix, widest profit rollup,
+    # NOT-IN variety count (completes the 22 TPC-H query shapes)
+    "q07_bination_volume",
+    "q09_profit_by_nation_year",
+    "q16_supplier_variety",
 ]
 
 

@@ -1493,6 +1493,182 @@ GROUP BY ship_class
 """
 
 
+_Q07_N1 = "NATION_1"
+_Q07_N2 = "NATION_3"
+
+
+def q07_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bi-nation trade volume: revenue shipped between
+    two nations (either direction) per year — supplier nation on the
+    lineitem side, customer nation on the orders side, the
+    symmetric-pair predicate evaluated after both broadcasts.
+
+    Both nation filters prune their dimension chains to two keys
+    before broadcasting, so the only corpus exchange is the orderkey
+    fact-fact join; the (supp_nation, cust_nation, year) aggregate is
+    bounded by 2×2×years."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nation = load_table(spark, sf_dir, "nation") \
+        .where(F.col("n_name").isin(_Q07_N1, _Q07_N2)) \
+        .select("n_nationkey", "n_name")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(
+                nation.select(F.col("n_nationkey").alias("_ck"),
+                              F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("_ck"))
+            .select("c_custkey", "cust_nation"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.year("o_orderdate").alias("o_year"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey")))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 1e6)
+                  .cast("decimal(38,0)").alias("_rev"))
+          .join(F.broadcast(supp),
+                F.col("l_suppkey") == F.col("s_suppkey")))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation", "o_year")
+            .agg((F.sum("_rev").cast("double") / 1e6).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+Q07_SQL = f"""
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       year(o_orderdate) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{_Q07_N1}', '{_Q07_N2}')
+  AND n2.n_name IN ('{_Q07_N1}', '{_Q07_N2}')
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, o_year
+"""
+
+
+def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit rollup: per (supplier nation, order year),
+    revenue minus a retail-price-based cost proxy (the schema has no
+    partsupp supplycost; `0.6 × p_retailprice × quantity` plays its
+    role) — the widest rollup in the suite: two fact tables + part +
+    supplier + nation.
+
+    Part and supplier⋈nation broadcast onto lineitem; the orderkey
+    fact-fact join is the one big exchange; profit terms are
+    fixed-pointed per row before the (nation, year) sum."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nation = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    part = load_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_retailprice")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    profit_dbl = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  - F.lit(0.6) * F.col("p_retailprice")
+                  * F.col("l_quantity"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .join(F.broadcast(supp),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+          .select("l_orderkey", "nation",
+                  F.round(profit_dbl * 1e6)
+                  .cast("decimal(38,0)").alias("_pf")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("nation", "o_year")
+            .agg((F.sum("_pf").cast("double") / 1e6).alias("profit"),
+                 F.count("*").alias("n_items")))
+
+
+Q09_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                            - 0.6 * p_retailprice * l_quantity) * 1e6)
+                     AS HUGEINT)) AS DOUBLE) / 1e6 AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year
+"""
+
+
+_Q16_EXCLUDE_BRAND = "Brand#21"
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier variety: distinct suppliers who shipped
+    each (brand, size band), excluding one brand and excluding
+    below-average-balance suppliers (the NOT-IN shape, expressed as a
+    broadcast anti join).
+
+    The (brand, band, suppkey) distinct collapses map-side before its
+    shuffle (bounded by brands × bands × suppliers); the excluded
+    supplier set is a 1-row-threshold anti join computed in exact
+    integer arithmetic like Q22."""
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", cents.alias("_c"))
+    stats = supp.agg(F.sum("_c").cast("decimal(38,0)").alias("_sum"),
+                     F.count("*").alias("_n"))
+    weak = (supp.crossJoin(F.broadcast(stats))
+            .where(F.col("_c").cast("decimal(38,0)") * F.col("_n")
+                   < F.col("_sum"))
+            .select(F.col("s_suppkey").alias("_weak")))
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_brand") != _Q16_EXCLUDE_BRAND)
+            .select("p_partkey", "p_brand",
+                    (F.col("p_size") - (F.col("p_size") % 10))
+                    .alias("size_band")))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(weak),
+                  F.col("l_suppkey") == F.col("_weak"), "left_anti")
+            .groupBy("p_brand", "size_band")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+Q16_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS c
+  FROM supplier
+),
+st AS (SELECT CAST(sum(c) AS HUGEINT) AS sm, count(*) AS n FROM s),
+weak AS (
+  SELECT s_suppkey FROM s CROSS JOIN st
+  WHERE CAST(c AS HUGEINT) * n < sm
+)
+SELECT p_brand, p_size - (p_size % 10) AS size_band,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q16_EXCLUDE_BRAND}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM weak)
+GROUP BY p_brand, size_band
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_orders": (q03_top_orders, Q03_SQL),
@@ -1513,6 +1689,9 @@ CORE_QUERIES: dict[str, tuple] = {
     "q08_market_share": (q08_market_share, Q08_SQL),
     "q02_first_supplier": (q02_first_supplier, Q02_SQL),
     "q12_priority_by_lateness": (q12_priority_by_lateness, Q12_SQL),
+    "q07_bination_volume": (q07_bination_volume, Q07_SQL),
+    "q09_profit_by_nation_year": (q09_profit_by_nation_year, Q09_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "a1_describe_events": (a1_describe_events, A1_SQL),
     "a2_zonal_stats": (a2_zonal_stats, A2_SQL),
     "a6_median_bias": (a6_median_bias, A6_SQL),
