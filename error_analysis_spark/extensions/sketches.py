@@ -105,15 +105,31 @@ def hll_distinct(df: DataFrame, group_col: str,
     whose last ulp could differ between libm implementations.
 
     Returns (group_col, n_est) with n_est rounded to integer."""
+    return hll_estimate(hll_registers(df, group_col, value_col),
+                        group_col)
+
+
+def hll_registers(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """The mergeable half of the HLL sketch: per-(group, bucket) max
+    rank. Register tables over different row sets merge by union +
+    the same (group, bucket) MAX — the partial-aggregate property the
+    merge property-test pins. Returns (group_col, _bucket, _m)."""
     from error_analysis_spark.extensions.text import md5_prefix_long
     h = md5_prefix_long(F.col(value_col).cast("string"))
     bucket = F.shiftright(h, _HLL_W).alias("_bucket")
     rest = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
     rho = (F.when(rest == 0, F.lit(_HLL_W + 1))
            .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin(rest))))
-    regs = (df.select(F.col(group_col), bucket, rho.alias("_rho"))
+    return (df.select(F.col(group_col), bucket, rho.alias("_rho"))
             .groupBy(group_col, "_bucket")
             .agg(F.max("_rho").alias("_m")))
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Estimator over a register table from `hll_registers` — or over
+    a union of several register tables re-collapsed with
+    `groupBy(group, _bucket).agg(max(_m))` (sketch merge)."""
     # term = 2^(52 - M_j), an exact long; sum is order-independent
     term = F.expr(f"CAST(1 AS BIGINT) << ({_HLL_W + 1} - _m)")
     per = (regs.groupBy(group_col)

@@ -151,3 +151,105 @@ def test_corpus_delta_statuses_partition(old_ids, new_ids, changed):
             assert rev[i] == "added"
         else:
             assert rev[i] == s
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(tgt=st.lists(st.tuples(st.integers(0, 40), st.text("ab", max_size=3)),
+                    min_size=0, max_size=25),
+       dlt=st.lists(st.tuples(st.integers(0, 40), st.text("ab", max_size=3),
+                              st.booleans()),
+                    min_size=0, max_size=15))
+def test_merge_upsert_matches_dict_reference(tgt, dlt):
+    """MERGE semantics against a plain dict apply: last-write-wins on
+    unique ids; deletes remove; delete-of-missing is a no-op."""
+    tgt = list({i: (i, t) for i, t in tgt}.values())       # unique ids
+    dlt = list({i: (i, t, d) for i, t, d in dlt}.values())
+    spark = _get_spark()
+    target = spark.createDataFrame(
+        pd.DataFrame([(i, t, "en", "s", 1) for i, t in tgt]
+                     or [(-(10 ** 6), "x", "en", "s", 1)],
+                     columns=["doc_id", "text", "lang", "source",
+                              "n_chars"]))
+    delta = spark.createDataFrame(
+        pd.DataFrame([(i, t, "en", "s", 1,
+                       "delete" if d else "upsert") for i, t, d in dlt]
+                     or [(-(10 ** 6) - 1, "x", "en", "s", 1, "delete")],
+                     columns=["doc_id", "text", "lang", "source",
+                              "n_chars", "_op"]))
+    from error_analysis_spark.extensions.curation import merge_upsert
+    got = {r["doc_id"]: r["text"]
+           for r in merge_upsert(target, delta).collect()}
+    ref = {i: t for i, t in tgt} if tgt else {-(10 ** 6): "x"}
+    for i, t, d in (dlt or [(-(10 ** 6) - 1, "x", True)]):
+        if d:
+            ref.pop(i, None)
+        else:
+            ref[i] = t
+    assert got == ref
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 50), st.text("abc", max_size=4)),
+                     min_size=1, max_size=30, unique_by=lambda r: r[0]),
+       seed=st.integers(0, 99))
+def test_checksum_permutation_invariant_and_change_sensitive(rows, seed):
+    """The corpus checksum must be identical under any row order /
+    partitioning and must change when any single row's text changes."""
+    import random
+    rnd = random.Random(seed)
+    spark = _get_spark()
+    import pyspark.sql.functions as F
+    from error_analysis_spark.extensions.text import md5_prefix_long
+
+    def chk(data, parts):
+        df = spark.createDataFrame(
+            pd.DataFrame(data, columns=["doc_id", "text"])) \
+            .repartition(parts)
+        row_h = md5_prefix_long(
+            F.concat_ws("\x1f", F.col("doc_id").cast("string"),
+                        F.md5(F.coalesce(F.col("text"), F.lit("")))))
+        r = (df.select(row_h.alias("_h"))
+             .agg(F.count("*").alias("n"),
+                  F.expr("bit_xor(_h)").alias("x"),
+                  F.sum(F.col("_h").cast("decimal(38,0)"))
+                  .cast("string").alias("s")).collect()[0])
+        return (r["n"], r["x"], r["s"])
+
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    assert chk(rows, 1) == chk(shuffled, 5)
+    i = rnd.randrange(len(rows))
+    mutated = [(d, t + "!") if k == i else (d, t)
+               for k, (d, t) in enumerate(rows)]
+    assert chk(rows, 2) != chk(mutated, 2)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vals=st.lists(st.integers(0, 1023), min_size=2, max_size=60),
+       split=st.integers(1, 59))
+def test_hll_merge_equals_union(vals, split):
+    """Register tables are mergeable: elementwise MAX of two halves'
+    registers must give the same estimate as one pass over the union —
+    the property that makes HLL a partial aggregate at scale."""
+    import pyspark.sql.functions as F
+    split = min(split, len(vals) - 1)
+    spark = _get_spark()
+    from error_analysis_spark.extensions.sketches import (
+        hll_distinct, hll_estimate, hll_registers)
+    whole = spark.createDataFrame(
+        pd.DataFrame({"g": ["u"] * len(vals), "v": vals}))
+    ra = hll_registers(spark.createDataFrame(
+        pd.DataFrame({"g": ["u"] * split, "v": vals[:split]})), "g", "v")
+    rb = hll_registers(spark.createDataFrame(
+        pd.DataFrame({"g": ["u"] * (len(vals) - split),
+                      "v": vals[split:]})), "g", "v")
+    # TWO independently-built register tables, merged by union +
+    # elementwise MAX — must estimate exactly like one pass over all
+    merged = (ra.unionByName(rb).groupBy("g", "_bucket")
+              .agg(F.max("_m").alias("_m")))
+    est_whole = hll_distinct(whole, "g", "v").collect()[0]["n_est"]
+    est_merge = hll_estimate(merged, "g").collect()[0]["n_est"]
+    assert est_whole == est_merge
