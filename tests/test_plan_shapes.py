@@ -440,6 +440,31 @@ def test_merge_upsert_co_partitioned_full_outer(spark):
     assert "PythonUDF" not in plan, plan
 
 
+def test_q07_q09_single_fact_fact_exchange(spark):
+    from error_analysis_spark.plans.queries_core import (
+        q07_bination_volume, q09_profit_by_nation_year)
+    import re
+    for fn in (q07_bination_volume, q09_profit_by_nation_year):
+        spark.catalog.clearCache()
+        plan = _formatted(spark, fn(spark, SF_DIR))
+        # every dim chain broadcasts; each fact is scanned exactly once
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        schemas = re.findall(r"ReadSchema: (\S+)", plan)
+        assert sum("l_orderkey" in s for s in schemas) == 1, schemas
+        assert sum("o_orderdate" in s or "o_orderkey" in s
+                   for s in schemas) == 1, schemas
+
+
+def test_q16_anti_join_and_single_distinct(spark):
+    from error_analysis_spark.plans.queries_core import q16_supplier_variety
+    spark.catalog.clearCache()
+    plan = _formatted(spark, q16_supplier_variety(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p for p in pushed), pushed
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")
