@@ -339,12 +339,21 @@ def merge_upsert(target: DataFrame, delta: DataFrame,
     bucketed snapshots make it exchange-free). A delete for a missing
     id is a no-op, matching SQL MERGE. Rows carry an `_action` column
     ('insert'/'update'/'delete'/'keep') so callers can audit the
-    write before committing it."""
+    write before committing it.
+
+    PRECONDITION: the delta must be key-unique (one row per id) —
+    SQL MERGE raises "multiple source rows matched" here; a duplicate
+    id would fan out through the full-outer join and break the
+    snapshot's key invariant. Reduce multi-event batches first (the
+    streaming sink's `_dedup_batch` is one deterministic policy).
+    Rows whose op is not 'upsert'/'delete' (including NULL) are
+    dropped — a NULL op must not smuggle a NULL-payload insert in."""
     t = target.select(F.col(id_col),
                       *[F.col(c).alias(f"_t_{c}") for c in payload_cols])
-    d = delta.select(F.col(id_col).alias("_did"),
-                     F.col(op_col).alias("_op"),
-                     *[F.col(c).alias(f"_d_{c}") for c in payload_cols])
+    d = (delta.where(F.col(op_col).isin("upsert", "delete"))
+         .select(F.col(id_col).alias("_did"),
+                 F.col(op_col).alias("_op"),
+                 *[F.col(c).alias(f"_d_{c}") for c in payload_cols]))
     j = t.join(d, F.col(id_col) == F.col("_did"), "full_outer")
     in_t = F.col(id_col).isNotNull()
     in_d = F.col("_did").isNotNull()

@@ -34,6 +34,18 @@ def md5_prefix_long(col: Column, hex_chars: int = 15) -> Column:
         .cast("long")
 
 
+def doc_row_hash(id_col: str = "doc_id",
+                 text_col: str = "text") -> Column:
+    """Canonical per-row content hash md5_prefix(id ␟ md5(text)) —
+    ONE definition shared by the corpus checksum, the MERGE audit and
+    their tests, so every checksum lives in the same hash universe
+    (DuckDB: `('0x'||substr(md5(id || chr(31) || md5(coalesce(text,
+    ''))),1,15))::BIGINT`)."""
+    return md5_prefix_long(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                    F.md5(F.coalesce(F.col(text_col), F.lit("")))))
+
+
 # GPT-2-style pre-tokenizer shape: word = letters, number = digits,
 # contraction tail, else single non-space symbol. Subword token COUNT
 # for budget estimation without a vocab (a real BPE only splits within

@@ -2616,12 +2616,9 @@ def curation_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two combiners because XOR alone is blind to duplicated rows (x⊕x=0)
     while the sum alone is blind to certain swap patterns; together
     with n they pin the multiset."""
-    from error_analysis_spark.extensions.text import md5_prefix_long
+    from error_analysis_spark.extensions.text import doc_row_hash
     docs = load_table(spark, sf_dir, "documents")
-    row_h = md5_prefix_long(
-        F.concat_ws("\x1f", F.col("doc_id").cast("string"),
-                    F.md5(F.coalesce(F.col("text"), F.lit("")))))
-    return (docs.select(row_h.alias("_h"))
+    return (docs.select(doc_row_hash().alias("_h"))
             .agg(F.count("*").alias("n_rows"),
                  F.expr("bit_xor(_h)").alias("xor_hash"),
                  F.sum(F.col("_h").cast("decimal(38,0)"))
@@ -2647,17 +2644,21 @@ def curation_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO applied to the documents snapshot
     (curation.py:merge_upsert) with a deterministic synthetic delta —
     ids ≡ 0 (mod 7) upserted with rewritten text, ids ≡ 3 (mod 13)
-    deleted, and shifted new ids inserted — then summarized per action
-    with an order-independent content XOR so the whole merged snapshot
-    is pinned by one row-count + checksum row per action."""
+    AND not ≡ 0 (mod 7) deleted (the exclusion keeps the delta
+    key-unique — merge_upsert's SQL-MERGE precondition; an id with
+    both an upsert and a delete row would fan out through the join),
+    and shifted new ids inserted — then summarized per action with an
+    order-independent content XOR so the whole merged snapshot is
+    pinned by one row-count + checksum row per action."""
     from error_analysis_spark.extensions import curation as CU
-    from error_analysis_spark.extensions.text import md5_prefix_long
+    from error_analysis_spark.extensions.text import doc_row_hash
     docs = load_table(spark, sf_dir, "documents")
     ups = (docs.where(F.col("doc_id") % 7 == 0)
            .select("doc_id", F.upper(F.col("text")).alias("text"),
                    "lang", "source", "n_chars",
                    F.lit("upsert").alias("_op")))
-    dels = (docs.where(F.col("doc_id") % 13 == 3)
+    dels = (docs.where((F.col("doc_id") % 13 == 3)
+                       & (F.col("doc_id") % 7 != 0))
             .select("doc_id", "text", "lang", "source", "n_chars",
                     F.lit("delete").alias("_op")))
     ins = (docs.where(F.col("doc_id") % 11 == 5)
@@ -2666,10 +2667,7 @@ def curation_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit("upsert").alias("_op")))
     merged = CU.merge_upsert(docs, ups.unionByName(dels)
                              .unionByName(ins))
-    row_h = md5_prefix_long(
-        F.concat_ws("\x1f", F.col("doc_id").cast("string"),
-                    F.md5(F.coalesce(F.col("text"), F.lit("")))))
-    return (merged.select("_action", row_h.alias("_h"))
+    return (merged.select("_action", doc_row_hash().alias("_h"))
             .groupBy("_action")
             .agg(F.count("*").alias("n_rows"),
                  F.expr("bit_xor(_h)").alias("xor_hash"))
@@ -2681,7 +2679,8 @@ MERGE_SQL = """
 WITH ups AS (
   SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 7 = 0
 ),
-dels AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 3),
+dels AS (SELECT doc_id FROM documents
+         WHERE doc_id % 13 = 3 AND doc_id % 7 <> 0),
 ins AS (SELECT doc_id + 1000000000 AS doc_id, text
         FROM documents WHERE doc_id % 11 = 5),
 delta AS (

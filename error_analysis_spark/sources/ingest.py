@@ -164,16 +164,24 @@ def write_compacted(df: DataFrame, path: str,
     files of ~`target_rows_per_file` rows.
 
     The row-count route (`maxRecordsPerFile` + a repartition sized
-    from a cheap count) beats leaving 10k tiny micro-batch files on
-    disk — the classic small-files problem that makes every downstream
-    100 TB scan pay per-file open/footer costs. The count is one
-    metadata-cheap job; `maxRecordsPerFile` then caps stragglers when
-    partitions skew. (On a real cluster pair this with AQE coalesce so
-    the shuffle that produces `df` already lands near the target.)"""
-    n = df.count()
-    n_files = max(1, (n + target_rows_per_file - 1)
-                  // target_rows_per_file)
-    (df.repartition(n_files)
-     .write.mode(mode)
-     .option("maxRecordsPerFile", target_rows_per_file)
-     .parquet(path))
+    from the count) beats leaving 10k tiny micro-batch files on disk —
+    the classic small-files problem that makes every downstream 100 TB
+    scan pay per-file open/footer costs. `df` is persisted across the
+    count and the write: without the pin, a COMPUTED input (join/agg
+    output — the typical compaction candidate) would execute its whole
+    plan twice; for a plain file scan the count is footer-cheap either
+    way and the cache costs one pass-through. `maxRecordsPerFile` caps
+    stragglers when partitions skew. (On a real cluster pair this with
+    AQE coalesce so the shuffle that produces `df` already lands near
+    the target.)"""
+    df = df.persist()
+    try:
+        n = df.count()
+        n_files = max(1, (n + target_rows_per_file - 1)
+                      // target_rows_per_file)
+        (df.repartition(n_files)
+         .write.mode(mode)
+         .option("maxRecordsPerFile", target_rows_per_file)
+         .parquet(path))
+    finally:
+        df.unpersist()

@@ -5,24 +5,29 @@ Structured Streaming guarantees at-least-once delivery to a
 `foreachBatch` function: after a crash between "sink write" and
 "checkpoint commit", the SAME (batch_id, data) pair is replayed. The
 standard fix is to make the sink an idempotent keyed upsert and to
-record the batch id transactionally with the data:
+record the batch id durably WITH the data:
 
 - each micro-batch MERGEs into the snapshot by key (last-write-wins via
-  `curation.merge_upsert`), so re-applying a batch reproduces the same
-  snapshot byte-for-byte;
-- the applied batch id is stored IN the snapshot directory (a 1-row
-  `_applied` parquet written after the data in the same job), so a
-  replayed batch id is detected and skipped without rereading state.
+  `curation.merge_upsert`, after a deterministic per-key pre-dedup of
+  the batch — see `_dedup_batch`), so re-applying a batch reproduces
+  the same snapshot byte-for-byte;
+- applied batch ids are APPEND-ONLY markers (one parquet dir per batch
+  under `markers/`, never overwritten): a crash mid-marker-write
+  leaves the previous marker intact, so recovery re-applies the batch
+  instead of ever losing the snapshot. Only markers whose `_SUCCESS`
+  file exists count; a torn marker write is invisible.
+- data generations ping-pong between two dirs (`gen_a`/`gen_b`): the
+  write always targets the NON-live generation, so the live snapshot
+  is never the directory being overwritten.
 
-The snapshot lives as two parquet generations (ping-pong A/B dirs)
-because overwriting the directory being read is not atomic on plain
-object storage; the `_applied` marker names the live generation. On a
-real deployment you would swap this layer for Delta/Iceberg MERGE —
-the relational core (the keyed merge) is exactly the same operator.
+On a real deployment you would swap this layer for Delta/Iceberg MERGE
+— the relational core (the keyed merge) is exactly the same operator.
+The marker listing uses the local filesystem (os.listdir); an object-
+store deployment swaps in its FS client listing.
 
-The test replays a batch (same batch_id, same rows) and checks the
-snapshot is unchanged — the idempotence contract — then applies a new
-batch and checks the merge semantics carried through.
+The tests replay a batch (same batch_id) and check the snapshot is
+unchanged — the idempotence contract — then apply a new batch and
+check the merge semantics carried through.
 """
 
 from __future__ import annotations
@@ -37,24 +42,54 @@ from error_analysis_spark.extensions.curation import merge_upsert
 _PAYLOAD = ("text", "lang", "source", "n_chars")
 
 
-def _marker_path(snap_dir: str) -> str:
-    return os.path.join(snap_dir, "_applied")
+def _markers_dir(snap_dir: str) -> str:
+    return os.path.join(snap_dir, "markers")
 
 
 def _live(spark: SparkSession, snap_dir: str):
-    """Return (generation_name, last_batch_id) or (None, None)."""
-    try:
-        row = spark.read.parquet(_marker_path(snap_dir)).collect()[0]
-        return row["gen"], row["batch_id"]
-    except Exception:
+    """(generation_name, last_batch_id) from the newest COMMITTED
+    marker, or (None, None) for a fresh snapshot. Markers are
+    append-only; only dirs with a _SUCCESS file count."""
+    mdir = _markers_dir(snap_dir)
+    if not os.path.isdir(mdir):
         return None, None
+    committed = sorted(
+        d for d in os.listdir(mdir)
+        if os.path.exists(os.path.join(mdir, d, "_SUCCESS")))
+    if not committed:
+        return None, None
+    row = spark.read.parquet(os.path.join(mdir, committed[-1])) \
+        .collect()[0]
+    return row["gen"], row["batch_id"]
 
 
-def read_snapshot(spark: SparkSession, snap_dir: str) -> DataFrame | None:
-    gen, _ = _live(spark, snap_dir)
+def read_snapshot(spark: SparkSession, snap_dir: str,
+                  gen: str | None = None) -> DataFrame | None:
+    """Load the live generation (pass `gen` to skip a marker read)."""
+    if gen is None:
+        gen, _ = _live(spark, snap_dir)
     if gen is None:
         return None
     return spark.read.parquet(os.path.join(snap_dir, gen))
+
+
+def _dedup_batch(batch_df: DataFrame) -> DataFrame:
+    """Deterministic per-key reduction of one micro-batch: a delete
+    anywhere in the batch wins the key; among multiple upserts the
+    lexicographically-max payload wins. File-source micro-batches
+    carry no intra-batch order, so a deterministic policy (stable
+    under replay and partitioning) is the honest contract — sources
+    that DO have an event order should sort upstream into one row per
+    key per batch."""
+    pri = F.when(F.col("_op") == "delete", 1).otherwise(0)
+    pick = F.max(F.struct(
+        pri.alias("p"),
+        *[F.col(c).alias(c) for c in _PAYLOAD],
+        F.col("_op").alias("op"))).alias("_m")
+    return (batch_df.groupBy("doc_id").agg(pick)
+            .select("doc_id",
+                    *[F.col(f"_m.{c}").alias(c) for c in _PAYLOAD],
+                    F.col("_m.op").alias("_op")))
 
 
 def apply_batch(spark: SparkSession, snap_dir: str,
@@ -65,18 +100,20 @@ def apply_batch(spark: SparkSession, snap_dir: str,
     gen, last = _live(spark, snap_dir)
     if last is not None and batch_id <= last:
         return False
-    target = read_snapshot(spark, snap_dir)
+    batch = _dedup_batch(batch_df)
+    target = read_snapshot(spark, snap_dir, gen=gen)
     if target is None:
-        merged = (batch_df.where(F.col("_op") != "delete")
+        merged = (batch.where(F.col("_op") != "delete")
                   .select("doc_id", *_PAYLOAD))
     else:
-        merged = merge_upsert(target, batch_df,
+        merged = merge_upsert(target, batch,
                               payload_cols=_PAYLOAD).drop("_action")
     nxt = "gen_b" if gen == "gen_a" else "gen_a"
     merged.write.mode("overwrite") \
         .parquet(os.path.join(snap_dir, nxt))
     (spark.createDataFrame([(nxt, batch_id)], "gen string, batch_id long")
-     .coalesce(1).write.mode("overwrite").parquet(_marker_path(snap_dir)))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(_markers_dir(snap_dir), f"b{batch_id:020d}")))
     return True
 
 

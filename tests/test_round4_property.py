@@ -201,16 +201,13 @@ def test_checksum_permutation_invariant_and_change_sensitive(rows, seed):
     rnd = random.Random(seed)
     spark = _get_spark()
     import pyspark.sql.functions as F
-    from error_analysis_spark.extensions.text import md5_prefix_long
+    from error_analysis_spark.extensions.text import doc_row_hash
 
     def chk(data, parts):
         df = spark.createDataFrame(
             pd.DataFrame(data, columns=["doc_id", "text"])) \
             .repartition(parts)
-        row_h = md5_prefix_long(
-            F.concat_ws("\x1f", F.col("doc_id").cast("string"),
-                        F.md5(F.coalesce(F.col("text"), F.lit("")))))
-        r = (df.select(row_h.alias("_h"))
+        r = (df.select(doc_row_hash().alias("_h"))
              .agg(F.count("*").alias("n"),
                   F.expr("bit_xor(_h)").alias("x"),
                   F.sum(F.col("_h").cast("decimal(38,0)"))

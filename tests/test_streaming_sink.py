@@ -65,3 +65,21 @@ def test_foreachbatch_end_to_end(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert _snap(spark, snap) == [(i, f"t{i}") for i in range(6)]
+
+
+def test_duplicate_keys_within_batch_resolve_deterministically(spark,
+                                                               tmp_path):
+    d = tmp_path / "snap3"
+    b0 = _batch(spark, [(1, "a", "en", "s", 1, "upsert")])
+    SK.apply_batch(spark, str(d), b0, batch_id=0)
+    # one batch carries two upserts AND a delete for key 1, plus two
+    # upserts for key 2: delete wins key 1; key 2 keeps the
+    # lexicographically-max payload — and the snapshot keeps its
+    # one-row-per-key invariant (the raw batch would fan out the merge)
+    b1 = _batch(spark, [(1, "x", "en", "s", 1, "upsert"),
+                        (1, None, None, None, None, "delete"),
+                        (1, "y", "en", "s", 1, "upsert"),
+                        (2, "p", "en", "s", 1, "upsert"),
+                        (2, "q", "en", "s", 1, "upsert")])
+    SK.apply_batch(spark, str(d), b1, batch_id=1)
+    assert _snap(spark, d) == [(2, "q")]
