@@ -165,6 +165,9 @@ HEADLINE = [
     "q07_bination_volume",
     "q09_profit_by_nation_year",
     "q16_supplier_variety",
+    # round 4 wave 18 — Markov matrix, column-profiling report
+    "w12_transition_matrix",
+    "curation_profile",
 ]
 
 

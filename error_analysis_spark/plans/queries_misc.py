@@ -891,6 +891,110 @@ FROM d WHERE prev IS NOT NULL AND prev <> event_type
 """
 
 
+def w12_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next = to | current = from), from consecutive-event
+    pairs (the lag window of w11, here WITHOUT the change filter so
+    self-transitions count).
+
+    The pair log collapses to a (from, to) count table bounded by
+    |event types|²; the row-normalizing totals join broadcast. The
+    probability divides two exact integers, rounded once."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.select("user_id", "event_id", "event_type",
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us"))
+         .withColumn("_prev", F.lag("event_type").over(
+             W.partitionBy("user_id").orderBy("ts_us", "event_id"))))
+    pairs = (d.where(F.col("_prev").isNotNull())
+             .groupBy(F.col("_prev").alias("from_type"),
+                      F.col("event_type").alias("to_type"))
+             .agg(F.count("*").alias("n_pairs")))
+    totals = pairs.groupBy("from_type").agg(F.sum("n_pairs").alias("_t"))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n_pairs",
+                    F.round(F.col("n_pairs")
+                            / F.col("_t").cast("double"), 6)
+                    .alias("p")))
+
+
+W12_TRANSITION_SQL = """
+WITH d AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM d WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+),
+t AS (SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS tt
+      FROM pairs GROUP BY from_type)
+SELECT from_type, to_type, n_pairs,
+       round(n_pairs / CAST(tt AS DOUBLE), 6) AS p
+FROM pairs JOIN t USING (from_type)
+"""
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report over the documents table — the
+    data-quality pass every ingest runs first: per column, null count,
+    exact distinct count, and min/max rendered as strings.
+
+    ONE corpus scan: all per-column aggregates evaluate in a single
+    Aggregate node (null counts and min/max are plain expressions;
+    the distincts share one Expand — |cols|× the scan rows map-side,
+    each branch partial-aggregated before the shuffle). Output is
+    |cols| rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col.cast("string")).alias(f"{c}__min"),
+            F.max(col.cast("string")).alias(f"{c}__max"),
+        ]
+    one = docs.agg(F.count("*").alias("n_rows"), *aggs)
+    struct_rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("n_rows"),
+                 F.col(f"{c}__nulls").alias("n_nulls"),
+                 F.col(f"{c}__distinct").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_str"),
+                 F.col(f"{c}__max").alias("max_str"))
+        for c in _PROFILE_COLS])
+    return (one.select(F.explode(struct_rows).alias("_r"))
+            .select("_r.column", "_r.n_rows", "_r.n_nulls",
+                    "_r.n_distinct", "_r.min_str", "_r.max_str"))
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+  SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         min(CAST({c} AS VARCHAR)) AS min_str,
+         max(CAST({c} AS VARCHAR)) AS max_str
+  FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_SQL = _profile_sql()
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
     "w7_funnel": (w7_funnel, W7_FUNNEL_SQL),
@@ -900,6 +1004,8 @@ MISC_QUERIES: dict[str, tuple] = {
     "w9_anomaly_days": (w9_anomaly_days, W9_ANOMALY_SQL),
     "w10_trend_slope": (w10_trend_slope, W10_TREND_SQL),
     "w11_transitions": (w11_transitions, W11_TRANSITIONS_SQL),
+    "w12_transition_matrix": (w12_transition_matrix, W12_TRANSITION_SQL),
+    "curation_profile": (curation_profile, PROFILE_SQL),
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),
