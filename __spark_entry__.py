@@ -89,6 +89,7 @@ _POST_WINDOW_NEW = [
     "q02_first_supplier", "q12_priority_by_lateness",
     "q07_bination_volume", "q09_profit_by_nation_year",
     "q16_supplier_variety", "w12_transition_matrix", "curation_profile",
+    "skew_salted_distinct",
 ]
 # Only queries with >=2 lifetime green rows rotate out, plus five
 # single-green queries whose plans are pure expression/aggregate

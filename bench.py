@@ -165,9 +165,11 @@ HEADLINE = [
     "q07_bination_volume",
     "q09_profit_by_nation_year",
     "q16_supplier_variety",
-    # round 4 wave 18 — Markov matrix, column-profiling report
+    # round 4 wave 18 — Markov matrix, column-profiling report,
+    # salted two-phase distinct
     "w12_transition_matrix",
     "curation_profile",
+    "skew_salted_distinct",
 ]
 
 

@@ -995,6 +995,22 @@ def _profile_sql() -> str:
 PROFILE_SQL = _profile_sql()
 
 
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users via the value-salted two-phase
+    distinct (operators/skew.py:salted_count_distinct) — the hot-key-
+    safe form of COUNT(DISTINCT); the oracle is the PLAIN distinct, so
+    the gate proves salting changes the plan, not the answer."""
+    from error_analysis_spark.operators import skew as SKW
+    ev = load_table(spark, sf_dir, "events")
+    return SKW.salted_count_distinct(ev, "event_type", "user_id")
+
+
+SALTED_DISTINCT_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 MISC_QUERIES: dict[str, tuple] = {
     "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
     "w7_funnel": (w7_funnel, W7_FUNNEL_SQL),
@@ -1006,6 +1022,7 @@ MISC_QUERIES: dict[str, tuple] = {
     "w11_transitions": (w11_transitions, W11_TRANSITIONS_SQL),
     "w12_transition_matrix": (w12_transition_matrix, W12_TRANSITION_SQL),
     "curation_profile": (curation_profile, PROFILE_SQL),
+    "skew_salted_distinct": (skew_salted_distinct, SALTED_DISTINCT_SQL),
     "sc6_gps_dates": (sc6_gps_dates, SC6_SQL),
     "sc2_catalog_parse": (sc2_catalog_parse, SC2_SQL),
     "f6_percentile_clip": (f6_percentile_clip, F6_SQL),

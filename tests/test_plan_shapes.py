@@ -465,6 +465,17 @@ def test_q16_anti_join_and_single_distinct(spark):
     assert any("p_brand" in p for p in pushed), pushed
 
 
+def test_salted_distinct_two_phase_plan(spark):
+    from error_analysis_spark.plans.queries_misc import skew_salted_distinct
+    spark.catalog.clearCache()
+    plan = _formatted(spark, skew_salted_distinct(spark, SF_DIR))
+    # phase 1 shuffles on (key, salt) — the salt must be IN the first
+    # aggregate's grouping so no reducer owns a whole hot key
+    import re
+    assert re.search(r"Keys \[\d+\]: \[[^\]]*_salt", plan), plan
+    assert "PythonUDF" not in plan, plan
+
+
 def test_drift_psi_bounded_after_one_corpus_agg(spark):
     from error_analysis_spark.extensions.curation import distribution_drift
     docs = load_table(spark, SF_DIR, "documents")

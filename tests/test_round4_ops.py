@@ -780,3 +780,69 @@ def test_sql_surface_matches_dataframe_path(spark):
         WHERE c.c_mktsegment = 'BUILDING'
     """).collect()[0]["n"]
     assert join > 0
+
+
+# ---------------------------------------------------------------- salting
+
+def test_salted_join_equals_plain_join(spark):
+    from error_analysis_spark.operators.skew import salted_join
+    import random
+    rnd = random.Random(3)
+    # hot key 0 holds half the fact
+    fact = spark.createDataFrame(
+        [(0 if i % 2 == 0 else rnd.randrange(1, 20), i)
+         for i in range(2000)], ["k", "payload"])
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(20)], ["k", "attr"])
+    got = salted_join(fact, dim, "k", n_salt=8).toPandas() \
+        .sort_values(["k", "payload"]).reset_index(drop=True)
+    want = fact.join(dim, "k").toPandas() \
+        .sort_values(["k", "payload"]).reset_index(drop=True)
+    assert got[["k", "payload", "attr"]].equals(
+        want[["k", "payload", "attr"]])
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from error_analysis_spark.operators.skew import salted_join
+    fact = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "p"])
+    dim = spark.createDataFrame([(1, "d1")], ["k", "attr"])
+    rows = {r["k"]: r["attr"]
+            for r in salted_join(fact, dim, "k", n_salt=4,
+                                 how="left").collect()}
+    assert rows == {1: "d1", 99: None}
+
+
+def test_salted_join_scatters_hot_key(spark):
+    from error_analysis_spark.operators.skew import salted_join
+    import pyspark.sql.functions as SF
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    # the salt column must actually spread the hot key's rows: rebuild
+    # the internal salt and check >1 slice is populated
+    fact = spark.createDataFrame([(0, i) for i in range(500)],
+                                 ["k", "payload"])
+    salt = SF.pmod(md5_prefix_long(
+        SF.concat_ws("\x1f", SF.col("k").cast("string"),
+                     SF.col("payload").cast("string"))), SF.lit(8))
+    n_slices = fact.select(salt.alias("s")).distinct().count()
+    assert n_slices >= 6, n_slices
+
+
+def test_salted_count_distinct_exact_under_skew(spark):
+    from error_analysis_spark.operators.skew import salted_count_distinct
+    import random
+    rnd = random.Random(5)
+    rows = [("hot", rnd.randrange(0, 700)) for _ in range(5000)] + \
+           [("cold", v) for v in range(30)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r["k"]: r["n_distinct"]
+           for r in salted_count_distinct(df, "k", "v").collect()}
+    exact = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(
+                 __import__("pyspark.sql.functions", fromlist=["x"])
+                 .countDistinct("v").alias("c")).collect()}
+    assert got == exact
+    # partitioning independence
+    got2 = {r["k"]: r["n_distinct"]
+            for r in salted_count_distinct(df.repartition(13),
+                                           "k", "v").collect()}
+    assert got2 == exact
