@@ -666,10 +666,13 @@ def pmi_pairs(docs: DataFrame, vocab_k: int = 40, top_k: int = 20,
         " flatten(transform(_a, (x, i) -> "
         "  transform(slice(_a, i + 2, size(_a)), "
         "   y -> struct(x AS t1, y AS t2)))))")).alias("_p"))
+    # localCheckpoint (eager), not persist: the bounded count table
+    # materializes once and its blocks release with the reference —
+    # a persist here would pin a cache entry per call in long sessions
     counts = (items.select(F.col("_p.t1").alias("t1"),
                            F.col("_p.t2").alias("t2"))
               .groupBy("t1", "t2").agg(F.count("*").alias("n_pair"))
-              .persist())
+              .localCheckpoint())
     dfreq = counts.where(F.col("t2").isNull()) \
         .select(F.col("t1").alias("token"), F.col("n_pair").alias("_df"))
     pairs = counts.where(F.col("t2").isNotNull())

@@ -29,22 +29,36 @@ from error_analysis_spark.extensions.text import md5_prefix_long
 
 
 def salted_join(big: DataFrame, small: DataFrame, key_col: str,
-                n_salt: int = 8, how: str = "inner") -> DataFrame:
+                n_salt: int = 8, how: str = "inner",
+                row_id_col: str | None = None) -> DataFrame:
     """Equi-join with the small side replicated n_salt× and the big
     side scattered by a content-derived salt. Output columns = both
     inputs' columns (the salt is internal). Supports inner/left joins
-    (right/full would need salt-aware null handling)."""
+    (right/full would need salt-aware null handling).
+
+    Limitation: the salt is derived from row CONTENT, so a hot key
+    whose rows are exact byte-for-byte duplicates all hash to one salt
+    and still funnel into a single reducer. When the big side carries
+    a stable per-row discriminator (an ingest row id, file offset,
+    uuid), pass it as `row_id_col` — it is folded into the salt input
+    so even duplicate-content rows scatter, while the salt stays
+    deterministic under retries and repartitioning (which a
+    `rand()`/`monotonically_increasing_id()` salt would not)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
     rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     # content-derived (not random): identical under retries and
     # repartitioning; hot KEYS scatter because their many rows differ
+    salt_cols = [F.col(c).cast("string") for c in big.columns]
+    if row_id_col is not None:
+        if row_id_col not in big.columns:
+            raise ValueError(f"row_id_col {row_id_col!r} not in big side")
+        # listed first so it dominates even when all content ties
+        salt_cols = [F.col(row_id_col).cast("string")] + salt_cols
     salted = big.withColumn(
         "_salt",
-        F.pmod(md5_prefix_long(
-            F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                  for c in big.columns])),
+        F.pmod(md5_prefix_long(F.concat_ws("\x1f", *salt_cols)),
                F.lit(n_salt)).cast("int"))
     out = salted.join(rep, [key_col, "_salt"], how)
     return out.drop("_salt")

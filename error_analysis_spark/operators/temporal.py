@@ -224,7 +224,7 @@ def anomaly_days(events: DataFrame, key_col: str = "event_type",
     The corpus collapses to daily counts first (one shuffle, output
     bounded by keys × days), so the trailing window runs over the
     bounded count table, never raw events. The z-test is EXACT integer
-    arithmetic — (x·n − S)² > z²·(n·Q − S²)·n is the cross-multiplied
+    arithmetic — (x·n − S)² > z²·(n·Q − S²) is the cross-multiplied
     form of ((x−μ)/σ)² > z² with μ=S/n, σ²=(nQ−S²)/n² — in
     decimal(38,0) so no float mean/stddev crosses engines and no sqrt
     is needed. Frames shorter than `min_baseline` days are warm-up and
@@ -257,7 +257,7 @@ def anomaly_days(events: DataFrame, key_col: str = "event_type",
     big = lambda c: c.cast("decimal(38,0)")
     x, n, s, q = (F.col("n_events"), F.col("_n"), F.col("_s"), F.col("_q"))
     dev2 = (big(x) * n - big(s)) * (big(x) * n - big(s))
-    var_n = (big(n) * q - big(s) * s) * n
+    var_n = big(n) * q - big(s) * s
     day = F.date_add(F.lit("1970-01-01").cast("date"),
                      F.col("_epoch_day").cast("int")).alias("day")
     base_cols = [F.col(key_col), day, F.col("n_events"),

@@ -800,7 +800,7 @@ e AS (
   SELECT event_type, ed, n_events, n, s,
          (CAST(n_events AS HUGEINT) * n - s)
          * (CAST(n_events AS HUGEINT) * n - s) AS dev2,
-         (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * n AS var_n
+         CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS var_n
   FROM d WHERE n >= {_ANOM_MIN}
 )
 SELECT event_type,

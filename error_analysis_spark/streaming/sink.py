@@ -15,7 +15,13 @@ record the batch id durably WITH the data:
   under `markers/`, never overwritten): a crash mid-marker-write
   leaves the previous marker intact, so recovery re-applies the batch
   instead of ever losing the snapshot. Only markers whose `_SUCCESS`
-  file exists count; a torn marker write is invisible.
+  file exists count; a torn marker write is invisible. After each
+  committed write the sink COMPACTS the marker log — the newest
+  `_MARKER_KEEP` committed markers are retained, older ones deleted —
+  so a long-running stream's marker listing (one driver-side listdir +
+  1-row parquet read per batch) stays O(K), not O(batches). Recovery
+  only ever reads the newest committed marker, so retention ≥ 1 is
+  safe; K > 1 just keeps an audit tail.
 - data generations ping-pong between two dirs (`gen_a`/`gen_b`): the
   write always targets the NON-live generation, so the live snapshot
   is never the directory being overwritten.
@@ -40,6 +46,10 @@ from pyspark.sql import functions as F
 from error_analysis_spark.extensions.curation import merge_upsert
 
 _PAYLOAD = ("text", "lang", "source", "n_chars")
+
+# committed markers retained after each batch (newest-first); older
+# markers are audit history only — recovery reads just the newest
+_MARKER_KEEP = 8
 
 
 def _markers_dir(snap_dir: str) -> str:
@@ -114,7 +124,28 @@ def apply_batch(spark: SparkSession, snap_dir: str,
     (spark.createDataFrame([(nxt, batch_id)], "gen string, batch_id long")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(_markers_dir(snap_dir), f"b{batch_id:020d}")))
+    _compact_markers(snap_dir)
     return True
+
+
+def _compact_markers(snap_dir: str, keep: int = _MARKER_KEEP) -> None:
+    """Delete committed markers older than the newest `keep` — bounds
+    the marker log over a long-running stream. Uncommitted (torn) dirs
+    older than the newest committed marker are dead and removed too;
+    anything at or past it is left alone (it may be mid-write)."""
+    import shutil
+    mdir = _markers_dir(snap_dir)
+    if not os.path.isdir(mdir):
+        return
+    names = sorted(os.listdir(mdir))
+    committed = [d for d in names
+                 if os.path.exists(os.path.join(mdir, d, "_SUCCESS"))]
+    if not committed:
+        return
+    cutoff = committed[-keep] if len(committed) > keep else committed[0]
+    for d in names:
+        if d < cutoff or (d < committed[-1] and d not in committed):
+            shutil.rmtree(os.path.join(mdir, d), ignore_errors=True)
 
 
 def upsert_sink(snap_dir: str):

@@ -648,6 +648,32 @@ def test_anomaly_flags_collapse_too(spark):
                for r in out), out
 
 
+def test_anomaly_sigma_calibration_nonzero_variance(spark):
+    """4-sigma spike flags at z=3, 2-sigma does not — on a baseline with
+    KNOWN nonzero variance (alternating 90/110 → mu=100, sigma=10).
+    Guards the exact cross-multiplied form (xn-S)^2 > z^2(nQ-S^2): the
+    pre-fix formula carried an extra factor n, so the threshold only
+    fired at z*sqrt(n) sigma and this 4-sigma spike went unflagged."""
+    from datetime import datetime, timedelta
+    from error_analysis_spark.operators.temporal import anomaly_days
+    base = datetime(2024, 1, 1)
+    rows = []
+    for key, spike in (("hot", 140), ("mild", 120)):  # +4s / +2s
+        for d in range(28):
+            n = 90 if d % 2 == 0 else 110
+            for i in range(n):
+                rows.append((key, base + timedelta(days=d, seconds=i)))
+        for i in range(spike):
+            rows.append((key, base + timedelta(days=28, seconds=i)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = anomaly_days(df, trailing_days=28, z=3, min_baseline=14) \
+        .collect()
+    flagged = {(r["event_type"], str(r["day"])) for r in out}
+    assert ("hot", "2024-01-29") in flagged, out
+    assert ("mild", "2024-01-29") not in flagged, out
+    assert len(flagged) == 1, out
+
+
 def test_centroid_eval_beats_chance_and_is_partition_stable(spark):
     from error_analysis_spark.extensions.similarity import \
         nearest_centroid_eval
@@ -846,3 +872,34 @@ def test_salted_count_distinct_exact_under_skew(spark):
             for r in salted_count_distinct(df.repartition(13),
                                            "k", "v").collect()}
     assert got2 == exact
+
+
+def test_salted_join_row_id_scatters_duplicate_content(spark):
+    """Exact-duplicate rows of a hot key hash to ONE salt from content
+    alone; folding a row-id discriminator spreads them (and the join
+    answer is unchanged)."""
+    from error_analysis_spark.operators.skew import salted_join
+    import pyspark.sql.functions as SF
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    fact = spark.createDataFrame([(0, "same", i) for i in range(500)],
+                                 ["k", "payload", "rid"])
+    dim = spark.createDataFrame([(0, "d0")], ["k", "attr"])
+    content_only = fact.select(SF.pmod(md5_prefix_long(
+        SF.concat_ws("\x1f", SF.col("k").cast("string"),
+                     SF.col("payload").cast("string"))),
+        SF.lit(8)).alias("s")).distinct().count()
+    assert content_only == 1  # the documented funnel
+    with_rid = fact.select(SF.pmod(md5_prefix_long(
+        SF.concat_ws("\x1f", SF.col("rid").cast("string"),
+                     SF.col("k").cast("string"),
+                     SF.col("payload").cast("string"),
+                     SF.col("rid").cast("string"))),
+        SF.lit(8)).alias("s")).distinct().count()
+    assert with_rid >= 6, with_rid
+    got = salted_join(fact, dim, "k", n_salt=8,
+                      row_id_col="rid").toPandas() \
+        .sort_values("rid").reset_index(drop=True)
+    want = fact.join(dim, "k").toPandas() \
+        .sort_values("rid").reset_index(drop=True)
+    assert got[["k", "payload", "rid", "attr"]].equals(
+        want[["k", "payload", "rid", "attr"]])

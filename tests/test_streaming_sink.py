@@ -83,3 +83,24 @@ def test_duplicate_keys_within_batch_resolve_deterministically(spark,
                         (2, "q", "en", "s", 1, "upsert")])
     SK.apply_batch(spark, str(d), b1, batch_id=1)
     assert _snap(spark, d) == [(2, "q")]
+
+
+def test_marker_log_is_compacted(spark, tmp_path):
+    import os
+    d = tmp_path / "snap4"
+    for b in range(SK._MARKER_KEEP + 5):
+        SK.apply_batch(spark, str(d),
+                       _batch(spark, [(b, f"t{b}", "en", "s", 1,
+                                       "upsert")]), batch_id=b)
+    mdir = SK._markers_dir(str(d))
+    names = sorted(os.listdir(mdir))
+    assert len(names) == SK._MARKER_KEEP, names
+    # the newest marker survives and recovery still reads it
+    assert names[-1] == f"b{SK._MARKER_KEEP + 4:020d}"
+    gen, last = SK._live(spark, str(d))
+    assert last == SK._MARKER_KEEP + 4
+    # replay detection still works after compaction
+    assert SK.apply_batch(spark, str(d),
+                          _batch(spark, [(0, "X", "en", "s", 1,
+                                          "upsert")]), batch_id=3) is False
+    assert len(_snap(spark, d)) == SK._MARKER_KEEP + 5
