@@ -53,7 +53,8 @@ def doc_tokens(df: DataFrame, text_col: str = "text",
 
 
 def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
-                         id_col: str, max_df: int | None) -> DataFrame:
+                         id_col: str,
+                         max_df: int | float | None) -> DataFrame:
     """Shared candidate-generation + exact-verify pipeline behind the
     set-overlap near-dup operators (`jaccard_pairs`,
     `containment_pairs`): inverted-index self-join on shared tokens
@@ -83,7 +84,24 @@ def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
         )
     else:
         tok_df = toks.groupBy("token").agg(F.count("*").alias("df"))
-        posting = toks.join(tok_df.where(F.col("df") <= max_df), "token")
+        if isinstance(max_df, float):
+            # fractional cap: max(1, floor(n_docs * frac)) resolved
+            # INSIDE the plan via a 1-row broadcast — no eager
+            # df.count() corpus pass per invocation (the count(*)
+            # reduces from parquet row-group stats in the same job)
+            if not 0.0 < max_df <= 1.0:
+                raise ValueError(f"fractional max_df must be in (0,1], "
+                                 f"got {max_df}")
+            nd = df.agg(F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.count("*") * max_df).cast("long"))
+                .alias("_max_df"))
+            tok_df = (tok_df.crossJoin(F.broadcast(nd))
+                      .where(F.col("df") <= F.col("_max_df"))
+                      .drop("_max_df"))
+        else:
+            tok_df = tok_df.where(F.col("df") <= max_df)
+        posting = toks.join(tok_df, "token")
         pa = posting.select(F.col("id").alias("id_a"), "token")
         pb = posting.select(F.col("id").alias("id_b"), "token")
         cand = (pa.join(pb, "token")
@@ -110,7 +128,8 @@ def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.5, max_df: int | None = None) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_df: int | float | None = None) -> DataFrame:
     """N-gram/token Jaccard near-dup: inverted-index self-join on shared
     tokens → |A∩B| per pair → J = inter/(|A|+|B|−inter) ≥ threshold.
 
@@ -535,7 +554,7 @@ def incremental_dedup(corpus: DataFrame, delta: DataFrame,
 
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.8,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | float | None = None) -> DataFrame:
     """Asymmetric near-dup by token-set CONTAINMENT: flag a pair when
     the smaller set sits (mostly) inside the larger — cont(A→B) =
     |A∩B| / |A|. Jaccard misses exactly this case (a paragraph pasted

@@ -391,7 +391,9 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 10,
 def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
                    threshold: float = 0.95, seed: int = 42,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   assignments: DataFrame | None = None,
+                   quantize: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): KMeans the embedding space into semantic cells,
     compute cosine similarity ONLY within a cell, and greedily drop
@@ -412,25 +414,53 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
     math, bounded memory). Misses can only happen across cell
     boundaries — the recall/cost dial is `n_clusters`, exactly as in
     the paper.
+
+    `assignments` injects a precomputed (id, cluster_id) cell table in
+    place of the KMeans fit (any coarse quantizer works — SemDeDup's
+    greedy drop is agnostic to how cells were formed); `n_clusters`/
+    `seed` are ignored then. With `quantize=q`, components are
+    fixed-pointed to 1e-q via floor(x·10^q + 0.5) and similarities
+    computed as exact-integer dot products divided by sqrt-norms —
+    every sim is then a deterministic function of the quantized ints
+    (one IEEE sqrt/mul/div chain), reproducible bit-for-bit across
+    engines, which is what lets the whole operator be oracle-checked
+    in DuckDB (plans/queries_ext.py:SEMANTIC_DEDUP_SQL).
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     ds = embeddings.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("varr"),
-    ).withColumn("features", array_to_vector("varr"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
-                   predictionCol="cluster_id").fit(ds)
-    assigned = model.transform(ds).select("id", "cluster_id", "varr")
+    )
+    if assignments is not None:
+        assigned = ds.join(
+            assignments.select(F.col("id"),
+                               F.col("cluster_id").cast("int")
+                               .alias("cluster_id")), "id")
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = ds.withColumn("features", array_to_vector("varr"))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
+                       predictionCol="cluster_id").fit(feat)
+        assigned = model.transform(feat).select("id", "cluster_id", "varr")
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
         m = np.stack(pdf["varr"].to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        sims = np.round(m @ m.T, 6)
+        if quantize is None:
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-300)
+            sims = np.round(m @ m.T, 6)
+        else:
+            # exact-integer dots (|q|<=~1e6, 64 dims → far below 2^53),
+            # then ONE IEEE sqrt/mul/div per pair — deterministic
+            q = np.floor(m * 10.0 ** quantize + 0.5).astype(np.int64)
+            dots = (q @ q.T).astype(np.float64)
+            d = np.sqrt(np.diag(dots))
+            sims = dots / np.maximum(np.outer(d, d), 1e-300)
         n = len(pdf)
         kept_idx: list[int] = []
         keep = np.zeros(n, dtype=bool)
@@ -443,6 +473,63 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
 
     return (assigned.groupBy("cluster_id")
             .applyInPandas(greedy, "id long, cluster_id int, keep boolean"))
+
+
+def seed_cell_assignments(embeddings: DataFrame, n_cells: int = 8,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          quantize: int = 6) -> DataFrame:
+    """Deterministic, fully-relational coarse quantizer: the `n_cells`
+    vectors with the smallest md5(id) act as seed centroids, and every
+    vector joins the seed with the highest fixed-point cosine (ties →
+    lowest seed rank). Same cells-as-IVF shape as the KMeans quantizer
+    in `semantic_dedup`/`ivf_topk` (broadcast |cells|×dims centroid
+    table + one argmax aggregate, no iteration), with worse cell
+    quality but zero non-relational steps — which is what makes the
+    SemDeDup pipeline oracle-checkable end-to-end in DuckDB.
+
+    Components are fixed-pointed via floor(x·10^q + 0.5) so every dot
+    product is an exact integer and every cosine one deterministic IEEE
+    sqrt/mul/div chain — bit-equal across engines and partitionings.
+
+    Returns (id, cluster_id) with cluster_id in 1..n_cells."""
+    from pyspark.sql import Window
+
+    def fp(c: Column) -> Column:
+        return F.transform(c, lambda x: F.floor(
+            x.cast("double") * F.lit(10.0 ** quantize) + F.lit(0.5))
+            .cast("long"))
+
+    def dot(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    base = (embeddings
+            .select(F.col(id_col).alias("id"), fp(F.col(vec_col)).alias("q"))
+            .withColumn("nn", dot("q", "q")))
+    seeds = (base.select(F.col("id").alias("seed_id"),
+                         F.col("q").alias("sq"), F.col("nn").alias("ns"),
+                         md5_prefix_long(F.col("id").cast("string"))
+                         .alias("_h"))
+             .orderBy("_h", "seed_id").limit(n_cells)
+             .withColumn("cluster_id",
+                         F.row_number().over(Window.orderBy("_h", "seed_id"))
+                         .cast("int"))
+             .drop("_h"))
+    cos = F.when((F.col("nn") > 0) & (F.col("ns") > 0),
+                 dot("q", "sq").cast("double")
+                 / (F.sqrt(F.col("nn").cast("double"))
+                    * F.sqrt(F.col("ns").cast("double")))) \
+        .otherwise(F.lit(0.0))
+    pick = F.max(F.struct(F.col("_c").alias("c"),
+                          (-F.col("cluster_id")).alias("nr"),
+                          F.col("cluster_id").alias("r"))).alias("_m")
+    return (base.crossJoin(F.broadcast(seeds))
+            .withColumn("_c", cos)
+            .groupBy("id").agg(pick)
+            .select("id", F.col("_m.r").alias("cluster_id")))
 
 
 def label_centroids(embeddings: DataFrame, label_col: str = "label",

@@ -50,9 +50,10 @@ _J_MAXDF_FRAC = 0.5
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # fractional max_df resolves in-plan (1-row broadcast), no eager
+    # docs.count() corpus pass per invocation
     return DD.jaccard_pairs(docs, threshold=_J_THRESH,
-                            max_df=max(1, int(n_docs * _J_MAXDF_FRAC)))
+                            max_df=_J_MAXDF_FRAC)
 
 
 DEDUP_JACCARD_SQL = f"""
@@ -1380,14 +1381,99 @@ FROM lp GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
-# SemDeDup semantic dedup (rows-only: the KMeans cell assignment is not
-# SQL-expressible; correctness is pinned by the brute-force greedy
-# parity test in tests/test_similarity_scale.py)
+# SemDeDup semantic dedup — oracle-gated end-to-end since r5: the query
+# variant swaps the KMeans coarse quantizer for the deterministic
+# seed-cell assignment (similarity.py:seed_cell_assignments — md5-ranked
+# seed vectors, argmax fixed-point cosine, fully relational) and runs
+# the SAME within-cell greedy min-id drop with quantize=6, so every
+# similarity is an exact-integer dot over one IEEE sqrt/mul/div chain
+# and DuckDB restates the whole pipeline (greedy = recursive CTE over
+# the per-cell id order). The KMeans default path keeps its brute-force
+# greedy-parity test in tests/test_similarity_scale.py.
 # --------------------------------------------------------------------------
+
+_SEM_CELLS = 8
+# the synthetic embeddings carry no true near-dups (max pairwise
+# cosine ~0.51), so the query pins a demo threshold that exercises the
+# greedy drop chain (~13% dropped); SemDeDup epsilon is corpus-tuned in
+# practice (arXiv:2303.09540 SS4)
+_SEM_THRESH = 0.35
+_SEM_Q = 6
+
 
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, n_clusters=8, threshold=0.95, seed=42)
+    cells = SIM.seed_cell_assignments(emb, n_cells=_SEM_CELLS,
+                                      quantize=_SEM_Q)
+    return SIM.semantic_dedup(emb, threshold=_SEM_THRESH,
+                              assignments=cells, quantize=_SEM_Q)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1e{_SEM_Q} + 0.5)) AS q
+  FROM embeddings
+),
+sd AS (SELECT id, q, list_inner_product(q, q) AS nn FROM q),
+seeds AS (
+  SELECT id AS seed_id, q AS sq, nn AS ns,
+         CAST(row_number() OVER (ORDER BY h, id) AS INT) AS cluster_id
+  FROM (SELECT *,
+               ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM sd ORDER BY h, id LIMIT {_SEM_CELLS})
+),
+cosv AS (
+  SELECT v.id, s.cluster_id,
+         CASE WHEN v.nn > 0 AND s.ns > 0
+              THEN list_inner_product(v.q, s.sq) / (sqrt(v.nn) * sqrt(s.ns))
+              ELSE 0.0 END AS c
+  FROM sd v CROSS JOIN seeds s
+),
+assign AS (
+  SELECT id, cluster_id
+  FROM (SELECT id, cluster_id,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY c DESC, cluster_id) AS rn
+        FROM cosv) t WHERE rn = 1
+),
+members AS (
+  SELECT a.id, a.cluster_id, v.q, v.nn FROM assign a JOIN sd v USING (id)
+),
+thr AS (
+  SELECT x.cluster_id, x.id AS id_lo, y.id AS id_hi
+  FROM members x JOIN members y
+    ON x.cluster_id = y.cluster_id AND x.id < y.id
+  WHERE x.nn > 0 AND y.nn > 0
+    AND list_inner_product(x.q, y.q) / (sqrt(x.nn) * sqrt(y.nn))
+        >= {_SEM_THRESH}
+),
+conf AS (
+  SELECT cluster_id, id_hi AS id, list(id_lo ORDER BY id_lo) AS lo
+  FROM thr GROUP BY cluster_id, id_hi
+),
+ranked AS (
+  SELECT m.cluster_id, m.id,
+         row_number() OVER (PARTITION BY m.cluster_id ORDER BY m.id) AS rk,
+         coalesce(c.lo, CAST([] AS BIGINT[])) AS lo
+  FROM members m LEFT JOIN conf c
+    ON c.cluster_id = m.cluster_id AND c.id = m.id
+),
+rec AS (
+  SELECT cluster_id, rk, id, TRUE AS keep, [id] AS kept
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.cluster_id, r.rk, r.id,
+         NOT list_has_any(s.kept, r.lo) AS keep,
+         CASE WHEN list_has_any(s.kept, r.lo) THEN s.kept
+              ELSE list_append(s.kept, r.id) END AS kept
+  FROM rec s JOIN ranked r
+    ON r.cluster_id = s.cluster_id AND r.rk = s.rk + 1
+)
+SELECT id, cluster_id, keep FROM rec
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2152,9 +2238,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local set verify; aggregated per containing doc (the raw pair
     set is large on this self-similar synthetic corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     pairs = DD.containment_pairs(docs, threshold=_CONT_THRESH,
-                                 max_df=max(1, int(n_docs * 0.5)))
+                                 max_df=0.5)
     # report per doc: in how many pairs it CONTAINS the partner
     contains = F.when(
         (F.col("cont_a") >= _CONT_THRESH)
@@ -2757,7 +2842,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "curation_weighted_sample": (curation_weighted_sample,
                                  WEIGHTED_SAMPLE_SQL),
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_SQL),
-    "sim_semantic_dedup": (sim_semantic_dedup, None),
+    "sim_semantic_dedup": (sim_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "text_perplexity": (text_perplexity, PERPLEXITY_SQL),
     "text_normalize": (text_normalize, NORMALIZE_SQL),
     "text_oov_rate": (text_oov_rate, OOV_SQL),

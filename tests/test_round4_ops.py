@@ -903,3 +903,17 @@ def test_salted_join_row_id_scatters_duplicate_content(spark):
         .sort_values("rid").reset_index(drop=True)
     assert got[["k", "payload", "rid", "attr"]].equals(
         want[["k", "payload", "rid", "attr"]])
+
+
+def test_fractional_max_df_equals_int_cap(spark, docs):
+    """max_df=0.5 (in-plan 1-row broadcast) must yield exactly the
+    pairs of max_df=int(n*0.5) (the eager-count form it replaced)."""
+    from error_analysis_spark.extensions.dedup import containment_pairs
+    n = docs.count()
+    a = containment_pairs(docs, threshold=0.8, max_df=0.5)
+    b = containment_pairs(docs, threshold=0.8,
+                          max_df=max(1, int(n * 0.5)))
+    pa = sorted(map(tuple, a.select("id_a", "id_b", "inter").collect()))
+    pb = sorted(map(tuple, b.select("id_a", "id_b", "inter").collect()))
+    a.unpersist(); b.unpersist()
+    assert pa == pb and len(pa) > 0

@@ -203,3 +203,16 @@ def test_semantic_dedup_drops_planted_dups(spark):
         for base_pos in range(0, len(fam), 3):
             trio = fam[base_pos:base_pos + 3]
             assert set(trio) & kept == {min(trio)}
+
+
+def test_seed_cells_partitioning_independent(spark):
+    from error_analysis_spark.extensions.similarity import \
+        seed_cell_assignments
+    from tests.conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {r["id"]: r["cluster_id"]
+         for r in seed_cell_assignments(emb, n_cells=8).collect()}
+    b = {r["id"]: r["cluster_id"]
+         for r in seed_cell_assignments(
+             emb.repartition(13, "label"), n_cells=8).collect()}
+    assert a == b and len(set(a.values())) == 8
