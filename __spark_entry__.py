@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from error_analysis_spark.plans.queries_core import CORE_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_ext import EXT_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_misc import MISC_QUERIES  # noqa: E402
+from error_analysis_spark.plans.queries_packs import (  # noqa: E402
+    PACK_QUERIES, PACKED_MEMBERS)
 from error_analysis_spark.plans.queries_raster import RASTER_QUERIES  # noqa: E402
 from error_analysis_spark.plans.queries_vario import VARIO_QUERIES  # noqa: E402
 
@@ -31,6 +33,12 @@ _MERGED.update(VARIO_QUERIES)
 _MERGED.update(RASTER_QUERIES)
 _MERGED.update(MISC_QUERIES)
 _MERGED.update(EXT_QUERIES)
+# consolidation (round 5, VERDICT r4 #3): families of single queries
+# fuse into packs whose value hash covers every member's full result;
+# members keep their functions/tests but leave the DECLARED registry
+for _m in PACKED_MEMBERS:
+    del _MERGED[_m]
+_MERGED.update(PACK_QUERIES)
 
 # The driver oracle-checks the FIRST 50 declared queries, so declaration
 # order is a verification budget. Policy (COVERAGE.md "verification
@@ -39,97 +47,59 @@ _MERGED.update(EXT_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # round-3 rotate-out returns (unverified in r03 — re-verify now)
-    "a8_rms", "a16_sym_bounds", "sc4_json_extract",
-    "f5_valid_filter", "so2_anti_join", "f1_drop_noise",
-    "a6_median_bias", "a14_closed_form", "a15_param_percentiles",
-    "f6_percentile_clip", "sc_scalar_pack", "sc6_gps_dates",
-    "sc2_catalog_parse", "so3_full_outer", "a5_mean_variogram",
-    "a1_describe_events", "a7_bootstrap_median", "f2_keep_ground",
-    "q01_pricing_summary", "text_fingerprint",
-    "text_token_stats", "text_quality", "sim_cosine_topk",
-    "sim_semantic_dedup",  # rows-only weak check, deferred from r03
-    # new in r04
-    "text_normalize", "text_oov_rate", "text_contam_bloom",
-    "curation_domain_cap", "w5_rolling_stats", "sketch_grouped_quantiles",
-    "q03_top_orders",
-    # new in r04 wave 2
-    "curation_split", "curation_length_buckets", "sketch_cms_err",
-    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
-    # new in r04 wave 3
-    "text_bigram_ppl", "emb_covariance", "curation_data_card",
-    "w7_funnel", "w8_retention",
-    # new in r04 wave 4
-    "q05_region_volume", "text_tfidf_topk",
-    # new in r04 wave 5
-    "q10_returned_revenue", "dedup_containment",
-    # new in r04 wave 6
-    "q06_forecast_revenue", "q14_promo_revenue",
-    # changed in r04 (eager pair cache / oracle NULL-quality parity)
-    "dedup_jaccard", "curation_quality_prune",
-]
-# r04 waves 7+ land AFTER the window: every front slot is held by an
-# r03-unverified return or an earlier r04 query, and the policy forbids
-# bumping those. The merge loop below places them at positions 51+ —
-# first in the r05 window — and the full declared set is locally
-# oracle-verified per-commit by tests/test_oracle.py under the driver's
-# own compare semantics, so they ship with a local green, not no
-# signal. The explicit roster (pinned by test_registry_window_policy so
-# nothing lands outside the window unplanned):
-_POST_WINDOW_NEW = [
-    "q04_priority_exists", "q13_order_distribution",
-    "q19_disjunctive_revenue", "curation_drift_psi",
-    "q17_small_qty_revenue", "q18_large_orders", "q15_top_supplier",
-    "q22_idle_balance", "q21_sole_late_supplier",
-    "q11_value_concentration", "sketch_hll_distinct",
-    "curation_argmax_doc", "olap_cube_counts", "q20_dominant_supplier",
-    "w9_anomaly_days", "emb_centroid_eval", "q08_market_share",
+    # r04 waves 7-19 that declared past the window (local greens only,
+    # per the documented plan) — driver-green them first
+    "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
+    "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
     "curation_pareto", "curation_checksum", "curation_merge_upsert",
-    "q02_first_supplier", "q12_priority_by_lateness",
-    "q07_bination_volume", "q09_profit_by_nation_year",
-    "q16_supplier_variety", "w12_transition_matrix", "curation_profile",
-    "skew_salted_distinct",
+    "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
+    # new in r05: consolidation packs — each green re-verifies every
+    # member (incl. the 16 post-window TPC-H shapes and 26 r03-green
+    # rotate-out members)
+    "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
+    "text_doc_pack", "s8_grid_pack", "mm_pack", "dedup_sig_pack",
+    "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
+    "dedup_cluster_pack", "text_sketch_pack", "emb_pack",
+    "temporal_pack",
+    # changed in r05: full oracle for the former rows-only entry;
+    # in-plan fractional max_df for the near-dup caps; w9 z-test fix
+    # (w9_anomaly_days already listed above)
+    "sim_semantic_dedup", "dedup_jaccard", "dedup_containment",
+    # r04 rotate-out returns not covered by a pack (r03 greens,
+    # unverified in r04 — re-verify now)
+    "a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
+    "r7_polygonize", "j1_r4_dod", "a13_zone_pixel_counts",
+    "sc16_utm_roundtrip", "r1_geoid_shift", "curation_funnel",
+    "curation_domain_weights", "curation_weighted_sample",
+    "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
+    # new sources/sinks promoted into the oracle contract (r05 wave 4)
+    "ingest_csv_quarantine", "ingest_compaction",
 ]
-# Only queries with >=2 lifetime green rows rotate out, plus five
-# single-green queries whose plans are pure expression/aggregate
-# pipelines unchanged since their green (pii regexp, quantize
-# expressions, chunk windows narrow fan-out, KMV rank, as-of window);
-# the rest of the r03 wave stays in-window to earn a second green.
-_ROTATE_OUT = ["a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
-               "s8_grid_max", "s8_grid_idw", "r7_polygonize", "j1_r4_dod",
-               "sigma_a_zones", "a13_zone_pixel_counts", "sc16_utm_roundtrip",
-               "r1_geoid_shift", "dedup_exact", "dedup_minhash_sigs",
-               "text_lang_id", "dedup_simhash", "dedup_minhash_lsh",
-               "sim_pairwise_topk", "dedup_embedding", "mm_payload_stats",
-               "mm_features", "dedup_components", "text_token_count_bpe",
-               "curation_funnel",
-               "text_pii_scrub", "emb_quantize_stats", "text_chunk_windows",
-               "sketch_kmv_distinct", "j10_asof_join",
-               "curation_domain_weights", "text_contamination",
-               "text_vocab_topk",
-               # r04 wave-2 makes room: single-green r03 queries whose
-               # plans are unchanged since their green (seeded-kernel
-               # uncertainty estimators, native session_window, the
-               # map-side sampler and the two bucket-scan queries)
-               "sigma_a_brute", "sigma_a_hugonnet", "w4_sessionize",
-               "curation_sample_mix", "curation_train_order",
-               "curation_pack_chunks",
-               # r04 wave-3 makes room: single-green r03 queries with
-               # unchanged plans (fused repetition aggregate, BM25
-               # top-k, the persisted-index incremental dedup, A-ES
-               # sampler, label centroids)
-               "text_repetition", "text_bm25_topk", "dedup_incremental",
-               "curation_weighted_sample", "emb_label_centroids",
-               # r04 wave-4 makes room (single-green r03, plans
-               # unchanged: gram-hash rollup, token-shipping rewrite)
-               "text_dup_ngrams", "text_perplexity",
-               # r04 wave-5 makes room (consolidated r03-green mask
-               # algebra, sim_lsh_topk unchanged since its r03 fix)
-               "so_mask_algebra", "sim_lsh_topk",
-               # r04 wave-6 makes room (consolidated r03-green focal
-               # and fill families, plans unchanged since their green)
-               "r2_focal_all", "r3_fill_all"]
+# Nothing declares past the window this round: consolidation brought
+# the registry to 50 + |_ROTATE_OUT| names.
+_POST_WINDOW_NEW: list[str] = []
+# The rotate-out tail: exactly the r04-green window queries that are
+# unchanged this round (every one carries a green CORRECTNESS_r04 row,
+# so no query goes unverified two rounds running). They are next
+# round's re-verification set.
+_ROTATE_OUT = [
+    "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
+    "so2_anti_join", "f1_drop_noise", "a6_median_bias",
+    "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
+    "sc_scalar_pack", "sc6_gps_dates", "sc2_catalog_parse",
+    "so3_full_outer", "a5_mean_variogram", "a1_describe_events",
+    "a7_bootstrap_median", "f2_keep_ground", "text_fingerprint",
+    "text_token_stats", "text_quality", "sim_cosine_topk",
+    "text_normalize", "text_oov_rate", "text_contam_bloom",
+    "curation_domain_cap", "w5_rolling_stats",
+    "sketch_grouped_quantiles", "curation_split",
+    "curation_length_buckets", "sketch_cms_err",
+    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
+    "text_bigram_ppl", "emb_covariance", "curation_data_card",
+    "w7_funnel", "w8_retention", "text_tfidf_topk",
+    "curation_quality_prune",
+]
 
 _ALL: dict[str, tuple] = {}
 for _n in _FRONT:
@@ -154,7 +124,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented query family from SURVEY.md §2."""
     out = {}
     for name, (fn, _sql) in _ALL.items():
         def wrapped(spark, sf_dir, _fn=fn):

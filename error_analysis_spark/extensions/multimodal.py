@@ -82,7 +82,84 @@ def _i(v) -> int | None:
 
 
 # --------------------------------------------------------------------------
-# decode stub — the ONE function a real deployment replaces
+# real byte-parsing decoders for the two trivial uncompressed image
+# formats (pure numpy — no codec library needed), then the stub
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → H×W×3 uint8. Real byte parsing:
+    whitespace-delimited header with '#' comment lines, then raw RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: three ints after the magic, skipping comments
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # single whitespace byte after maxval
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """H×W×3 uint8 → binary PPM bytes (the test-side inverse)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → H×W×3 uint8 (BGR→RGB, bottom-up rows,
+    4-byte row padding — the real on-disk layout)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+    return (img[::-1] if bottom_up else img).copy()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """H×W×3 uint8 → uncompressed 24-bit BMP bytes (test-side inverse)."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    data = rows.tobytes()
+    header = (b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") * 2
+              + (0).to_bytes(4, "little") * 2)
+    return header + data
+
+
+# --------------------------------------------------------------------------
+# decode dispatch — a real deployment replaces only the codec branch
 # --------------------------------------------------------------------------
 
 def decode_payload(payload: bytes, kind: str, width: int | None,
@@ -91,10 +168,22 @@ def decode_payload(payload: bytes, kind: str, width: int | None,
     """Decode an asset payload to an array (image: H×W×3 uint8, audio:
     float32[n], video: F×H×W×3 uint8).
 
-    Tries real codecs first; without them (this container), produces a
-    DETERMINISTIC fake derived from the payload bytes — same payload ⇒
-    same array on any executor, so downstream features are testable.
+    Image order: real in-container parsers first (uncompressed PPM/BMP
+    by magic bytes — actual byte-level decoding, no codec library),
+    then PIL if present (png/jpeg/...), then the DETERMINISTIC fake
+    derived from the payload bytes — same payload ⇒ same array on any
+    executor, so downstream features stay testable either way.
     """
+    if kind == "image":
+        try:
+            if payload[:2] == b"P6":
+                return decode_ppm(payload)
+            if payload[:2] == b"BM":
+                return decode_bmp(payload)
+        except (ValueError, IndexError):
+            # corrupt/truncated shard: fall through (a real pipeline
+            # quarantines these rows, it never fails the whole job)
+            pass
     if _PIL is not None and kind == "image":  # pragma: no cover
         import io
         try:

@@ -9,6 +9,8 @@ even the MinHash signatures are oracle-checked, not just row-counted.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2796,7 +2798,151 @@ GROUP BY action
 """
 
 
+# --------------------------------------------------------------------------
+# Ingest sources/sinks promoted into the oracle contract (r05 wave 4):
+# the CSV quarantine scan and the small-files compaction sink, each
+# driven end-to-end through real files and pinned by content checksums
+# the DuckDB oracle restates from the documents view.
+# --------------------------------------------------------------------------
+
+_CSV_SEP = "\x1f"
+
+
+def _ingest_tmp(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    import hashlib as _hl
+    import tempfile
+    # per-(session, sf) path: deterministic within a session (repeat
+    # invocations overwrite, not accumulate) but isolated across
+    # concurrent sessions (driver verify + local pytest would otherwise
+    # race on the same directory)
+    tag = _hl.md5(f"{spark.sparkContext.applicationId}:{sf_dir}"
+                  .encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"eas_{kind}_{tag}")
+
+
+def ingest_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quarantine source (sources/ingest.py:read_documents_csv)
+    driven end-to-end: the documents table is re-shipped as \\x1f-
+    separated CSV text with every doc_id ≡ 0 (mod 13) line corrupted
+    (non-numeric id field), read back schema-pinned in PERMISSIVE mode
+    with `_corrupt_record` quarantine, and summarized as per-(source,
+    lang) good-row stats plus one quarantine row. The md5-XOR over
+    (id, text) on the good side and over the RAW line on the
+    quarantine side prove byte-identical parsing and raw-line capture;
+    the oracle restates both from the parquet view."""
+    from error_analysis_spark.extensions.text import md5_prefix_long
+    from error_analysis_spark.sources import ingest as IG
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = _ingest_tmp(spark, "csvq", sf_dir)
+    good_line = F.concat_ws(
+        _CSV_SEP, F.col("doc_id").cast("string"), F.col("text"),
+        F.col("lang"), F.col("source"), F.col("n_chars").cast("string"))
+    line = F.when(F.col("doc_id") % 13 == 0,
+                  F.concat(F.lit("X"), good_line)).otherwise(good_line)
+    docs.select(line.alias("value")).write.mode("overwrite").text(tmp)
+    # localCheckpoint: (a) Spark disallows queries whose only scan
+    # column is the internal _corrupt_record (the quarantine branch),
+    # (b) the two branches would otherwise parse the file twice
+    parsed = IG.read_documents_csv(spark, tmp, keep_corrupt=True,
+                                   sep=_CSV_SEP, header=False) \
+        .localCheckpoint()
+    sig = F.expr("bit_xor(_sig)")
+    good = (parsed.where(F.col("_corrupt_record").isNull())
+            .withColumn("_sig", md5_prefix_long(F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("text"))))
+            .groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 sig.alias("xor_sig")))
+    quar = (parsed.where(F.col("_corrupt_record").isNotNull())
+            .withColumn("_sig", md5_prefix_long(F.col("_corrupt_record")))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("_corrupt_record")).alias("sum_chars"),
+                 sig.alias("xor_sig"))
+            .select(F.lit("__quarantine__").alias("source"),
+                    F.lit("__quarantine__").alias("lang"),
+                    "n_docs", "sum_chars", "xor_sig"))
+    return good.unionByName(quar)
+
+
+CSV_QUARANTINE_SQL = """
+WITH good AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         bit_xor(CAST(('0x' || substr(md5(
+             CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT))
+           AS xor_sig
+  FROM documents WHERE doc_id % 13 <> 0
+  GROUP BY source, lang
+),
+raw AS (
+  SELECT 'X' || CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31)
+         || lang || chr(31) || source || chr(31)
+         || CAST(n_chars AS VARCHAR) AS line
+  FROM documents WHERE doc_id % 13 = 0
+),
+quar AS (
+  SELECT '__quarantine__' AS source, '__quarantine__' AS lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(line)) AS BIGINT) AS sum_chars,
+         bit_xor(CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT))
+           AS xor_sig
+  FROM raw
+)
+SELECT * FROM good UNION ALL SELECT * FROM quar
+"""
+
+
+_COMPACT_TARGET = 256
+
+
+def ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction sink (sources/ingest.py:write_compacted)
+    driven end-to-end: bin-pack documents to ~256 rows/file, read the
+    result back with input_file_name(), and pin (a) exact row count and
+    content XOR (nothing lost or duplicated), (b) the per-file cap
+    (every file ≤ target — maxRecordsPerFile's contract), (c) the file
+    count landing in [ceil(n/target), ceil(n/target)+2] (round-robin
+    repartition balances within a few rows, so the bound is tight but
+    not exact — the oracle pins the booleans, not the raw file list)."""
+    from error_analysis_spark.extensions.text import doc_row_hash
+    from error_analysis_spark.sources import ingest as IG
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = _ingest_tmp(spark, "compact", sf_dir)
+    IG.write_compacted(docs, tmp, target_rows_per_file=_COMPACT_TARGET)
+    back = (spark.read.parquet(tmp)
+            .select(doc_row_hash().alias("_h"),
+                    F.input_file_name().alias("_f")))
+    per_file = back.groupBy("_f").agg(F.count("*").alias("_n"))
+    files = per_file.agg(
+        F.count("*").alias("_nf"),
+        F.max("_n").alias("_mx"))
+    rows = back.agg(F.count("*").alias("n_rows"),
+                    F.expr("bit_xor(_h)").alias("xor_hash"))
+    t = F.lit(_COMPACT_TARGET).cast("long")
+    ceil_files = F.ceil(F.col("n_rows") / t.cast("double")).cast("long")
+    return (rows.crossJoin(F.broadcast(files))
+            .select("n_rows", "xor_hash",
+                    (F.col("_mx") <= t).cast("long").alias("within_cap"),
+                    ((F.col("_nf") >= ceil_files)
+                     & (F.col("_nf") <= ceil_files + 2)).cast("long")
+                    .alias("files_bounded")))
+
+
+COMPACTION_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) ||
+           md5(COALESCE(text, ''))), 1, 15)) AS BIGINT)) AS xor_hash,
+       CAST(1 AS BIGINT) AS within_cap,
+       CAST(1 AS BIGINT) AS files_bounded
+FROM documents
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
+    "ingest_csv_quarantine": (ingest_csv_quarantine, CSV_QUARANTINE_SQL),
+    "ingest_compaction": (ingest_compaction, COMPACTION_SQL),
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
     "curation_argmax_doc": (curation_argmax_doc, ARGMAX_DOC_SQL),

@@ -270,7 +270,10 @@ def contam_chunk_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parent doc's benchmark-contamination score (full-outer — bench
     docs carry no contamination row, empty docs carry no chunks)."""
     chunks = _member("text_chunk_windows")[0](spark, sf_dir)
-    contam = _member("text_contamination")[0](spark, sf_dir)
+    # boolean→int: a NULL boolean renders None/NaN inconsistently
+    # across engines' pandas bridges; a nullable BIGINT is stable
+    contam = _member("text_contamination")[0](spark, sf_dir) \
+        .withColumn("contaminated", F.col("contaminated").cast("long"))
     return chunks.join(contam, ["doc_id"], "full_outer")
 
 
@@ -278,7 +281,8 @@ CONTAM_CHUNK_PACK_SQL = """
 WITH _c AS ({chunks}), _t AS ({contam})
 SELECT coalesce(_c.doc_id, _t.doc_id) AS doc_id,
        _c.chunk_idx, _c.chunk_tokens, _c.chunk_hash,
-       _t.n_grams, _t.n_matched, _t.contam_frac, _t.contaminated
+       _t.n_grams, _t.n_matched, _t.contam_frac,
+       CAST(_t.contaminated AS BIGINT) AS contaminated
 FROM _c FULL OUTER JOIN _t ON _c.doc_id = _t.doc_id
 """.format(chunks=_member("text_chunk_windows")[1],
            contam=_member("text_contamination")[1])

@@ -76,3 +76,53 @@ def test_real_png_decode_roundtrip():
     arr = MM.decode_payload(buf.getvalue(), "image", 4, 3, None, None)
     assert arr.shape == (3, 4, 3)
     np.testing.assert_array_equal(arr, px)
+
+
+def test_ppm_decode_real_bytes_roundtrip():
+    """In-container REAL byte parsing: encode an array to binary PPM,
+    decode it back bit-exact — incl. a header comment line."""
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    payload = MM.encode_ppm(arr)
+    assert np.array_equal(MM.decode_ppm(payload), arr)
+    commented = payload[:2] + b"\n# a comment\n" + payload[2:].lstrip()
+    assert np.array_equal(MM.decode_ppm(commented), arr)
+
+
+def test_bmp_decode_real_bytes_roundtrip():
+    """Uncompressed 24-bit BMP: bottom-up rows, BGR order, 4-byte row
+    padding (width 13 → stride 40) all round-trip exactly."""
+    rng = np.random.RandomState(12)
+    arr = rng.randint(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    payload = MM.encode_bmp(arr)
+    assert np.array_equal(MM.decode_bmp(payload), arr)
+
+
+def test_decode_payload_dispatches_real_formats_end_to_end(spark):
+    """REAL decode through the distributed mapInPandas stage: PPM and
+    BMP payloads flow through extract_features and produce the exact
+    numpy stats of the encoded arrays (not the fake-decode stats)."""
+    rng = np.random.RandomState(21)
+    rows, want = [], {}
+    for i in range(8):
+        arr = rng.randint(0, 256, size=(6 + i, 10, 3), dtype=np.uint8)
+        payload = MM.encode_ppm(arr) if i % 2 == 0 else MM.encode_bmp(arr)
+        rows.append((i, "image", bytearray(payload), 10, 6 + i,
+                     None, None, "ppm" if i % 2 == 0 else "bmp"))
+        want[i] = (round(float(arr.mean()), 6), list(arr.shape))
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    out = MM.extract_features(assets, batch_rows=3).toPandas() \
+        .set_index("asset_id")
+    for i, (mean, shape) in want.items():
+        assert list(out.loc[i, "shape"]) == shape
+        assert abs(out.loc[i, "mean_value"] - mean) < 1e-6
+
+
+def test_corrupt_image_payload_falls_back_deterministically():
+    """A truncated PPM never raises — it lands in the deterministic
+    fake path (same payload => same array), the quarantine contract."""
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    truncated = MM.encode_ppm(arr)[:20]
+    a = MM.decode_payload(truncated, "image", 4, 4, None, None)
+    b = MM.decode_payload(truncated, "image", 4, 4, None, None)
+    assert a.shape == (4, 4, 3) and np.array_equal(a, b)

@@ -170,7 +170,15 @@ def test_registry_window_policy():
     assert rows_only & window <= set(E._FRONT), \
         f"undeclared rows-only queries in the window: " \
         f"{(rows_only & window) - set(E._FRONT)}"
-    assert rows_only <= {"sim_semantic_dedup"}, rows_only
+    # r05: sim_semantic_dedup gained a full oracle (seed cells +
+    # recursive-CTE greedy) — the contract carries ZERO rows-only rows
+    assert rows_only == set(), rows_only
+    # consolidation invariant: every packed member is absent from the
+    # declared registry but still owns its standalone function
+    from error_analysis_spark.plans.queries_packs import PACKED_MEMBERS
+    assert not (set(PACKED_MEMBERS) & set(names)), \
+        set(PACKED_MEMBERS) & set(names)
+    assert set(PACKED_MEMBERS.values()) <= set(names)
 
 
 def test_minhash_signature_plan_has_no_exchange(spark):
