@@ -76,9 +76,14 @@ _FRONT = [
     # new sources/sinks promoted into the oracle contract (r05 wave 4)
     "ingest_csv_quarantine", "ingest_compaction",
 ]
-# Nothing declares past the window this round: consolidation brought
-# the registry to 50 + |_ROTATE_OUT| names.
-_POST_WINDOW_NEW: list[str] = []
+# Three r05 wave-5 queries declare past the window: every window slot
+# is held by a query with no driver green (the 15 post-window r04
+# names, the packs that re-verify 56 members, the changed queries, the
+# r03-green returns) and the policy forbids bumping those. They carry
+# local test_oracle greens and enter the r06 window first.
+_POST_WINDOW_NEW: list[str] = [
+    "j11_interval_join", "layout_zorder", "curation_delta_agg",
+]
 # The rotate-out tail: exactly the r04-green window queries that are
 # unchanged this round (every one carries a green CORRECTNESS_r04 row,
 # so no query goes unverified two rounds running). They are next

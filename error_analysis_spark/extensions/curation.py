@@ -94,6 +94,9 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
                              cfg.bands, cfg.near_dup_threshold)
     vertices = s3.select(F.col(id_col).alias("id"))
     comp = DD.connected_components(pairs, vertices)
+    # connected_components checkpoints its labels eagerly, so the
+    # (possibly corpus-scale) verified pair cache releases here
+    pairs.unpersist()
     keep = comp.where(F.col("id") == F.col("component")) \
         .select(F.col("id").alias(id_col))
     s4 = s3.join(keep, id_col, "left_semi")
@@ -463,3 +466,44 @@ def data_card(docs: DataFrame, domain_col: str = "source",
                  F.countDistinct(lang_col).alias("n_langs"),
                  F.round(F.sum("_e").cast("double") / 1e6, 6)
                  .alias("lang_entropy")))
+
+
+def maintain_aggregate(base_agg: DataFrame, delta: DataFrame,
+                       group_col: str = "source",
+                       n_col: str = "n_docs",
+                       sum_col: str = "sum_chars",
+                       delta_n_col: str = "n_chars",
+                       op_col: str = "_op") -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a delta
+    (rows tagged insert/delete in `op_col`) into an existing per-group
+    (count, sum) aggregate WITHOUT rescanning the base corpus — the
+    append-heavy 100 TB shape where the nightly full recompute is the
+    thing you are trying to retire.
+
+    Count and sum are self-maintainable under both inserts and deletes
+    (signed multiplicities: insert=+1, delete=-1), which is why this
+    maintains exactly those; min/max/distinct are NOT delete-
+    maintainable and need a sketch or a recompute — documented contract,
+    not a silent wrong answer.
+
+    Cost shape: ONE aggregate over the delta (bounded by delta size,
+    never base size) + one co-keyed outer join against the bounded
+    per-group aggregate table. Groups that vanish (count falls to 0)
+    are dropped, matching what the full recompute produces.
+
+    Returns the maintained aggregate with the same (group, n, sum)
+    schema as `base_agg`."""
+    sign = F.when(F.col(op_col) == "delete", F.lit(-1)) \
+        .otherwise(F.lit(1)).cast("long")
+    d = (delta.groupBy(group_col)
+         .agg(F.sum(sign).alias("_dn"),
+              F.sum(sign * F.col(delta_n_col).cast("long")).alias("_ds")))
+    merged = (base_agg.join(d, [group_col], "full_outer")
+              .select(F.col(group_col),
+                      (F.coalesce(F.col(n_col), F.lit(0))
+                       + F.coalesce(F.col("_dn"), F.lit(0)))
+                      .alias(n_col),
+                      (F.coalesce(F.col(sum_col), F.lit(0))
+                       + F.coalesce(F.col("_ds"), F.lit(0)))
+                      .alias(sum_col)))
+    return merged.where(F.col(n_col) > 0)

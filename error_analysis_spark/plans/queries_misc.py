@@ -1011,7 +1011,88 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# J11 — batch interval join (the declared form of the stream-stream
+# interval join; test_streaming_joins proves stream ≡ batch, this row
+# gives the shared builder a driver green). Probes = every 5th event;
+# candidates = the rest; correlate per user within a 30-minute band.
+# The equi-key (user) carries the join — the range is a residual
+# filter on co-partitioned rows, never a cross/theta join.
+# --------------------------------------------------------------------------
+
+def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.streaming.joins import batch_interval_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    left = ev.where(F.col("event_id") % 5 == 0)
+    right = ev.where(F.col("event_id") % 5 != 0)
+    out = batch_interval_join(left, right, max_lag_minutes=30)
+    return out.select("user_id", "l_id", "l_ts_us", "r_id", "r_ts_us",
+                      "lag_s")
+
+
+J11_INTERVAL_SQL = """
+SELECT l.user_id,
+       l.event_id AS l_id, epoch_us(l.ts) AS l_ts_us,
+       r.event_id AS r_id, epoch_us(r.ts) AS r_ts_us,
+       CAST((epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS BIGINT)
+         AS lag_s
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts - INTERVAL 1800 SECONDS
+ AND r.ts <= l.ts
+WHERE l.event_id % 5 = 0 AND r.event_id % 5 <> 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering key (functions/layout.py): Morton-interleaved
+# (row, col) derived from event ids, bucketed by the key's high bits.
+# The per-bucket bbox spans prove the locality property the layout
+# exists for: every 256-key bucket covers a 16×16 tile of the 256×256
+# grid (the same 256 keys of a row-major sort span a 1×256 strip —
+# no column-pruning power at all).
+# --------------------------------------------------------------------------
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.functions.layout import zorder_key
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select((F.col("event_id") % 256).alias("row"),
+                  F.pmod((F.col("event_id") / 256).cast("long"),
+                         F.lit(256)).alias("col"))
+    z = g.select("row", "col", zorder_key("row", "col", bits=8).alias("zkey"))
+    return (z.groupBy(F.shiftright("zkey", 8).alias("zbucket"))
+            .agg(F.count("*").alias("n"),
+                 F.min("row").alias("min_row"), F.max("row").alias("max_row"),
+                 F.min("col").alias("min_col"), F.max("col").alias("max_col"),
+                 F.min("zkey").alias("zmin"), F.max("zkey").alias("zmax")))
+
+
+def _zorder_sql() -> str:
+    from error_analysis_spark.functions.layout import zorder_sql_expr
+    return f"""
+WITH g AS (
+  SELECT event_id % 256 AS row, (event_id // 256) % 256 AS col
+  FROM events
+),
+z AS (
+  SELECT row, col, {zorder_sql_expr('row', 'col', bits=8)} AS zkey FROM g
+)
+SELECT zkey >> 8 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+       min(row) AS min_row, max(row) AS max_row,
+       min(col) AS min_col, max(col) AS max_col,
+       min(zkey) AS zmin, max(zkey) AS zmax
+FROM z GROUP BY zbucket
+"""
+
+
+LAYOUT_ZORDER_SQL = _zorder_sql()
+
+
 MISC_QUERIES: dict[str, tuple] = {
+    "j11_interval_join": (j11_interval_join, J11_INTERVAL_SQL),
+    "layout_zorder": (layout_zorder, LAYOUT_ZORDER_SQL),
     "w4_sessionize": (w4_sessionize, W4_SESSION_SQL),
     "w7_funnel": (w7_funnel, W7_FUNNEL_SQL),
     "w8_retention": (w8_retention, W8_RETENTION_SQL),

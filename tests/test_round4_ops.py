@@ -917,3 +917,62 @@ def test_fractional_max_df_equals_int_cap(spark, docs):
     pb = sorted(map(tuple, b.select("id_a", "id_b", "inter").collect()))
     a.unpersist(); b.unpersist()
     assert pa == pb and len(pa) > 0
+
+
+# ------------------------------------------------------------- r05 wave 5
+
+def test_zorder_key_known_values(spark):
+    from error_analysis_spark.functions.layout import zorder_key
+    df = spark.createDataFrame([(3, 5), (0, 0), (255, 255)], ["x", "y"])
+    got = [r["z"] for r in
+           df.select(zorder_key("x", "y", bits=8).alias("z"))
+           .orderBy("z").collect()]
+    # interleave(3, 5): x bits at even positions, y at odd -> 39
+    assert got == [0, 39, 65535]
+
+
+def test_zorder_bucket_locality(spark):
+    """Every 256-key z-bucket must cover exactly a 16x16 tile — the
+    row-group-pruning property the layout exists for."""
+    from error_analysis_spark.plans.queries_misc import layout_zorder
+    from tests.conftest import SF_DIR
+    rows = layout_zorder(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["max_row"] - r["min_row"] <= 15
+        assert r["max_col"] - r["min_col"] <= 15
+        assert r["zmax"] - r["zmin"] <= 255
+
+
+def test_maintain_aggregate_equals_recompute(spark, docs):
+    from error_analysis_spark.extensions.curation import maintain_aggregate
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    base_agg = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"))
+    ins = (docs.where(F.col("doc_id") % 10 == 0)
+           .select("source", "n_chars", F.lit("insert").alias("_op")))
+    dels = (base.where(F.col("doc_id") % 7 == 0)
+            .select("source", "n_chars", F.lit("delete").alias("_op")))
+    got = {r["source"]: (r["n_docs"], r["sum_chars"])
+           for r in maintain_aggregate(
+               base_agg, ins.unionByName(dels)).collect()}
+    v2 = base.where(F.col("doc_id") % 7 != 0).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0))
+    want = {r["source"]: (r["n"], r["s"]) for r in
+            v2.groupBy("source").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("n_chars").cast("long")).alias("s")).collect()}
+    assert got == want
+
+
+def test_maintain_aggregate_drops_emptied_groups(spark):
+    from error_analysis_spark.extensions.curation import maintain_aggregate
+    base = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 5)], ["source", "n_docs", "sum_chars"])
+    delta = spark.createDataFrame(
+        [("b", 5, "delete"), ("c", 7, "insert")],
+        ["source", "n_chars", "_op"])
+    got = {r["source"]: (r["n_docs"], r["sum_chars"])
+           for r in maintain_aggregate(base, delta).collect()}
+    assert got == {"a": (2, 10), "c": (1, 7)}
