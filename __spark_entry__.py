@@ -83,6 +83,7 @@ _FRONT = [
 # local test_oracle greens and enter the r06 window first.
 _POST_WINDOW_NEW: list[str] = [
     "j11_interval_join", "layout_zorder", "curation_delta_agg",
+    "text_bpe_merges", "text_domain_topk", "emb_hard_triplets",
 ]
 # The rotate-out tail: exactly the r04-green window queries that are
 # unchanged this round (every one carries a green CORRECTNESS_r04 row,

@@ -532,6 +532,75 @@ def seed_cell_assignments(embeddings: DataFrame, n_cells: int = 8,
             .select("id", F.col("_m.r").alias("cluster_id")))
 
 
+def hard_triplets(embeddings: DataFrame, anchor_mod: int = 25,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  label_col: str = "label",
+                  quantize: int = 6) -> DataFrame:
+    """Hard-example mining for contrastive / metric training: for each
+    anchor vector, the HARDEST POSITIVE (same label, MINIMUM cosine —
+    the in-class example the model currently separates worst) and the
+    HARDEST NEGATIVE (different label, MAXIMUM cosine — the impostor
+    closest to crossing the margin). The (anchor, pos, neg) triplets
+    feed a triplet/InfoNCE loss; mining them over the full corpus is
+    the standard offline step between training epochs (FaceNet,
+    arXiv:1503.03832 §3.2).
+
+    Scale shape: anchors (every `anchor_mod`-th id) form a bounded
+    BROADCAST table; the corpus is scanned ONCE, each row scored
+    against all anchors row-locally, and the per-anchor argmin/argmax
+    reduce via min/max(struct) with map-side partial combine — the
+    shuffle carries one candidate row per (anchor, partition), never
+    the corpus. Cosines use the same exact-integer fixed-point dots as
+    `seed_cell_assignments` (floor(x·10^q + 0.5) components), so the
+    argmin/argmax decisions are bit-reproducible across engines and
+    partitionings — which is what lets DuckDB restate the whole mine.
+
+    Returns (anchor_id, label, pos_id, pos_cos, neg_id, neg_cos);
+    pos columns are NULL when an anchor's class has no other member."""
+    def fp(c: Column) -> Column:
+        return F.transform(c, lambda x: F.floor(
+            x.cast("double") * F.lit(10.0 ** quantize) + F.lit(0.5))
+            .cast("long"))
+
+    def dot(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    base = (embeddings
+            .select(F.col(id_col).alias("id"),
+                    F.col(label_col).cast("long").alias("label"),
+                    fp(F.col(vec_col)).alias("q"))
+            .withColumn("nn", dot("q", "q")))
+    anchors = (base.where(F.col("id") % anchor_mod == 0)
+               .select(F.col("id").alias("anchor_id"),
+                       F.col("label").alias("anchor_label"),
+                       F.col("q").alias("aq"), F.col("nn").alias("ann")))
+    cos = F.when((F.col("nn") > 0) & (F.col("ann") > 0),
+                 dot("q", "aq").cast("double")
+                 / (F.sqrt(F.col("nn").cast("double"))
+                    * F.sqrt(F.col("ann").cast("double")))) \
+        .otherwise(F.lit(0.0))
+    scored = (base.crossJoin(F.broadcast(anchors))
+              .where(F.col("id") != F.col("anchor_id"))
+              .withColumn("_c", cos))
+    same = F.col("label") == F.col("anchor_label")
+    pos = F.min(F.when(same, F.struct(F.col("_c").alias("c"),
+                                      F.col("id").alias("i")))) \
+        .alias("_p")
+    neg = F.max(F.when(~same, F.struct(F.col("_c").alias("c"),
+                                       (-F.col("id")).alias("ni"),
+                                       F.col("id").alias("i")))) \
+        .alias("_n")
+    return (scored.groupBy("anchor_id", "anchor_label").agg(pos, neg)
+            .select(F.col("anchor_id"),
+                    F.col("anchor_label").alias("label"),
+                    F.col("_p.i").alias("pos_id"),
+                    F.round(F.col("_p.c"), 6).alias("pos_cos"),
+                    F.col("_n.i").alias("neg_id"),
+                    F.round(F.col("_n.c"), 6).alias("neg_cos")))
+
+
 def label_centroids(embeddings: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-class embedding centroids in long (label, dim, mean) format —

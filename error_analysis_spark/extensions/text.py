@@ -689,3 +689,56 @@ def pmi_pairs(docs: DataFrame, vocab_k: int = 40, top_k: int = 20,
                      pmi.alias("pmi"))
             .orderBy(F.desc("n_pair"), F.asc("t1"), F.asc("t2"))
             .limit(top_k))
+
+
+def bpe_merge_pairs(docs: DataFrame, text_col: str = "text",
+                    top_k: int = 50) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-weighted counts
+    of ADJACENT SYMBOL PAIRS inside words — the table whose argmax is
+    the next merge rule (Sennrich et al. 2016, arXiv:1508.07909 §3).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD table first
+    (one hash aggregate; vocabulary-bounded regardless of corpus size),
+    then char pairs explode per distinct word (narrow, bounded by
+    vocab × word length) and reduce on a (left, right) key bounded by
+    the symbol alphabet squared. A full BPE trainer iterates this with
+    the winning pair merged into the word encodings; each iteration is
+    this same bounded aggregate, so the shape holds for the whole
+    training loop.
+
+    Returns the `top_k` merge candidates (left_sym, right_sym,
+    pair_count), ranked by count with a deterministic tie order."""
+    words = (docs.select(F.explode(tokens(text_col)).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("n")))
+    pairs = words.select("n", F.explode(F.expr(
+        "CASE WHEN length(w) < 2 THEN array() "
+        "ELSE transform(sequence(1, length(w) - 1), "
+        "  i -> struct(substring(w, i, 1) AS a, "
+        "              substring(w, i + 1, 1) AS b)) END")).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("left_sym"),
+                          F.col("p.b").alias("right_sym"))
+            .agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left_sym"),
+                     F.asc("right_sym"))
+            .limit(top_k))
+
+
+def domain_topk_tokens(docs: DataFrame, k: int = 5,
+                       text_col: str = "text",
+                       domain_col: str = "source") -> DataFrame:
+    """Per-domain vocabulary heavy hitters: the k most frequent tokens
+    of each domain — the per-source fingerprint a curation audit reads
+    next to the per-domain data card.
+
+    One (domain, token) hash aggregate with map-side partials, then a
+    rank window PARTITIONED BY DOMAIN over the aggregated counts — the
+    window input is bounded by Σ per-domain vocabularies, never corpus
+    rows, so no domain funnels raw data through one reducer."""
+    from pyspark.sql import Window
+    tf = (docs.select(F.col(domain_col).alias("domain"),
+                      F.explode(tokens(text_col)).alias("token"))
+          .groupBy("domain", "token").agg(F.count("*").alias("tf")))
+    w = Window.partitionBy("domain").orderBy(F.desc("tf"), F.asc("token"))
+    return (tf.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("domain", "rk", "token", "tf"))

@@ -2974,10 +2974,119 @@ FROM v2 GROUP BY source HAVING count(*) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# r05 wave 6: BPE merge-candidate counting (the tokenizer-training
+# kernel), per-domain vocabulary heavy hitters, and hard-triplet mining
+# for contrastive training.
+# --------------------------------------------------------------------------
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge candidates (text.py:bpe_merge_pairs): corpus →
+    distinct-word table → adjacent-char-pair counts, the argmax of
+    which is the next merge rule of BPE tokenizer training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_merge_pairs(docs, top_k=50)
+
+
+BPE_MERGES_SQL = r"""
+WITH words AS (
+  SELECT t.w, CAST(count(*) AS BIGINT) AS n
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                          x -> x <> '')) AS t(w)
+  GROUP BY t.w
+),
+pairs AS (
+  SELECT substring(w, CAST(u.i AS INT), 1) AS left_sym,
+         substring(w, CAST(u.i AS INT) + 1, 1) AS right_sym, n
+  FROM words, unnest(range(1, length(w))) AS u(i)
+)
+SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 50
+"""
+
+
+def text_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per domain (text.py:domain_topk_tokens): rank
+    window over the domain-bounded vocabulary aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.domain_topk_tokens(docs, k=5)
+
+
+DOMAIN_TOPK_SQL = r"""
+WITH tf AS (
+  SELECT source AS domain, t.token, CAST(count(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                          x -> x <> '')) AS t(token)
+  GROUP BY domain, t.token
+)
+SELECT domain, CAST(rk AS INT) AS rk, token, tf FROM (
+  SELECT *, row_number() OVER (PARTITION BY domain
+                               ORDER BY tf DESC, token) AS rk
+  FROM tf) x
+WHERE rk <= 5
+"""
+
+
+def emb_hard_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard positive/negative mining per anchor
+    (similarity.py:hard_triplets): exact-integer fixed-point cosines,
+    broadcast anchors, map-side-combinable argmin/argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_triplets(emb, anchor_mod=25)
+
+
+HARD_TRIPLETS_SQL = """
+WITH q AS (
+  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1e6 + 0.5)) AS q
+  FROM embeddings
+),
+sd AS (SELECT id, label, q, list_inner_product(q, q) AS nn FROM q),
+a AS (
+  SELECT id AS anchor_id, label AS anchor_label, q AS aq, nn AS ann
+  FROM sd WHERE id % 25 = 0
+),
+s AS (
+  SELECT a.anchor_id, a.anchor_label, v.id, v.label,
+         CASE WHEN v.nn > 0 AND a.ann > 0
+              THEN list_inner_product(v.q, a.aq)
+                   / (sqrt(v.nn) * sqrt(a.ann))
+              ELSE 0.0 END AS c
+  FROM sd v CROSS JOIN a WHERE v.id <> a.anchor_id
+),
+p AS (
+  SELECT anchor_id, id, c,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY c ASC, id ASC) AS rk
+  FROM s WHERE label = anchor_label
+),
+n AS (
+  SELECT anchor_id, id, c,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY c DESC, id ASC) AS rk
+  FROM s WHERE label <> anchor_label
+)
+SELECT a2.anchor_id, a2.anchor_label AS label,
+       p.id AS pos_id, round(p.c, 6) AS pos_cos,
+       n.id AS neg_id, round(n.c, 6) AS neg_cos
+FROM (SELECT DISTINCT anchor_id, anchor_label FROM s) a2
+LEFT JOIN p ON p.anchor_id = a2.anchor_id AND p.rk = 1
+LEFT JOIN n ON n.anchor_id = a2.anchor_id AND n.rk = 1
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "ingest_csv_quarantine": (ingest_csv_quarantine, CSV_QUARANTINE_SQL),
     "ingest_compaction": (ingest_compaction, COMPACTION_SQL),
     "curation_delta_agg": (curation_delta_agg, DELTA_AGG_SQL),
+    "text_bpe_merges": (text_bpe_merges, BPE_MERGES_SQL),
+    "text_domain_topk": (text_domain_topk, DOMAIN_TOPK_SQL),
+    "emb_hard_triplets": (emb_hard_triplets, HARD_TRIPLETS_SQL),
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
     "curation_argmax_doc": (curation_argmax_doc, ARGMAX_DOC_SQL),

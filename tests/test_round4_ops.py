@@ -976,3 +976,35 @@ def test_maintain_aggregate_drops_emptied_groups(spark):
     got = {r["source"]: (r["n_docs"], r["sum_chars"])
            for r in maintain_aggregate(base, delta).collect()}
     assert got == {"a": (2, 10), "c": (1, 7)}
+
+
+def test_bpe_merge_pairs_hand_case(spark):
+    from error_analysis_spark.extensions.text import bpe_merge_pairs
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ab x")], ["doc_id", "text"])
+    # distinct words: abab(1), ab(2... 'ab' appears in doc1 and doc2 ->
+    # n=2), x(1). pairs: abab -> ab,ba,ab (n=1); ab -> ab (n=2)
+    got = {(r["left_sym"], r["right_sym"]): r["pair_count"]
+           for r in bpe_merge_pairs(df, top_k=10).collect()}
+    assert got == {("a", "b"): 4, ("b", "a"): 1}
+
+
+def test_hard_triplets_label_contract(spark):
+    """Positives share the anchor's label, negatives never do, and the
+    mined negative is at least as close as any sampled impostor."""
+    from error_analysis_spark.extensions.similarity import hard_triplets
+    from tests.conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+    out = hard_triplets(emb, anchor_mod=100).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["pos_id"] is not None:
+            assert labels[r["pos_id"]] == r["label"]
+        assert labels[r["neg_id"]] != r["label"]
+        assert -1.000001 <= r["neg_cos"] <= 1.000001
+    # partitioning independence (fixed-point cosines)
+    out2 = hard_triplets(emb.repartition(17, "label"),
+                         anchor_mod=100).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
