@@ -485,3 +485,24 @@ def test_drift_psi_bounded_after_one_corpus_agg(spark):
     # nothing drops into Python
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "PythonUDF" not in plan, plan
+
+
+def test_j11_interval_join_is_keyed_not_theta(spark):
+    """The batch interval join must execute as an EQUI-join on the user
+    key with the time band as a residual filter — a
+    BroadcastNestedLoopJoin/CartesianProduct here would be the theta
+    join that melts at scale."""
+    from error_analysis_spark.plans.queries_misc import j11_interval_join
+    from tests.conftest import SF_DIR
+    plan = _formatted(spark, j11_interval_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_layout_zorder_key_stays_in_codegen(spark):
+    """The Morton key is a fixed unrolled JVM expression: no Python
+    eval stage anywhere in the plan."""
+    from error_analysis_spark.plans.queries_misc import layout_zorder
+    from tests.conftest import SF_DIR
+    plan = _formatted(spark, layout_zorder(spark, SF_DIR))
+    assert "EvalPython" not in plan and "InPandas" not in plan
