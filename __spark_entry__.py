@@ -47,49 +47,19 @@ _MERGED.update(PACK_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # r04 waves 7-19 that declared past the window (local greens only,
-    # per the documented plan) — driver-green them first
-    "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
-    "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
-    "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
-    "curation_pareto", "curation_checksum", "curation_merge_upsert",
-    "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
-    # new in r05: consolidation packs — each green re-verifies every
-    # member (incl. the 16 post-window TPC-H shapes and 26 r03-green
-    # rotate-out members)
-    "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
-    "text_doc_pack", "s8_grid_pack", "mm_pack", "dedup_sig_pack",
-    "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
-    "dedup_cluster_pack", "text_sketch_pack", "emb_pack",
-    "temporal_pack",
-    # changed in r05: full oracle for the former rows-only entry;
-    # in-plan fractional max_df for the near-dup caps; w9 z-test fix
-    # (w9_anomaly_days already listed above)
-    "sim_semantic_dedup", "dedup_jaccard", "dedup_containment",
-    # r04 rotate-out returns not covered by a pack (r03 greens,
-    # unverified in r04 — re-verify now)
-    "a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
-    "r7_polygonize", "j1_r4_dod", "a13_zone_pixel_counts",
-    "sc16_utm_roundtrip", "r1_geoid_shift", "curation_funnel",
-    "curation_domain_weights", "curation_weighted_sample",
-    "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
-    # new sources/sinks promoted into the oracle contract (r05 wave 4)
-    "ingest_csv_quarantine", "ingest_compaction",
-]
-# Three r05 wave-5 queries declare past the window: every window slot
-# is held by a query with no driver green (the 15 post-window r04
-# names, the packs that re-verify 56 members, the changed queries, the
-# r03-green returns) and the policy forbids bumping those. They carry
-# local test_oracle greens and enter the r06 window first.
-_POST_WINDOW_NEW: list[str] = [
+    # the six r05 wave-5/6 queries that declared past the r05 window
+    # (local test_oracle greens only) — driver-green them first
     "j11_interval_join", "layout_zorder", "curation_delta_agg",
     "text_bpe_merges", "text_domain_topk", "emb_hard_triplets",
-]
-# The rotate-out tail: exactly the r04-green window queries that are
-# unchanged this round (every one carries a green CORRECTNESS_r04 row,
-# so no query goes unverified two rounds running). They are next
-# round's re-verification set.
-_ROTATE_OUT = [
+    # new in r06: the E3 analysis chain as ONE lazy DAG
+    # (align → DoD → bias → zonal → variogram → σ_A, injected fit)
+    "pipeline_chain",
+    # changed in r06: mm_pack oracle extended (real PPM payload rows +
+    # decode_src column); ingest_compaction's files_bounded invariant
+    # rebased to the partitioning-independent [ceil, 2*ceil] bound
+    "mm_pack", "ingest_compaction",
+    # the r05 rotate-out tail (r04 greens, unverified in r05 per the
+    # documented window policy) — re-verify all 41 now
     "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
     "so2_anti_join", "f1_drop_noise", "a6_median_bias",
     "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
@@ -105,6 +75,34 @@ _ROTATE_OUT = [
     "text_bigram_ppl", "emb_covariance", "curation_data_card",
     "w7_funnel", "w8_retention", "text_tfidf_topk",
     "curation_quality_prune",
+]
+# Round 6 clears the whole verification debt in one window: no query
+# declares past it (6 post-window r05 names + 1 new + 2 changed + the
+# 41-name r05 rotate-out tail = 50 slots exactly).
+_POST_WINDOW_NEW: list[str] = []
+# The rotate-out tail: exactly the r05-green window queries that are
+# unchanged this round (every one carries a green CORRECTNESS_r05 row,
+# so no query goes unverified two rounds running). They are next
+# round's re-verification set.
+_ROTATE_OUT = [
+    "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
+    "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
+    "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
+    "curation_pareto", "curation_checksum", "curation_merge_upsert",
+    "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
+    "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
+    "text_doc_pack", "s8_grid_pack", "dedup_sig_pack",
+    "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
+    "dedup_cluster_pack", "text_sketch_pack", "emb_pack",
+    "temporal_pack",
+    "sim_semantic_dedup", "dedup_jaccard", "dedup_containment",
+    "a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
+    "r7_polygonize", "j1_r4_dod", "a13_zone_pixel_counts",
+    "sc16_utm_roundtrip", "r1_geoid_shift",
+    "curation_domain_weights", "curation_weighted_sample",
+    "curation_funnel",
+    "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
+    "ingest_csv_quarantine",
 ]
 
 _ALL: dict[str, tuple] = {}
@@ -131,10 +129,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query family from SURVEY.md §2."""
+    from error_analysis_spark.extensions import dedup as _dedup
+
     out = {}
     for name, (fn, _sql) in _ALL.items():
         def wrapped(spark, sf_dir, _fn=fn):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # harness-level conf pin (not per-query mutation): every
+            # timestamp query assumes UTC
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # release pair-list caches pinned by the PREVIOUS query so a
+            # long-lived session (driver's 50-query loop, bench) never
+            # accumulates persisted results (ADVICE r05)
+            _dedup.release_tracked()
             return _fn(spark, sf_dir)
         out[name] = wrapped
     return out

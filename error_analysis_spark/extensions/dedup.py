@@ -25,6 +25,34 @@ from error_analysis_spark.extensions.text import tokens
 
 _MERSENNE31 = (1 << 31) - 1  # keeps every product below 2^62: no int64 overflow
 
+# Persisted pair-list results handed to callers that never see the
+# persist (registry queries, packs, bench): tracked here so a
+# long-lived session can release them between queries instead of
+# accumulating cache entries. Single-invocation consumers
+# (curate_documents, tests) still unpersist directly — double
+# unpersist is a no-op.
+_TRACKED_RESULTS: list[DataFrame] = []
+
+
+def _track(result: DataFrame) -> DataFrame:
+    _TRACKED_RESULTS.append(result)
+    return result
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked pair-list cache (newest first); returns
+    how many were released. Safe to call any time — consumers that
+    still hold the DataFrame can keep using it (the plan recomputes)."""
+    n = 0
+    while _TRACKED_RESULTS:
+        df = _TRACKED_RESULTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def _md5_long(col, hex_chars: int = 15):
     """Canonical md5-prefix key — delegates to text.md5_prefix_long so
@@ -89,9 +117,16 @@ def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
             # INSIDE the plan via a 1-row broadcast — no eager
             # df.count() corpus pass per invocation (the count(*)
             # reduces from parquet row-group stats in the same job)
-            if not 0.0 < max_df <= 1.0:
-                raise ValueError(f"fractional max_df must be in (0,1], "
-                                 f"got {max_df}")
+            # strictly < 1.0: max_df=1.0 would silently mean "keep all
+            # tokens" while max_df=1 (int) means "df <= 1" — an easy
+            # silent-behavior-change footgun for callers computing the
+            # cap arithmetically (ADVICE r05). "No pruning" is
+            # max_df=None; a 1-document absolute cap is the int 1.
+            if not 0.0 < max_df < 1.0:
+                raise ValueError(
+                    f"fractional max_df must be in (0,1) — got {max_df}; "
+                    f"use max_df=None for no pruning or an int for an "
+                    f"absolute document-frequency cap")
             nd = df.agg(F.greatest(
                 F.lit(1).cast("long"),
                 F.floor(F.count("*") * max_df).cast("long"))
@@ -160,7 +195,7 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     result.count()  # last consumer of toks materialized → release it
     toks.unpersist()
-    return result
+    return _track(result)
 
 
 def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
@@ -342,7 +377,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     result.count()  # last consumer of the pinned inputs → release them
     banded.unpersist()
     tok_arr.unpersist()
-    return result
+    return _track(result)
 
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
@@ -608,4 +643,4 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         result.count()  # materialize before the token cache drops
     finally:
         toks.unpersist()
-    return result
+    return _track(result)

@@ -8,12 +8,15 @@ metadata, processed by Arrow-batched `mapInPandas` stages:
             sample_rate INT, n_frames INT, codec STRING>
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes, deterministic outputs — is real and tested. The actual codec
-decode is STUBBED: the container has no image/audio libraries, so
-`decode_payload` tries PIL/soundfile and otherwise falls back to a
-deterministic fake decoder (payload bytes → seeded array of the shape
-the metadata declares). Swapping in a real decoder changes ONE function;
-every distributed piece stays as-is.
+shapes, deterministic outputs — is real and tested. Image decode is
+REAL for PPM (P6), uncompressed 24-bit BMP, and PNG (stdlib-zlib
+inflate + unfilter) — actual byte-level parsers, no codec library.
+Compressed formats beyond PNG (jpeg/...) and audio/video codecs try
+PIL and otherwise fall back to a deterministic fake decoder (payload
+bytes → digest-tiled array of the shape the metadata declares); every
+decoded row carries a `decode_src` column ('real'|'stub') so audits
+can tell which rows exercised real bytes. Swapping in a full codec
+library changes ONE function; every distributed piece stays as-is.
 
 Scale notes: payload columns are large — the asset table should be
 stored with `spark.sql.parquet.columnarReaderBatchSize` tuned down and
@@ -28,6 +31,8 @@ is the only knob that limits Arrow-batch memory.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -158,36 +163,166 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real stdlib-only PNG decode → H×W×3 uint8: chunk walk, zlib
+    inflate of the IDAT stream, per-scanline unfilter for all five
+    filter types (None/Sub/Up/Average/Paeth). Supports bit depth 8,
+    color types 0 (gray, expanded ×3), 2 (RGB), 6 (RGBA, alpha
+    dropped), no interlace. Filters 1/3/4 carry a sequential per-byte
+    data dependency, so those rows unfilter in a Python loop — fine for
+    the bounded thumbnails this stage handles; a throughput deployment
+    swaps in a codec library via the PIL branch below."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # data + 4-byte CRC
+        if ctype == b"IHDR":
+            w, h, depth, color, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, color={color}, "
+                         f"interlace={interlace})")
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(nch, stride):
+                row[i] = (int(row[i]) + int(row[i - nch])) & 0xFF
+        elif ft == 2:  # Up — no intra-row dependency, vectorized
+            row = ((row.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - nch]) if i >= nch else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                         else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    img = out.reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif nch == 4:
+        img = img[..., :3]
+    return np.ascontiguousarray(img)
+
+
+def encode_png(arr: np.ndarray, filters=None) -> bytes:
+    """H×W×3 uint8 → PNG bytes (test-side inverse). `filters`: per-row
+    filter types (ints 0-4) to exercise every unfilter branch in
+    `decode_png`; default all-0 (None). Forward filtering reads only
+    ORIGINAL byte values, so every type vectorizes."""
+    h, w, _ = arr.shape
+    arr = arr.astype(np.uint8)
+    if filters is None:
+        filters = [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int16)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+        ft = int(filters[y])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = row - pred
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        raw.append(ft)
+        raw += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 # --------------------------------------------------------------------------
 # decode dispatch — a real deployment replaces only the codec branch
 # --------------------------------------------------------------------------
 
-def decode_payload(payload: bytes, kind: str, width: int | None,
-                   height: int | None, sample_rate: int | None,
-                   n_frames: int | None) -> np.ndarray:
-    """Decode an asset payload to an array (image: H×W×3 uint8, audio:
-    float32[n], video: F×H×W×3 uint8).
+def decode_payload_src(payload: bytes, kind: str, width: int | None,
+                       height: int | None, sample_rate: int | None,
+                       n_frames: int | None) -> tuple[np.ndarray, str]:
+    """Decode an asset payload to (array, decode_src) — image: H×W×3
+    uint8, audio: float32[n], video: F×H×W×3 uint8. `decode_src` is
+    'real' when actual payload bytes were parsed (PPM/BMP/PNG byte
+    parsers or PIL) and 'stub' for the deterministic fallback, so
+    downstream audits can tell which rows exercised real bytes.
 
     Image order: real in-container parsers first (uncompressed PPM/BMP
-    by magic bytes — actual byte-level decoding, no codec library),
-    then PIL if present (png/jpeg/...), then the DETERMINISTIC fake
-    derived from the payload bytes — same payload ⇒ same array on any
-    executor, so downstream features stay testable either way.
+    + stdlib-zlib PNG by magic bytes — actual byte-level decoding, no
+    codec library), then PIL if present (jpeg/...), then the
+    DETERMINISTIC fake derived from the payload bytes — same payload ⇒
+    same array on any executor, so downstream features stay testable
+    either way.
     """
     if kind == "image":
         try:
             if payload[:2] == b"P6":
-                return decode_ppm(payload)
+                return decode_ppm(payload), "real"
             if payload[:2] == b"BM":
-                return decode_bmp(payload)
-        except (ValueError, IndexError):
+                return decode_bmp(payload), "real"
+            if payload[:8] == _PNG_SIG:
+                return decode_png(payload), "real"
+        except (ValueError, IndexError, zlib.error, struct.error):
             # corrupt/truncated shard: fall through (a real pipeline
             # quarantines these rows, it never fails the whole job)
             pass
     if _PIL is not None and kind == "image":  # pragma: no cover
         import io
         try:
-            return np.asarray(_PIL.open(io.BytesIO(payload)))
+            return np.asarray(_PIL.open(io.BytesIO(payload))), "real"
         except Exception:
             # undecodable bytes (synthetic fixtures, corrupt shards)
             # fall through to the deterministic fake — a real pipeline
@@ -199,13 +334,22 @@ def decode_payload(payload: bytes, kind: str, width: int | None,
     # distributed plumbing around it)
     base = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
     if kind == "image":
-        return np.resize(base, (height, width, 3))
+        return np.resize(base, (height, width, 3)), "stub"
     if kind == "audio":
         n = sample_rate or 16000
-        return ((np.resize(base, n).astype(np.float32) - 127.5) / 127.5)
+        return ((np.resize(base, n).astype(np.float32) - 127.5) / 127.5,
+                "stub")
     if kind == "video":
-        return np.resize(base, (n_frames, height, width, 3))
+        return np.resize(base, (n_frames, height, width, 3)), "stub"
     raise NotImplementedError(f"unknown asset kind: {kind}")
+
+
+def decode_payload(payload: bytes, kind: str, width: int | None,
+                   height: int | None, sample_rate: int | None,
+                   n_frames: int | None) -> np.ndarray:
+    """Array-only form of `decode_payload_src` (the common call)."""
+    return decode_payload_src(payload, kind, width, height, sample_rate,
+                              n_frames)[0]
 
 
 # --------------------------------------------------------------------------
@@ -213,13 +357,16 @@ def decode_payload(payload: bytes, kind: str, width: int | None,
 # --------------------------------------------------------------------------
 
 FEATURE_SCHEMA = ("asset_id bigint, kind string, n_bytes int, "
-                  "shape array<int>, mean_value double, std_value double")
+                  "shape array<int>, mean_value double, std_value double, "
+                  "decode_src string")
 
 
 def extract_features(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
     """Decode + per-asset feature stats via `mapInPandas`. Payloads are
     heavy, so batches are re-chunked to ≤ batch_rows rows before decode
-    (one oversized Arrow batch would hold every payload in memory)."""
+    (one oversized Arrow batch would hold every payload in memory).
+    `decode_src` records per row whether real bytes were parsed
+    ('real') or the deterministic stub filled in ('stub')."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,15 +374,16 @@ def extract_features(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
                 chunk = pdf.iloc[start:start + batch_rows]
                 out = []
                 for r in chunk.itertuples(index=False):
-                    arr = decode_payload(bytes(r.payload), r.kind, _i(r.width),
-                                         _i(r.height), _i(r.sample_rate),
-                                         _i(r.n_frames))
+                    arr, src = decode_payload_src(
+                        bytes(r.payload), r.kind, _i(r.width), _i(r.height),
+                        _i(r.sample_rate), _i(r.n_frames))
                     out.append({
                         "asset_id": r.asset_id, "kind": r.kind,
                         "n_bytes": len(r.payload),
                         "shape": list(arr.shape),
                         "mean_value": float(arr.mean()),
                         "std_value": float(arr.std()),
+                        "decode_src": src,
                     })
                 yield pd.DataFrame(out)
 

@@ -217,27 +217,37 @@ def estimate_hugonnet(pixels: DataFrame, sills, ranges, nugget=0.0,
 
     `pixels`: (x, y[, σ²]) in-polygon pixel centers. k centers are drawn
     from the pixels themselves (deterministic hash order) and broadcast —
-    the big table never shuffles; two-level aggregate reduces."""
+    the big table never shuffles; two-level aggregate reduces. The pixel
+    table is pinned for the two actions (one multi-aggregate for
+    n/mean-σ², one for the ρ reduction) and released after."""
     sill = total_sill(sills, nugget)
-    n = pixels.count()
-    centers = (pixels
-               # raw 64-bit hash as id: mod-reduced ids collided (~0.5%
-               # at k=100) and merged two centers into one group
-               .withColumn("_u", F.xxhash64("x", "y", F.lit(seed)))
-               .orderBy("_u").limit(k_centers)
-               .select(F.col("x").alias("cx"), F.col("y").alias("cy"),
-                       F.col("_u").alias("center_id")))
-    joined = pixels.crossJoin(F.broadcast(centers))
-    dist = F.hypot(F.col("x") - F.col("cx"), F.col("y") - F.col("cy"))
-    # ρ(d) = C(d)/σ², clipped to [-1, 1] (variography_uncertainty.py:1359)
-    rho = F.greatest(F.lit(-1.0), F.least(
-        F.lit(1.0), cov_expr(dist, sills, ranges, nugget) / F.lit(sill)))
-    if sigma2_col is None:
-        mean_sigma2 = sill
-    else:
-        mean_sigma2 = pixels.agg(F.avg(sigma2_col)).first()[0]
-    per_center = joined.groupBy("center_id").agg(F.sum(rho).alias("sum_rho"))
-    mean_sum_rho = per_center.agg(F.avg("sum_rho")).first()[0]
+    pixels.persist()
+    try:
+        # ONE multi-aggregate job for the scalar stats (count + mean σ²)
+        # instead of separate count()/avg() scans of the same lineage
+        stats_aggs = [F.count(F.lit(1)).alias("n")]
+        if sigma2_col is not None:
+            stats_aggs.append(F.avg(sigma2_col).alias("mean_s2"))
+        stats = pixels.agg(*stats_aggs).first()
+        n = stats["n"]
+        mean_sigma2 = sill if sigma2_col is None else stats["mean_s2"]
+        centers = (pixels
+                   # raw 64-bit hash as id: mod-reduced ids collided (~0.5%
+                   # at k=100) and merged two centers into one group
+                   .withColumn("_u", F.xxhash64("x", "y", F.lit(seed)))
+                   .orderBy("_u").limit(k_centers)
+                   .select(F.col("x").alias("cx"), F.col("y").alias("cy"),
+                           F.col("_u").alias("center_id")))
+        joined = pixels.crossJoin(F.broadcast(centers))
+        dist = F.hypot(F.col("x") - F.col("cx"), F.col("y") - F.col("cy"))
+        # ρ(d) = C(d)/σ², clipped to [-1, 1] (variography_uncertainty.py:1359)
+        rho = F.greatest(F.lit(-1.0), F.least(
+            F.lit(1.0), cov_expr(dist, sills, ranges, nugget) / F.lit(sill)))
+        per_center = joined.groupBy("center_id").agg(
+            F.sum(rho).alias("sum_rho"))
+        mean_sum_rho = per_center.agg(F.avg("sum_rho")).first()[0]
+    finally:
+        pixels.unpersist()
     var = mean_sigma2 * mean_sum_rho / n
     return math.sqrt(max(var, 0.0))
 

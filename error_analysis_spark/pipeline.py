@@ -144,3 +144,102 @@ def analyze_pair(reference: DataFrame, compare: DataFrame,
                         bias_std=float(bias_std), rms=float(rms),
                         zonal=zonal, variogram=vg_pdf, fit=best,
                         sigma_a=sigma_a)
+
+
+def analyze_pair_chain(a: DataFrame, b: DataFrame,
+                       grid_a: GridSpec, grid_b: GridSpec,
+                       n_zones: int = 5, stable_zone: int = 0,
+                       sigma_zone: int = 1,
+                       max_lag: float = 30.0, bin_width: float = 6.0,
+                       min_pairs: int = 30,
+                       sills=(0.04,), ranges=(30.0,), nugget: float = 0.002,
+                       k_centers: int = 40) -> DataFrame:
+    """E3 — the whole analyze_pair relational spine as ONE lazy DAG
+    returning a single labeled-union DataFrame (stage, k, n, v1, v2,
+    v3): align (J1/R1) → difference (R4) → median bias over the stable
+    zone (A6, 1-row broadcast — no driver round-trip) → bias subtract
+    (R5) → per-zone stats (A2) → empirical variogram bins over the
+    stable area (R6/J4/A3/A4) → Hugonnet σ_A over the sigma zone
+    (J6/A12). Nothing materializes until the caller's action — the
+    oracle-checkable counterpart of `analyze_pair` (notebook cells
+    [10]→[89]), with the non-relational model FIT (U2, numpy LM)
+    replaced by INJECTED (sills, ranges, nugget) — the
+    `fit-params-injection` trick that keeps every relational stage
+    end-to-end checkable in ANSI SQL.
+
+    Zones are assigned deterministically as (row*7 + col) % n_zones on
+    the common grid (a rasterized-membership stand-in with the same
+    join shape); `stable_zone` plays SO2's stable area.
+
+    Rows: stage='bias' (n=stable pixel count, v1=bias), 'zonal' one
+    per zone (k=zone, n=n_px, v1=median, v2=stddev_pop, v3=rms),
+    'vario' one per lag bin (k=bin, n=pair_count, v1=ssd, v2=gamma),
+    'sigma_a' (v1=σ_A). Floats rounded 4-6 dp for cross-engine
+    hash-stability; SSD reduces in DECIMAL so sum order is immaterial.
+    """
+    from error_analysis_spark.operators.variogram import pair_bins
+
+    dod = AL.difference(AL.align_pair(a, b, grid_a, grid_b))
+    common = (grid_a if grid_a.width * grid_a.height
+              <= grid_b.width * grid_b.height else grid_b)
+    zoned = dod.withColumn(
+        "zone_id", ((F.col("row") * 7 + F.col("col")) % n_zones)
+        .cast("bigint"))
+    stable = zoned.where(F.col("zone_id") == stable_zone)
+
+    # A6 + row count in ONE aggregate; stays a 1-row lazy DataFrame
+    bias_row = stable.agg(
+        F.expr("percentile(dz, 0.5)").alias("bias"),
+        F.count(F.lit(1)).alias("n_stable"))
+    corr = AL.subtract_scalar(zoned, bias_row.select("bias"))
+
+    slots = ["stage", "k", "n", "v1", "v2", "v3"]
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    bias_stage = bias_row.select(
+        F.lit("bias").alias("stage"), nl.alias("k"),
+        F.col("n_stable").alias("n"),
+        F.round("bias", 6).alias("v1"), nd.alias("v2"), nd.alias("v3"))
+
+    zonal_stage = (corr.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.expr("percentile(dz, 0.5)"), 6).alias("med"),
+        F.round(F.stddev_pop("dz"), 6).alias("sd"),
+        F.round(F.sqrt(F.avg(F.col("dz") * F.col("dz"))), 6).alias("rms"))
+        .select(F.lit("zonal").alias("stage"), F.col("zone_id").alias("k"),
+                F.col("n_px").alias("n"), F.col("med").alias("v1"),
+                F.col("sd").alias("v2"), F.col("rms").alias("v3")))
+
+    # variogram samples: corrected stable pixels; value rounded then
+    # DECIMAL so the pair SSD is order-independent across engines
+    vsamp = (corr.where(F.col("zone_id") == stable_zone)
+             .select((F.col("row").cast("bigint") * common.width
+                      + F.col("col")).alias("sample_id"),
+                     "x", "y",
+                     F.round("dz", 6).cast("decimal(18,6)").alias("value"),
+                     F.lit(0).alias("run")))
+    vbins = pair_bins(vsamp, max_lag=max_lag, bin_width=bin_width)
+    ssd_d = F.col("ssd").cast("double")
+    vario_stage = vbins.select(
+        F.lit("vario").alias("stage"), F.col("bin").cast("bigint").alias("k"),
+        F.col("pair_count").alias("n"),
+        F.round(ssd_d, 4).alias("v1"),
+        F.when(F.col("pair_count") >= min_pairs,
+               F.round(ssd_d / (2.0 * F.col("pair_count")), 6)).alias("v2"),
+        nd.alias("v3"))
+
+    spx = (corr.where(F.col("zone_id") == sigma_zone)
+           .select((F.col("row").cast("bigint") * common.width
+                    + F.col("col")).alias("px_id"), "x", "y"))
+    sig = UN.estimate_hugonnet_df(
+        spx, list(sills), list(ranges), nugget, k_centers=k_centers,
+        order_col=F.md5(F.col("px_id").cast("string")))
+    sigma_stage = sig.select(
+        F.lit("sigma_a").alias("stage"), nl.alias("k"), nl.alias("n"),
+        F.round("sigma_a", 6).alias("v1"), nd.alias("v2"), nd.alias("v3"))
+
+    return (bias_stage.select(slots)
+            .unionByName(zonal_stage.select(slots))
+            .unionByName(vario_stage.select(slots))
+            .unionByName(sigma_stage.select(slots)))

@@ -679,23 +679,35 @@ WHERE round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) >= {_EMB_THRESH}
 # --------------------------------------------------------------------------
 
 def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic asset table derived from documents: payload =
-    utf-8 bytes of text; kind/dims from doc_id arithmetic."""
+    """Deterministic asset table derived from documents: kind/dims from
+    doc_id arithmetic. Every even-doc_id image (doc_id % 6 == 0)
+    carries a REAL binary-PPM payload (P6 header + a 4×3 raster built
+    from md5(text) hex — constructible identically in ANSI SQL, so the
+    oracle can restate both the bytes and which rows decode 'real');
+    all other payloads are the raw utf-8 text (stub-decoded)."""
     docs = load_table(spark, sf_dir, "documents")
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                         (F.col("doc_id") % 3 + 1).cast("int"))
+    is_ppm = (F.col("doc_id") % 6 == 0)
+    ppm_payload = F.encode(
+        F.concat(F.lit("P6\n4 3\n255\n"),
+                 F.rpad(F.md5(F.encode(F.col("text"), "UTF-8")), 36, "0")),
+        "UTF-8")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         kind.alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.when(kind != "audio", (16 + (F.col("doc_id") % 13) * 8).cast("int"))
-         .alias("width"),
-        F.when(kind != "audio", (16 + (F.col("doc_id") % 7) * 8).cast("int"))
-         .alias("height"),
+        F.when(is_ppm, ppm_payload)
+         .otherwise(F.encode(F.col("text"), "UTF-8")).alias("payload"),
+        F.when(is_ppm, F.lit(4))
+         .when(kind != "audio", (16 + (F.col("doc_id") % 13) * 8))
+         .cast("int").alias("width"),
+        F.when(is_ppm, F.lit(3))
+         .when(kind != "audio", (16 + (F.col("doc_id") % 7) * 8))
+         .cast("int").alias("height"),
         F.when(kind == "audio", F.lit(1600)).cast("int").alias("sample_rate"),
         F.when(kind == "video", (4 + F.col("doc_id") % 8).cast("int"))
          .alias("n_frames"),
-        F.lit("stub").alias("codec"),
+        F.when(is_ppm, F.lit("ppm")).otherwise(F.lit("stub")).alias("codec"),
     )
 
 
@@ -708,33 +720,42 @@ WITH assets AS (
   SELECT doc_id AS asset_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         encode(text) AS payload, text,
-         CASE WHEN doc_id % 3 <> 1
+         CASE WHEN doc_id % 6 = 0
+              THEN 'P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10)
+                   || rpad(md5(text), 36, '0')
+              ELSE text END AS payload,
+         CASE WHEN doc_id % 6 = 0 THEN 4
+              WHEN doc_id % 3 <> 1
               THEN CAST(16 + (doc_id % 13) * 8 AS INTEGER) END AS width
   FROM documents
 )
 SELECT kind, count(*) AS n_assets,
-       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
-       count(DISTINCT md5(text)) AS n_distinct_payloads,
+       CAST(sum(octet_length(encode(payload))) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(payload)) AS n_distinct_payloads,
        round(avg(coalesce(width, 0)), 4) AS avg_width
 FROM assets GROUP BY kind
 """
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode (stub) + feature stats — mapInPandas plumbing.
+    """Decode + feature stats — mapInPandas plumbing. The doc_id%6==0
+    image rows carry real PPM bytes and decode 'real' (byte-level
+    parse); everything else stub-decodes. Both the decoded shape and
+    `decode_src` are oracle-restated, so the stub/real split is proven
+    in the data itself.
 
-    Driver-facing projection keeps the columns the deterministic fake
-    decode derives purely from payload/metadata (`n_bytes`, `shape`), so
+    Driver-facing projection keeps the columns the decode derives
+    purely from payload/metadata (`n_bytes`, `shape`, `decode_src`), so
     a DuckDB oracle can recompute them; `shape array<int>` is serialized
     to 'HxWx3' strings (raw arrays are unhashable in the driver's
-    canonicalizer). mean/std of the decoded array are RandomState output
-    with no SQL restatement — covered by tests/test_multimodal instead.
+    canonicalizer). mean/std of the decoded array are digest/raster
+    output with no SQL restatement — covered by tests/test_multimodal.
     """
     feats = MM.extract_features(_doc_assets(spark, sf_dir), batch_rows=32)
     return feats.select(
         "asset_id", "kind", "n_bytes",
         F.concat_ws("x", F.col("shape").cast("array<string>")).alias("shape"),
+        "decode_src",
     )
 
 
@@ -743,18 +764,21 @@ WITH assets AS (
   SELECT doc_id AS asset_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         octet_length(encode(text)) AS n_bytes,
+         CAST(CASE WHEN doc_id % 6 = 0 THEN 47
+              ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes,
          CAST(16 + (doc_id % 13) * 8 AS INTEGER) AS width,
          CAST(16 + (doc_id % 7) * 8 AS INTEGER) AS height,
-         CAST(4 + doc_id % 8 AS INTEGER) AS n_frames
+         CAST(4 + doc_id % 8 AS INTEGER) AS n_frames,
+         (doc_id % 6 = 0) AS is_ppm
   FROM documents
 )
 SELECT asset_id, kind, n_bytes,
-       CASE kind
-         WHEN 'image' THEN height || 'x' || width || 'x3'
-         WHEN 'audio' THEN '1600'
-         ELSE n_frames || 'x' || height || 'x' || width || 'x3'
-       END AS shape
+       CASE WHEN is_ppm THEN '3x4x3'
+            WHEN kind = 'image' THEN height || 'x' || width || 'x3'
+            WHEN kind = 'audio' THEN '1600'
+            ELSE n_frames || 'x' || height || 'x' || width || 'x3'
+       END AS shape,
+       CASE WHEN is_ppm THEN 'real' ELSE 'stub' END AS decode_src
 FROM assets
 """
 
@@ -2902,9 +2926,13 @@ def ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     result back with input_file_name(), and pin (a) exact row count and
     content XOR (nothing lost or duplicated), (b) the per-file cap
     (every file ≤ target — maxRecordsPerFile's contract), (c) the file
-    count landing in [ceil(n/target), ceil(n/target)+2] (round-robin
-    repartition balances within a few rows, so the bound is tight but
-    not exact — the oracle pins the booleans, not the raw file list)."""
+    count landing in [ceil(n/target), 2*ceil(n/target)]: the lower
+    bound is a mathematical certainty (n rows at ≤ target rows/file),
+    the upper holds because round-robin repartition into
+    ceil(n/target) partitions leaves every partition ≤ ~2·target rows
+    even under rounding imbalance — unlike the earlier fixed "+2"
+    slack, the bound is partitioning-independent (no flake if CPU
+    count or AQE reshapes the write; ADVICE r05)."""
     from error_analysis_spark.extensions.text import doc_row_hash
     from error_analysis_spark.sources import ingest as IG
     docs = load_table(spark, sf_dir, "documents")
@@ -2925,7 +2953,7 @@ def ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_rows", "xor_hash",
                     (F.col("_mx") <= t).cast("long").alias("within_cap"),
                     ((F.col("_nf") >= ceil_files)
-                     & (F.col("_nf") <= ceil_files + 2)).cast("long")
+                     & (F.col("_nf") <= 2 * ceil_files)).cast("long")
                     .alias("files_bounded")))
 
 

@@ -213,7 +213,7 @@ def mm_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_PACK_SQL = """
 WITH _f AS ({feats}), _s AS ({stats})
-SELECT _f.kind, _f.asset_id, _f.n_bytes, _f.shape,
+SELECT _f.kind, _f.asset_id, _f.n_bytes, _f.shape, _f.decode_src,
        _s.n_assets, _s.total_bytes, _s.n_distinct_payloads, _s.avg_width
 FROM _f JOIN _s USING (kind)
 """.format(feats=_member("mm_features")[1],

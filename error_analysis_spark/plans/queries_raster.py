@@ -584,6 +584,148 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# E3 — the WHOLE analysis chain as one lazy DAG (pipeline.analyze_pair's
+# relational spine, notebook cells [10]→[89]): align → DoD → median-bias
+# subtract → zonal stats → variogram bins → Hugonnet σ_A, fused into a
+# single labeled-union DataFrame. The non-relational model fit (U2,
+# numpy LM) is INJECTED as fixed (sills, ranges, nugget) so every
+# relational stage is end-to-end restatable in ANSI SQL.
+# Fixture: the same raster pair as j1_r4_dod (A 100×100 res 1 regridded
+# onto B 50×50 res 2 offset-origin, tie-free nearest).
+# --------------------------------------------------------------------------
+
+def pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.pipeline import analyze_pair_chain
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") < 10000).select(
+        (F.col("event_id") % 100).cast("int").alias("row"),
+        (F.col("event_id") / 100).cast("int").alias("col"),
+        F.when(F.col("event_id") % 41 != 0,
+               F.round(F.col("value"), 3)).alias("value"),
+    ).withColumn("x", F.col("col") + 0.5) \
+     .withColumn("y", F.lit(100.0) - (F.col("row") + 0.5))
+    b = ev.where(F.col("event_id") < 2500).select(
+        (F.col("event_id") % 50).cast("int").alias("row"),
+        (F.col("event_id") / 50).cast("int").alias("col"),
+        F.when(F.col("event_id") % 53 != 0,
+               F.round(F.col("value") * 1.5, 3)).alias("value"),
+    ).withColumn("x", F.lit(0.25) + (F.col("col") + 0.5) * 2.0) \
+     .withColumn("y", F.lit(100.125) - (F.col("row") + 0.5) * 2.0)
+    return analyze_pair_chain(a, b, _DOD_GRID_A, _DOD_GRID_B)
+
+
+_CHAIN_COV = ("((0.04 + 0.002) - (0.002 + CASE WHEN {d} <= 30.0 "
+              "THEN 0.04 * (1.5 * ({d} / 30.0) - 0.5 * power({d} / 30.0, 3)) "
+              "ELSE 0.04 END)) / (0.04 + 0.002)")
+
+PIPELINE_CHAIN_SQL = """
+WITH pa AS (
+  SELECT CAST(event_id % 100 AS INTEGER) AS row,
+         CAST(event_id // 100 AS INTEGER) AS col,
+         round(value, 3) AS value
+  FROM events
+  WHERE event_id < 10000 AND event_id % 41 <> 0 AND value IS NOT NULL
+),
+pb AS (
+  SELECT CAST(event_id % 50 AS INTEGER) AS row,
+         CAST(event_id // 50 AS INTEGER) AS col,
+         round(value * 1.5, 3) AS value
+  FROM events
+  WHERE event_id < 2500 AND event_id % 53 <> 0 AND value IS NOT NULL
+),
+cand AS (
+  SELECT CAST(floor((100.125 - (100.0 - (row + 0.5))) / 2.0) AS INTEGER)
+           AS t_row,
+         CAST(floor(((col + 0.5) - 0.25) / 2.0) AS INTEGER) AS t_col,
+         value,
+         power((col + 0.5) - (0.25 + (CAST(floor(((col + 0.5) - 0.25) / 2.0)
+                   AS INTEGER) + 0.5) * 2.0), 2)
+       + power((100.0 - (row + 0.5)) - (100.125
+               - (CAST(floor((100.125 - (100.0 - (row + 0.5))) / 2.0)
+                   AS INTEGER) + 0.5) * 2.0), 2) AS d2
+  FROM pa
+),
+a_on_b AS (
+  SELECT t_row AS row, t_col AS col, arg_min(value, d2) AS value_a
+  FROM cand
+  WHERE t_row >= 0 AND t_row < 50 AND t_col >= 0 AND t_col < 50
+  GROUP BY t_row, t_col
+),
+dod AS (
+  SELECT b.row, b.col,
+         0.25 + (b.col + 0.5) * 2.0 AS x,
+         100.125 - (b.row + 0.5) * 2.0 AS y,
+         CAST((b.row * 7 + b.col) % 5 AS BIGINT) AS zone_id,
+         b.value - a.value_a AS dz
+  FROM pb b JOIN a_on_b a ON b.row = a.row AND b.col = a.col
+),
+biasrow AS (
+  SELECT quantile_cont(dz, 0.5) AS bias, count(*) AS n_stable
+  FROM dod WHERE zone_id = 0
+),
+corr AS (
+  SELECT d.row, d.col, d.x, d.y, d.zone_id, d.dz - b.bias AS dz
+  FROM dod d CROSS JOIN biasrow b
+),
+vsamp AS (
+  SELECT CAST(row AS BIGINT) * 50 + col AS sid, x, y,
+         CAST(round(dz, 6) AS DECIMAL(18,6)) AS value
+  FROM corr WHERE zone_id = 0
+),
+vpairs AS (
+  SELECT sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist,
+         (a.value - b.value) * (a.value - b.value) AS sq
+  FROM vsamp a JOIN vsamp b ON a.sid < b.sid
+),
+vbin AS (
+  SELECT CAST(floor(dist / 6.0) AS INTEGER) AS bin,
+         count(*) AS pair_count, sum(sq) AS ssd_dec
+  FROM vpairs WHERE dist <= 30.0 GROUP BY 1
+),
+spx AS (
+  SELECT CAST(row AS BIGINT) * 50 + col AS px_id, x, y
+  FROM corr WHERE zone_id = 1
+),
+sn AS (SELECT count(*) AS n FROM spx),
+centers AS (
+  SELECT x AS cx, y AS cy, md5(CAST(px_id AS VARCHAR)) AS center_id
+  FROM spx ORDER BY md5(CAST(px_id AS VARCHAR)) LIMIT 40
+),
+sj AS (
+  SELECT center_id,
+         sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)) AS d
+  FROM spx, centers
+),
+srho AS (
+  SELECT center_id, greatest(-1.0, least(1.0, {cov})) AS r FROM sj
+),
+spc AS (SELECT center_id, sum(r) AS sum_rho FROM srho GROUP BY center_id),
+sm AS (SELECT avg(sum_rho) AS mean_sum_rho FROM spc)
+SELECT 'bias' AS stage, CAST(NULL AS BIGINT) AS k, n_stable AS n,
+       round(bias, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM biasrow
+UNION ALL
+SELECT 'zonal', zone_id, count(*),
+       round(quantile_cont(dz, 0.5), 6), round(stddev_pop(dz), 6),
+       round(sqrt(avg(dz * dz)), 6)
+FROM corr GROUP BY zone_id
+UNION ALL
+SELECT 'vario', CAST(bin AS BIGINT), pair_count,
+       round(CAST(ssd_dec AS DOUBLE), 4),
+       CASE WHEN pair_count >= 30
+            THEN round(CAST(ssd_dec AS DOUBLE) / (2.0 * pair_count), 6) END,
+       CAST(NULL AS DOUBLE)
+FROM vbin
+UNION ALL
+SELECT 'sigma_a', NULL, NULL,
+       round(sqrt(greatest((0.04 + 0.002) * mean_sum_rho / n, 0.0)), 6),
+       NULL, NULL
+FROM sm, sn
+""".format(cov=_CHAIN_COV.format(d="d"))
+
+
 RASTER_QUERIES: dict[str, tuple] = {
     "r2_focal_all": (r2_focal_all, R2ALL_SQL),
     "s8_grid_max": (s8_grid_max, S8MAX_SQL),
@@ -591,4 +733,5 @@ RASTER_QUERIES: dict[str, tuple] = {
     "r3_fill_all": (r3_fill_all, R3ALL_SQL),
     "r7_polygonize": (r7_polygonize, R7_SQL),
     "j1_r4_dod": (j1_r4_dod, DOD_SQL),
+    "pipeline_chain": (pipeline_chain, PIPELINE_CHAIN_SQL),
 }

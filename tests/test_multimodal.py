@@ -126,3 +126,53 @@ def test_corrupt_image_payload_falls_back_deterministically():
     a = MM.decode_payload(truncated, "image", 4, 4, None, None)
     b = MM.decode_payload(truncated, "image", 4, 4, None, None)
     assert a.shape == (4, 4, 3) and np.array_equal(a, b)
+
+
+def test_png_round_trip_all_filter_types():
+    """Stdlib PNG codec: encode with every scanline filter type (0-4
+    cycling) and byte-parse it back — exercises all five unfilter
+    branches against real deflate-compressed bytes."""
+    rng = np.random.RandomState(33)
+    arr = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    payload = MM.encode_png(arr, filters=[y % 5 for y in range(10)])
+    assert payload[:8] == MM._PNG_SIG
+    assert np.array_equal(MM.decode_png(payload), arr)
+    # default all-None filters too
+    assert np.array_equal(MM.decode_png(MM.encode_png(arr)), arr)
+
+
+def test_png_real_decode_src_through_dispatch():
+    """PNG payloads dispatch to the real byte parser and report
+    decode_src='real'; random bytes fall to the stub and report 'stub'."""
+    rng = np.random.RandomState(34)
+    arr = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    got, src = MM.decode_payload_src(MM.encode_png(arr), "image",
+                                     6, 5, None, None)
+    assert src == "real" and np.array_equal(got, arr)
+    fake, src2 = MM.decode_payload_src(b"\x00" * 64, "image", 6, 5,
+                                       None, None)
+    assert src2 == "stub" and fake.shape == (5, 6, 3)
+    # corrupt PNG (signature but truncated stream) quarantines to stub
+    crp, src3 = MM.decode_payload_src(MM.encode_png(arr)[:24], "image",
+                                      6, 5, None, None)
+    assert src3 == "stub" and crp.shape == (5, 6, 3)
+
+
+def test_decode_src_column_in_extract_features(spark):
+    """decode_src surfaces per row through the mapInPandas stage: real
+    PPM/BMP/PNG rows say 'real', everything else 'stub'."""
+    rng = np.random.RandomState(35)
+    arr = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    rows = [
+        (0, "image", bytearray(MM.encode_png(arr)), 4, 4, None, None, "png"),
+        (1, "image", bytearray(MM.encode_ppm(arr)), 4, 4, None, None, "ppm"),
+        (2, "image", bytearray(b"\x01" * 32), 4, 4, None, None, "stub"),
+        (3, "audio", bytearray(b"\x02" * 32), None, None, 100, None, "wav"),
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    out = (MM.extract_features(assets, batch_rows=2).toPandas()
+           .set_index("asset_id"))
+    assert out.loc[0, "decode_src"] == "real"
+    assert out.loc[1, "decode_src"] == "real"
+    assert out.loc[2, "decode_src"] == "stub"
+    assert out.loc[3, "decode_src"] == "stub"

@@ -41,3 +41,37 @@ def test_analyze_pair_recovers_truth(spark):
     assert set(res.sigma_a) == {"unstable1", "unstable2"}
     for v in res.sigma_a.values():
         assert 0 < v < 0.5
+
+
+def test_analyze_pair_chain_is_one_lazy_dag(spark):
+    """E3 relational spine: building the chain runs ZERO Spark jobs
+    (everything defers to the caller's action), the plan never falls
+    back to a CartesianProduct (the bias/centers cross joins are 1-row
+    broadcasts; the variogram self-join is the bucketed range join),
+    and the one collected result carries all four stages."""
+    from error_analysis_spark.pipeline import analyze_pair_chain
+
+    fx = make_dem_fixture(n_rows=60, n_cols=60, seed=7)
+    px = spark.createDataFrame(fx.pixels)
+    ref = px.where(F.col("dataset_id") == "reference_dem")
+    cmp_ = px.where(F.col("dataset_id") == "compare_dem")
+    g = GridSpec("g", 60, 60, fx.truth["x0"], fx.truth["y0"],
+                 fx.truth["res"])
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    chain = analyze_pair_chain(ref, cmp_, g, g, max_lag=20.0,
+                               bin_width=5.0, k_centers=10)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "chain construction ran Spark jobs"
+
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    pdf = chain.toPandas()
+    stages = set(pdf["stage"])
+    assert stages == {"bias", "zonal", "vario", "sigma_a"}
+    assert len(pdf[pdf["stage"] == "bias"]) == 1
+    assert len(pdf[pdf["stage"] == "zonal"]) == 5
+    assert len(pdf[pdf["stage"] == "sigma_a"]) == 1
+    assert (pdf[pdf["stage"] == "vario"]["n"] > 0).all()
