@@ -10,9 +10,10 @@ metadata, processed by Arrow-batched `mapInPandas` stages:
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
 shapes, deterministic outputs — is real and tested. Image decode is
 REAL for PPM (P6), uncompressed 24-bit BMP, and PNG (stdlib-zlib
-inflate + unfilter) — actual byte-level parsers, no codec library.
-Compressed formats beyond PNG (jpeg/...) and audio/video codecs try
-PIL and otherwise fall back to a deterministic fake decoder (payload
+inflate + unfilter); audio decode is REAL for PCM16 WAV — actual
+byte-level parsers, no codec library. Compressed formats beyond PNG
+(jpeg/...) and video containers try PIL (images only) and otherwise
+fall back to a deterministic fake decoder (payload
 bytes → digest-tiled array of the shape the metadata declares); every
 decoded row carries a `decode_src` column ('real'|'stub') so audits
 can tell which rows exercised real bytes. Swapping in a full codec
@@ -287,6 +288,50 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Real stdlib-only WAV decode → float32[n] in [-1, 1]: RIFF chunk
+    walk, PCM16 little-endian samples, multi-channel mixed to mono
+    (mean of channels). Raises on non-PCM / non-16-bit payloads — those
+    quarantine to the stub like any corrupt shard."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    n_ch = bits = fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt, n_ch, _rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits}, "
+                         f"channels={n_ch})")
+    n = len(data) // (2 * n_ch)
+    pcm = np.frombuffer(data, dtype="<i2", count=n * n_ch)
+    samples = pcm.reshape(n, n_ch).astype(np.float32).mean(axis=1)
+    return samples / 32768.0
+
+
+def encode_wav(arr: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float array in [-1, 1] → mono PCM16 WAV bytes (test-side
+    inverse)."""
+    pcm = np.clip(np.asarray(arr, dtype=np.float64) * 32768.0,
+                  -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
 # --------------------------------------------------------------------------
 # decode dispatch — a real deployment replaces only the codec branch
 # --------------------------------------------------------------------------
@@ -319,6 +364,12 @@ def decode_payload_src(payload: bytes, kind: str, width: int | None,
             # corrupt/truncated shard: fall through (a real pipeline
             # quarantines these rows, it never fails the whole job)
             pass
+    if kind == "audio":
+        try:
+            if payload[:4] == b"RIFF":
+                return decode_wav(payload), "real"
+        except (ValueError, IndexError, struct.error):
+            pass  # corrupt shard: quarantine to the stub
     if _PIL is not None and kind == "image":  # pragma: no cover
         import io
         try:

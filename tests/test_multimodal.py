@@ -176,3 +176,36 @@ def test_decode_src_column_in_extract_features(spark):
     assert out.loc[1, "decode_src"] == "real"
     assert out.loc[2, "decode_src"] == "stub"
     assert out.loc[3, "decode_src"] == "stub"
+
+
+def test_wav_round_trip_and_dispatch():
+    """Stdlib WAV codec: PCM16 round-trip within quantization error,
+    RIFF payloads dispatch to the real parser ('real'), corrupt WAV
+    quarantines to the stub."""
+    rng = np.random.RandomState(36)
+    sig = (rng.rand(800) * 2 - 1).astype(np.float32) * 0.9
+    payload = MM.encode_wav(sig, sample_rate=8000)
+    got = MM.decode_wav(payload)
+    assert got.shape == sig.shape
+    assert np.abs(got - sig).max() < 1.0 / 32768 + 1e-6
+    arr, src = MM.decode_payload_src(payload, "audio", None, None,
+                                     8000, None)
+    assert src == "real" and arr.shape == (800,)
+    crp, src2 = MM.decode_payload_src(payload[:16], "audio", None, None,
+                                      8000, None)
+    assert src2 == "stub" and crp.shape == (8000,)
+
+
+def test_wav_real_decode_through_extract_features(spark):
+    """Real WAV bytes flow through the mapInPandas stage: exact numpy
+    stats of the decoded signal + decode_src='real'."""
+    rng = np.random.RandomState(37)
+    sig = (rng.rand(400) * 2 - 1).astype(np.float32) * 0.5
+    rows = [(0, "audio", bytearray(MM.encode_wav(sig, 4000)), None, None,
+             4000, None, "wav")]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    out = MM.extract_features(assets).toPandas().set_index("asset_id")
+    assert out.loc[0, "decode_src"] == "real"
+    assert list(out.loc[0, "shape"]) == [400]
+    want = MM.decode_wav(MM.encode_wav(sig, 4000))
+    assert abs(out.loc[0, "mean_value"] - float(want.mean())) < 1e-6
