@@ -76,10 +76,12 @@ _FRONT = [
     "w7_funnel", "w8_retention", "text_tfidf_topk",
     "curation_quality_prune",
 ]
-# Round 6 clears the whole verification debt in one window: no query
-# declares past it (6 post-window r05 names + 1 new + 2 changed + the
-# 41-name r05 rotate-out tail = 50 slots exactly).
-_POST_WINDOW_NEW: list[str] = []
+# Round 6 clears the whole verification debt in one window: the 50
+# slots hold the 6 post-window r05 names + 1 new + 2 changed + the
+# 41-name r05 rotate-out tail exactly. One late-round-6 query declares
+# past the window (C4-style corpus line dedup); it carries a local
+# test_oracle green and enters the round-7 window first.
+_POST_WINDOW_NEW: list[str] = ["text_line_dedup"]
 # The rotate-out tail: exactly the r05-green window queries that are
 # unchanged this round (every one carries a green CORRECTNESS_r05 row,
 # so no query goes unverified two rounds running). They are next

@@ -742,3 +742,43 @@ def domain_topk_tokens(docs: DataFrame, k: int = 5,
     return (tf.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
             .select("domain", "rk", "token", "tf"))
+
+
+def corpus_line_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      kill_freq: int = 3) -> DataFrame:
+    """Corpus-level line deduplication (the C4 rule, Raffel et al.
+    2020 §2.2: remove any line occurring `kill_freq`+ times in the
+    corpus — boilerplate headers/footers/nav text repeat verbatim
+    across pages): trim lines, drop blanks, count exact-line
+    occurrences CORPUS-WIDE, strike every line at or above the
+    threshold, and rebuild each document's text preserving original
+    line order.
+
+    Scale shape: one row-local posexplode, ONE map-side-combinable
+    aggregate keyed on line text, one hash join back (no broadcast
+    assumption — the frequent-line set of a web corpus is large), one
+    groupBy rebuild via array_sort(collect_list(struct(pos, line))) —
+    no windows, no driver collects; docs that lose every line surface
+    with empty text rather than vanishing.
+
+    Output: (id, text, n_lines_kept, n_lines_removed).
+    """
+    keep = F.col("c") < kill_freq
+    lines = (df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"))
+        .select("id", "pos", F.trim("raw").alias("line"))
+        .where(F.col("line") != ""))
+    freq = lines.groupBy("line").agg(F.count("*").alias("c"))
+    tagged = lines.join(freq, "line")
+    return (tagged.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(keep, F.struct("pos", "line")))),
+                lambda s: s["line"]),
+            "\n").alias("text"),
+        F.sum(keep.cast("long")).alias("n_lines_kept"),
+        F.sum((~keep).cast("long")).alias("n_lines_removed"),
+    ))

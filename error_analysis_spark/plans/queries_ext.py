@@ -3059,6 +3059,49 @@ WHERE rk <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# C4-style corpus-level line dedup (text.py:corpus_line_dedup,
+# Raffel et al. 2020 §2.2): lines occurring 3+ times corpus-wide are
+# struck from every document; text rebuilt in original line order.
+# The oracle restates the explode → corpus count → join-back → ordered
+# string_agg pipeline; rebuilt text is md5-compressed for the hash.
+# --------------------------------------------------------------------------
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.corpus_line_dedup(docs, kill_freq=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines_kept", "n_lines_removed",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+
+
+LINE_DEDUP_SQL = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents
+),
+pos AS (
+  SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i
+  FROM parts
+),
+lines AS (
+  SELECT doc_id, i AS pos, trim(parts[i]) AS line
+  FROM pos WHERE trim(parts[i]) <> ''
+),
+freq AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
+SELECT l.doc_id,
+       CAST(count(CASE WHEN f.c < 3 THEN 1 END) AS BIGINT)
+         AS n_lines_kept,
+       CAST(count(CASE WHEN f.c >= 3 THEN 1 END) AS BIGINT)
+         AS n_lines_removed,
+       md5(coalesce(string_agg(CASE WHEN f.c < 3 THEN l.line END,
+                               chr(10) ORDER BY l.pos), ''))
+         AS text_md5
+FROM lines l JOIN freq f USING (line)
+GROUP BY l.doc_id
+"""
+
+
 def emb_hard_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard positive/negative mining per anchor
     (similarity.py:hard_triplets): exact-integer fixed-point cosines,
@@ -3114,6 +3157,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "curation_delta_agg": (curation_delta_agg, DELTA_AGG_SQL),
     "text_bpe_merges": (text_bpe_merges, BPE_MERGES_SQL),
     "text_domain_topk": (text_domain_topk, DOMAIN_TOPK_SQL),
+    "text_line_dedup": (text_line_dedup, LINE_DEDUP_SQL),
     "emb_hard_triplets": (emb_hard_triplets, HARD_TRIPLETS_SQL),
     "curation_drift_psi": (curation_drift_psi, DRIFT_PSI_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, _hll_oracle()),
