@@ -131,7 +131,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query family from SURVEY.md §2."""
-    from error_analysis_spark.extensions import dedup as _dedup
+    from error_analysis_spark import cachereg as _cachereg
 
     out = {}
     for name, (fn, _sql) in _ALL.items():
@@ -140,10 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # harness-level conf pin (not per-query mutation): every
             # timestamp query assumes UTC
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            # release pair-list caches pinned by the PREVIOUS query so a
-            # long-lived session (driver's 50-query loop, bench) never
-            # accumulates persisted results (ADVICE r05)
-            _dedup.release_tracked()
+            # release caches pinned by the PREVIOUS query (dedup pair
+            # lists, the chain's DoD reuse cache, …) so a long-lived
+            # session (driver's query loop, bench) never accumulates
+            # persisted results (ADVICE r05)
+            _cachereg.release_tracked()
             return _fn(spark, sf_dir)
         out[name] = wrapped
     return out

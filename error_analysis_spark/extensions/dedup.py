@@ -26,32 +26,13 @@ from error_analysis_spark.extensions.text import tokens
 _MERSENNE31 = (1 << 31) - 1  # keeps every product below 2^62: no int64 overflow
 
 # Persisted pair-list results handed to callers that never see the
-# persist (registry queries, packs, bench): tracked here so a
-# long-lived session can release them between queries instead of
-# accumulating cache entries. Single-invocation consumers
-# (curate_documents, tests) still unpersist directly — double
-# unpersist is a no-op.
-_TRACKED_RESULTS: list[DataFrame] = []
-
-
-def _track(result: DataFrame) -> DataFrame:
-    _TRACKED_RESULTS.append(result)
-    return result
-
-
-def release_tracked() -> int:
-    """Unpersist every tracked pair-list cache (newest first); returns
-    how many were released. Safe to call any time — consumers that
-    still hold the DataFrame can keep using it (the plan recomputes)."""
-    n = 0
-    while _TRACKED_RESULTS:
-        df = _TRACKED_RESULTS.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    return n
+# persist (registry queries, packs, bench) register in the shared
+# session-scoped cache registry; the harness releases between query
+# invocations. Single-invocation consumers (curate_documents, tests)
+# still unpersist directly — double unpersist is a no-op.
+from error_analysis_spark.cachereg import (  # noqa: E402  (re-export)
+    release_tracked, track as _track,
+)
 
 
 def _md5_long(col, hex_chars: int = 15):

@@ -153,7 +153,7 @@ def analyze_pair_chain(a: DataFrame, b: DataFrame,
                        max_lag: float = 30.0, bin_width: float = 6.0,
                        min_pairs: int = 30,
                        sills=(0.04,), ranges=(30.0,), nugget: float = 0.002,
-                       k_centers: int = 40) -> DataFrame:
+                       k_centers: int = 40, reuse: bool = True) -> DataFrame:
     """E3 — the whole analyze_pair relational spine as ONE lazy DAG
     returning a single labeled-union DataFrame (stage, k, n, v1, v2,
     v3): align (J1/R1) → difference (R4) → median bias over the stable
@@ -192,6 +192,15 @@ def analyze_pair_chain(a: DataFrame, b: DataFrame,
         F.expr("percentile(dz, 0.5)").alias("bias"),
         F.count(F.lit(1)).alias("n_stable"))
     corr = AL.subtract_scalar(zoned, bias_row.select("bias"))
+    if reuse:
+        # all four stages branch from the corrected DoD; without a pin
+        # each union branch re-reads and re-aligns the raster pair
+        # (plan showed 26 scans / 0 reused exchanges). persist() is
+        # LAZY — construction still runs zero jobs — and the cache is
+        # registered with cachereg so the harness releases it after
+        # the query's action (same discipline as the dedup pair lists).
+        from error_analysis_spark.cachereg import track
+        corr = track(corr.persist(StorageLevel.MEMORY_AND_DISK))
 
     slots = ["stage", "k", "n", "v1", "v2", "v3"]
     nl = F.lit(None).cast("bigint")
