@@ -314,6 +314,11 @@ def decode_wav(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits}, "
                          f"channels={n_ch})")
     n = len(data) // (2 * n_ch)
+    if n == 0:
+        # a zero-sample payload would surface NaN feature stats where
+        # the stub always yields a full-length array — treat like any
+        # corrupt shard (quarantine to the stub)
+        raise ValueError("WAV data chunk holds no complete sample")
     pcm = np.frombuffer(data, dtype="<i2", count=n * n_ch)
     samples = pcm.reshape(n, n_ch).astype(np.float32).mean(axis=1)
     return samples / 32768.0

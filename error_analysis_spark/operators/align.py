@@ -82,29 +82,38 @@ def regrid(pixels: DataFrame, dst: GridSpec, method: str = "nearest") -> DataFra
     return out
 
 
+def dst_grid(grid_a: GridSpec, grid_b: GridSpec) -> GridSpec:
+    """The common grid `align_pair` lands a pair on: the SMALLER
+    raster's grid (reference heuristic, differencing_functions.py:
+    180-187 — less resample work). Exposed so chain builders that
+    derive keys from the common grid (pipeline.analyze_pair_chain)
+    share this decision instead of re-implementing it."""
+    return (grid_a if grid_a.width * grid_a.height
+            <= grid_b.width * grid_b.height else grid_b)
+
+
 def align_pair(a: DataFrame, b: DataFrame, grid_a: GridSpec,
                grid_b: GridSpec) -> DataFrame:
     """J1 — force both rasters onto one grid and pair pixel-wise.
 
     Reference heuristic kept: the LARGER raster is regridded onto the
-    smaller grid (differencing_functions.py:180-187) — less resample
-    work, and the inner join crops to the overlap (J3/SO4 for free).
+    smaller grid (`dst_grid`) — less resample work, and the inner join
+    crops to the overlap (J3/SO4 for free).
     Output: row, col, x, y, value_a, value_b (valid pairs only).
     """
-    cells_a = grid_a.width * grid_a.height
-    cells_b = grid_b.width * grid_b.height
     same = (grid_a.x0, grid_a.y0, grid_a.res, grid_a.width,
             grid_a.height) == (grid_b.x0, grid_b.y0, grid_b.res,
                                grid_b.width, grid_b.height)
+    dst = dst_grid(grid_a, grid_b)
     if same:
         # identical grids: the regrid would reproduce the input
         # cell-for-cell through a full shuffle-aggregate — skip it and
         # join directly (the hot path of analyze_pair on survey pairs)
-        dst, left, right = grid_a, a, b
-    elif cells_a <= cells_b:  # regrid b onto a's grid
-        dst, left, right = grid_a, a, regrid(b, grid_a)
+        left, right = a, b
+    elif dst is grid_a:  # regrid b onto a's grid
+        left, right = a, regrid(b, grid_a)
     else:
-        dst, left, right = grid_b, regrid(a, grid_b), b
+        left, right = regrid(a, grid_b), b
     la = (left.where(_valid())
           .select("row", "col", "x", "y", F.col("value").alias("value_a")))
     rb = (right.where(_valid())

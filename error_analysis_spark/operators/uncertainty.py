@@ -219,9 +219,14 @@ def estimate_hugonnet(pixels: DataFrame, sills, ranges, nugget=0.0,
     from the pixels themselves (deterministic hash order) and broadcast —
     the big table never shuffles; two-level aggregate reduces. The pixel
     table is pinned for the two actions (one multi-aggregate for
-    n/mean-σ², one for the ρ reduction) and released after."""
+    n/mean-σ², one for the ρ reduction) and released after — unless the
+    caller already persisted it (persisting again would raise on a
+    different storage level, and unpersisting would evict the caller's
+    cache)."""
     sill = total_sill(sills, nugget)
-    pixels.persist()
+    pinned_here = not pixels.is_cached
+    if pinned_here:
+        pixels.persist()
     try:
         # ONE multi-aggregate job for the scalar stats (count + mean σ²)
         # instead of separate count()/avg() scans of the same lineage
@@ -247,7 +252,8 @@ def estimate_hugonnet(pixels: DataFrame, sills, ranges, nugget=0.0,
             F.sum(rho).alias("sum_rho"))
         mean_sum_rho = per_center.agg(F.avg("sum_rho")).first()[0]
     finally:
-        pixels.unpersist()
+        if pinned_here:
+            pixels.unpersist()
     var = mean_sigma2 * mean_sum_rho / n
     return math.sqrt(max(var, 0.0))
 

@@ -180,11 +180,21 @@ def analyze_pair_chain(a: DataFrame, b: DataFrame,
     from error_analysis_spark.operators.variogram import pair_bins
 
     dod = AL.difference(AL.align_pair(a, b, grid_a, grid_b))
-    common = (grid_a if grid_a.width * grid_a.height
-              <= grid_b.width * grid_b.height else grid_b)
+    common = AL.dst_grid(grid_a, grid_b)
     zoned = dod.withColumn(
         "zone_id", ((F.col("row") * 7 + F.col("col")) % n_zones)
         .cast("bigint"))
+    if reuse:
+        # every stage (bias, zonal, variogram, sigma_A) branches from
+        # the zoned DoD; without a pin each union branch re-reads and
+        # re-aligns the raster pair. persist() is LAZY — construction
+        # still runs zero jobs — and the cache registers with cachereg
+        # so the harness releases it after the query's action (same
+        # discipline as the dedup pair lists). Pinning ZONED (pre-bias)
+        # rather than the corrected DoD also covers the bias branch and
+        # the bias broadcast build.
+        from error_analysis_spark.cachereg import track
+        zoned = track(zoned.persist(StorageLevel.MEMORY_AND_DISK))
     stable = zoned.where(F.col("zone_id") == stable_zone)
 
     # A6 + row count in ONE aggregate; stays a 1-row lazy DataFrame
@@ -192,15 +202,6 @@ def analyze_pair_chain(a: DataFrame, b: DataFrame,
         F.expr("percentile(dz, 0.5)").alias("bias"),
         F.count(F.lit(1)).alias("n_stable"))
     corr = AL.subtract_scalar(zoned, bias_row.select("bias"))
-    if reuse:
-        # all four stages branch from the corrected DoD; without a pin
-        # each union branch re-reads and re-aligns the raster pair
-        # (plan showed 26 scans / 0 reused exchanges). persist() is
-        # LAZY — construction still runs zero jobs — and the cache is
-        # registered with cachereg so the harness releases it after
-        # the query's action (same discipline as the dedup pair lists).
-        from error_analysis_spark.cachereg import track
-        corr = track(corr.persist(StorageLevel.MEMORY_AND_DISK))
 
     slots = ["stage", "k", "n", "v1", "v2", "v3"]
     nl = F.lit(None).cast("bigint")

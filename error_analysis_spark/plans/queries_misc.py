@@ -1021,10 +1021,11 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # session timeZone=UTC is pinned by the harness (__spark_entry__
-    # queries() wrapper / tests conftest), not mutated here — a
-    # query-local conf set would make later timezone-sensitive queries
-    # order-dependent (ADVICE r05)
+    # session timeZone=UTC is pinned by the harness (the
+    # __spark_entry__ queries() wrapper for the driver's foreign
+    # session; session.get_spark — used by tests/bench — builds with
+    # it), not mutated here: a query-local conf set would make later
+    # timezone-sensitive queries order-dependent (ADVICE r05)
     from error_analysis_spark.streaming.joins import batch_interval_join
     ev = load_table(spark, sf_dir, "events") \
         .withColumn("ts", F.col("ts").cast("timestamp"))

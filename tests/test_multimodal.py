@@ -209,3 +209,12 @@ def test_wav_real_decode_through_extract_features(spark):
     assert list(out.loc[0, "shape"]) == [400]
     want = MM.decode_wav(MM.encode_wav(sig, 4000))
     assert abs(out.loc[0, "mean_value"] - float(want.mean())) < 1e-6
+
+
+def test_wav_empty_data_quarantines_to_stub():
+    """A structurally valid WAV with a zero-sample data chunk must not
+    surface NaN feature stats — it quarantines to the stub."""
+    empty = MM.encode_wav(np.zeros(0, dtype=np.float32), 8000)
+    arr, src = MM.decode_payload_src(empty, "audio", None, None, 8000,
+                                     None)
+    assert src == "stub" and arr.shape == (8000,)
