@@ -27,12 +27,11 @@ _MERSENNE31 = (1 << 31) - 1  # keeps every product below 2^62: no int64 overflow
 
 # Persisted pair-list results handed to callers that never see the
 # persist (registry queries, packs, bench) register in the shared
-# session-scoped cache registry; the harness releases between query
-# invocations. Single-invocation consumers (curate_documents, tests)
-# still unpersist directly — double unpersist is a no-op.
-from error_analysis_spark.cachereg import (  # noqa: E402  (re-export)
-    release_tracked, track as _track,
-)
+# session-scoped cache registry (cachereg.release_tracked frees them;
+# the harness calls it between query invocations). Single-invocation
+# consumers (curate_documents, tests) still unpersist directly —
+# double unpersist is a no-op.
+from error_analysis_spark.cachereg import track as _track  # noqa: E402
 
 
 def _md5_long(col, hex_chars: int = 15):

@@ -234,7 +234,12 @@ def analyze_pair_chain(a: DataFrame, b: DataFrame,
     vario_stage = vbins.select(
         F.lit("vario").alias("stage"), F.col("bin").cast("bigint").alias("k"),
         F.col("pair_count").alias("n"),
-        F.round(ssd_d, 4).alias("v1"),
+        # round while still DECIMAL, THEN cast: rounding the double
+        # instead is engine-dependent on exact .xxxx5 halves (Spark
+        # HALF_UPs the shortest decimal string, DuckDB rounds the
+        # double numerically) — and 6-dp dz squares land on a 1e-12
+        # grid where 4-dp halves recur generically
+        F.round(F.col("ssd"), 4).cast("double").alias("v1"),
         F.when(F.col("pair_count") >= min_pairs,
                F.round(ssd_d / (2.0 * F.col("pair_count")), 6)).alias("v2"),
         nd.alias("v3"))

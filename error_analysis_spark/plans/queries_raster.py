@@ -501,9 +501,9 @@ _DOD_GRID_A = GridSpec("dem_a", width=100, height=100, x0=0.0, y0=100.0,
 _DOD_GRID_B = GridSpec("dem_b", width=50, height=50, x0=0.25, y0=100.125,
                        res=2.0)
 
-
-def j1_r4_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from error_analysis_spark.operators import align as AL
+def _dod_raster_pair(spark: SparkSession, sf_dir: str):
+    """The shared j1_r4_dod / pipeline_chain raster-pair fixture
+    (see the grid notes above): returns (a, b) on _DOD_GRID_A/B."""
     ev = load_table(spark, sf_dir, "events")
     a = ev.where(F.col("event_id") < 10000).select(
         (F.col("event_id") % 100).cast("int").alias("row"),
@@ -519,22 +519,11 @@ def j1_r4_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.round(F.col("value") * 1.5, 3)).alias("value"),
     ).withColumn("x", F.lit(0.25) + (F.col("col") + 0.5) * 2.0) \
      .withColumn("y", F.lit(100.125) - (F.col("row") + 0.5) * 2.0)
+    return a, b
 
-    dod = AL.difference(AL.align_pair(a, b, _DOD_GRID_A, _DOD_GRID_B))
-    zone = ((F.col("row") * 7 + F.col("col")) % 5).alias("zone_id")
-    bias = (dod.where(((F.col("row") * 7 + F.col("col")) % 5) == 0)
-            .agg(F.expr("percentile(dz, 0.5)").alias("bias")))
-    corr = AL.subtract_scalar(dod, bias)
-    return corr.groupBy(zone).agg(
-        F.count("*").alias("n_px"),
-        F.round(F.expr("percentile(dz, 0.5)"), 6).alias("med_dz"),
-        F.round(F.stddev_pop("dz"), 6).alias("sd_dz"),
-        F.round(F.sqrt(F.avg(F.col("dz") * F.col("dz"))), 6).alias("rms_dz"),
-    )
-
-
-DOD_SQL = """
-WITH pa AS (
+# the regrid CTE prefix both oracles share (A nearest-neighbor-regridded
+# onto B's offset grid, tie-free arg_min — see grid notes above)
+_DOD_REGRID_CTES = """pa AS (
   SELECT CAST(event_id % 100 AS INTEGER) AS row,
          CAST(event_id // 100 AS INTEGER) AS col,
          round(value, 3) AS value
@@ -565,7 +554,28 @@ a_on_b AS (
   FROM cand
   WHERE t_row >= 0 AND t_row < 50 AND t_col >= 0 AND t_col < 50
   GROUP BY t_row, t_col
-),
+)"""
+
+
+
+
+def j1_r4_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.operators import align as AL
+    a, b = _dod_raster_pair(spark, sf_dir)
+    dod = AL.difference(AL.align_pair(a, b, _DOD_GRID_A, _DOD_GRID_B))
+    zone = ((F.col("row") * 7 + F.col("col")) % 5).alias("zone_id")
+    bias = (dod.where(((F.col("row") * 7 + F.col("col")) % 5) == 0)
+            .agg(F.expr("percentile(dz, 0.5)").alias("bias")))
+    corr = AL.subtract_scalar(dod, bias)
+    return corr.groupBy(zone).agg(
+        F.count("*").alias("n_px"),
+        F.round(F.expr("percentile(dz, 0.5)"), 6).alias("med_dz"),
+        F.round(F.stddev_pop("dz"), 6).alias("sd_dz"),
+        F.round(F.sqrt(F.avg(F.col("dz") * F.col("dz"))), 6).alias("rms_dz"),
+    )
+
+
+DOD_SQL = "WITH " + _DOD_REGRID_CTES + """,
 dod AS (
   SELECT b.row, b.col, b.value - a.value_a AS dz
   FROM pb b JOIN a_on_b a ON b.row = a.row AND b.col = a.col
@@ -597,21 +607,7 @@ GROUP BY 1
 
 def pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from error_analysis_spark.pipeline import analyze_pair_chain
-    ev = load_table(spark, sf_dir, "events")
-    a = ev.where(F.col("event_id") < 10000).select(
-        (F.col("event_id") % 100).cast("int").alias("row"),
-        (F.col("event_id") / 100).cast("int").alias("col"),
-        F.when(F.col("event_id") % 41 != 0,
-               F.round(F.col("value"), 3)).alias("value"),
-    ).withColumn("x", F.col("col") + 0.5) \
-     .withColumn("y", F.lit(100.0) - (F.col("row") + 0.5))
-    b = ev.where(F.col("event_id") < 2500).select(
-        (F.col("event_id") % 50).cast("int").alias("row"),
-        (F.col("event_id") / 50).cast("int").alias("col"),
-        F.when(F.col("event_id") % 53 != 0,
-               F.round(F.col("value") * 1.5, 3)).alias("value"),
-    ).withColumn("x", F.lit(0.25) + (F.col("col") + 0.5) * 2.0) \
-     .withColumn("y", F.lit(100.125) - (F.col("row") + 0.5) * 2.0)
+    a, b = _dod_raster_pair(spark, sf_dir)
     return analyze_pair_chain(a, b, _DOD_GRID_A, _DOD_GRID_B)
 
 
@@ -619,39 +615,7 @@ _CHAIN_COV = ("((0.04 + 0.002) - (0.002 + CASE WHEN {d} <= 30.0 "
               "THEN 0.04 * (1.5 * ({d} / 30.0) - 0.5 * power({d} / 30.0, 3)) "
               "ELSE 0.04 END)) / (0.04 + 0.002)")
 
-PIPELINE_CHAIN_SQL = """
-WITH pa AS (
-  SELECT CAST(event_id % 100 AS INTEGER) AS row,
-         CAST(event_id // 100 AS INTEGER) AS col,
-         round(value, 3) AS value
-  FROM events
-  WHERE event_id < 10000 AND event_id % 41 <> 0 AND value IS NOT NULL
-),
-pb AS (
-  SELECT CAST(event_id % 50 AS INTEGER) AS row,
-         CAST(event_id // 50 AS INTEGER) AS col,
-         round(value * 1.5, 3) AS value
-  FROM events
-  WHERE event_id < 2500 AND event_id % 53 <> 0 AND value IS NOT NULL
-),
-cand AS (
-  SELECT CAST(floor((100.125 - (100.0 - (row + 0.5))) / 2.0) AS INTEGER)
-           AS t_row,
-         CAST(floor(((col + 0.5) - 0.25) / 2.0) AS INTEGER) AS t_col,
-         value,
-         power((col + 0.5) - (0.25 + (CAST(floor(((col + 0.5) - 0.25) / 2.0)
-                   AS INTEGER) + 0.5) * 2.0), 2)
-       + power((100.0 - (row + 0.5)) - (100.125
-               - (CAST(floor((100.125 - (100.0 - (row + 0.5))) / 2.0)
-                   AS INTEGER) + 0.5) * 2.0), 2) AS d2
-  FROM pa
-),
-a_on_b AS (
-  SELECT t_row AS row, t_col AS col, arg_min(value, d2) AS value_a
-  FROM cand
-  WHERE t_row >= 0 AND t_row < 50 AND t_col >= 0 AND t_col < 50
-  GROUP BY t_row, t_col
-),
+PIPELINE_CHAIN_SQL = ("WITH " + _DOD_REGRID_CTES + """,
 dod AS (
   SELECT b.row, b.col,
          0.25 + (b.col + 0.5) * 2.0 AS x,
@@ -713,7 +677,7 @@ SELECT 'zonal', zone_id, count(*),
 FROM corr GROUP BY zone_id
 UNION ALL
 SELECT 'vario', CAST(bin AS BIGINT), pair_count,
-       round(CAST(ssd_dec AS DOUBLE), 4),
+       CAST(round(ssd_dec, 4) AS DOUBLE),
        CASE WHEN pair_count >= 30
             THEN round(CAST(ssd_dec AS DOUBLE) / (2.0 * pair_count), 6) END,
        CAST(NULL AS DOUBLE)
@@ -723,7 +687,7 @@ SELECT 'sigma_a', NULL, NULL,
        round(sqrt(greatest((0.04 + 0.002) * mean_sum_rho / n, 0.0)), 6),
        NULL, NULL
 FROM sm, sn
-""".format(cov=_CHAIN_COV.format(d="d"))
+""").format(cov=_CHAIN_COV.format(d="d"))
 
 
 RASTER_QUERIES: dict[str, tuple] = {

@@ -46,7 +46,10 @@ def j4_variogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.select(
         F.col("bin"),
         F.col("pair_count"),
-        F.round(ssd_d, 4).alias("ssd"),
+        # round in DECIMAL, then cast — double-side rounding is
+        # engine-dependent on exact 4-dp halves (same fix as
+        # pipeline_chain's vario stage)
+        F.round(F.col("ssd"), 4).cast("double").alias("ssd"),
         F.when(F.col("pair_count") >= _MIN_PAIRS,
                F.round(ssd_d / (2.0 * F.col("pair_count")), 6)).alias("gamma"),
     )
@@ -74,7 +77,7 @@ binned AS (
   GROUP BY 1
 )
 SELECT bin, pair_count,
-       round(CAST(ssd_dec AS DOUBLE), 4) AS ssd,
+       CAST(round(ssd_dec, 4) AS DOUBLE) AS ssd,
        CASE WHEN pair_count >= {_MIN_PAIRS}
             THEN round(CAST(ssd_dec AS DOUBLE) / (2.0 * pair_count), 6)
        END AS gamma
