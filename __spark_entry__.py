@@ -47,46 +47,21 @@ _MERGED.update(PACK_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # the six r05 wave-5/6 queries that declared past the r05 window
-    # (local test_oracle greens only) — driver-green them first
-    "j11_interval_join", "layout_zorder", "curation_delta_agg",
-    "text_bpe_merges", "text_domain_topk", "emb_hard_triplets",
-    # new in r06: the E3 analysis chain as ONE lazy DAG
-    # (align → DoD → bias → zonal → variogram → σ_A, injected fit)
-    "pipeline_chain",
-    # changed in r06: mm_pack oracle extended (real PPM payload rows +
-    # decode_src column); ingest_compaction's files_bounded invariant
-    # rebased to the partitioning-independent [ceil, 2*ceil] bound
-    "mm_pack", "ingest_compaction",
-    # the r05 rotate-out tail (r04 greens, unverified in r05 per the
-    # documented window policy) — re-verify all 41 now
-    "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
-    "so2_anti_join", "f1_drop_noise", "a6_median_bias",
-    "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
-    "sc_scalar_pack", "sc6_gps_dates", "sc2_catalog_parse",
-    "so3_full_outer", "a5_mean_variogram", "a1_describe_events",
-    "a7_bootstrap_median", "f2_keep_ground", "text_fingerprint",
-    "text_token_stats", "text_quality", "sim_cosine_topk",
-    "text_normalize", "text_oov_rate", "text_contam_bloom",
-    "curation_domain_cap", "w5_rolling_stats",
-    "sketch_grouped_quantiles", "curation_split",
-    "curation_length_buckets", "sketch_cms_err",
-    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
-    "text_bigram_ppl", "emb_covariance", "curation_data_card",
-    "w7_funnel", "w8_retention", "text_tfidf_topk",
-    "curation_quality_prune",
-]
-# Round 6 clears the whole verification debt in one window: the 50
-# slots hold the 6 post-window r05 names + 1 new + 2 changed + the
-# 41-name r05 rotate-out tail exactly. One late-round-6 query declares
-# past the window (C4-style corpus line dedup); it carries a local
-# test_oracle green and enters the round-7 window first.
-_POST_WINDOW_NEW: list[str] = ["text_line_dedup"]
-# The rotate-out tail: exactly the r05-green window queries that are
-# unchanged this round (every one carries a green CORRECTNESS_r05 row,
-# so no query goes unverified two rounds running). They are next
-# round's re-verification set.
-_ROTATE_OUT = [
+    # r06's one post-window query (local test_oracle green only), ALSO
+    # changed this round: the id-domain contract fix (docs with no
+    # countable line survive with empty text) + the one-tokenization
+    # pin — driver-green it first
+    "text_line_dedup",
+    # new in r07: the E3 chain with the reference's canonical
+    # multi-run variography (R6 ×n via the lazy md5 sampler + the A5
+    # cross-run reduce), full oracle incl. selection parity
+    "pipeline_chain_multi",
+    # the r06 rotate-out tail (r05 greens, unverified in r06 per the
+    # documented window policy) — re-verify all 48 now. NOTE
+    # j4_variogram_bins is in this tail AND changed in r06 (DECIMAL
+    # SSD rounding, 685bb48) — its r05 green predates that change
+    # (ADVICE r06), so its re-verification here is overdue, not
+    # merely rotational.
     "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
     "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
@@ -105,6 +80,34 @@ _ROTATE_OUT = [
     "curation_funnel",
     "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
     "ingest_csv_quarantine",
+]
+# Round 7 declares nothing past the window: the 50 slots hold the one
+# r06 post-window query (also changed), 1 new chain, and the 48-name
+# r06 rotate-out tail exactly (1 + 1 + 48 = 50).
+_POST_WINDOW_NEW: list[str] = []
+# The rotate-out tail: exactly the r06-green window queries that are
+# unchanged this round (every one carries a green CORRECTNESS_r06 row,
+# so no query goes unverified two rounds running). They are next
+# round's re-verification set.
+_ROTATE_OUT = [
+    "j11_interval_join", "layout_zorder", "curation_delta_agg",
+    "text_bpe_merges", "text_domain_topk", "emb_hard_triplets",
+    "pipeline_chain", "mm_pack", "ingest_compaction",
+    "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
+    "so2_anti_join", "f1_drop_noise", "a6_median_bias",
+    "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
+    "sc_scalar_pack", "sc6_gps_dates", "sc2_catalog_parse",
+    "so3_full_outer", "a5_mean_variogram", "a1_describe_events",
+    "a7_bootstrap_median", "f2_keep_ground", "text_fingerprint",
+    "text_token_stats", "text_quality", "sim_cosine_topk",
+    "text_normalize", "text_oov_rate", "text_contam_bloom",
+    "curation_domain_cap", "w5_rolling_stats",
+    "sketch_grouped_quantiles", "curation_split",
+    "curation_length_buckets", "sketch_cms_err",
+    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
+    "text_bigram_ppl", "emb_covariance", "curation_data_card",
+    "w7_funnel", "w8_retention", "text_tfidf_topk",
+    "curation_quality_prune",
 ]
 
 _ALL: dict[str, tuple] = {}

@@ -758,21 +758,39 @@ def corpus_line_dedup(df: DataFrame, text_col: str = "text",
     Scale shape: one row-local posexplode, ONE map-side-combinable
     aggregate keyed on line text, one hash join back (no broadcast
     assumption — the frequent-line set of a web corpus is large), one
-    groupBy rebuild via array_sort(collect_list(struct(pos, line))) —
-    no windows, no driver collects; docs that lose every line surface
-    with empty text rather than vanishing.
+    groupBy rebuild via array_sort(collect_list(struct(pos, line))).
+    The exploded `lines` frame is pinned (cachereg-tracked lazy
+    persist) so the frequency count and the join probe share ONE
+    scan + tokenization pass at any scale — AQE exchange reuse is
+    not guaranteed across the two sides of the join. No windows, no
+    driver collects.
+
+    Id-domain contract: the OUTPUT carries every input document.
+    Docs that lose every line to the kill rule — and docs that had
+    no countable line at all (empty text, or every line space-trims
+    to empty; such docs never reach the exploded frame) — surface
+    with empty text and zero counts rather than vanishing: a curation
+    stage must never silently shrink the corpus id domain on
+    degenerate input. (`trim` strips spaces, not tabs, on both
+    engines — a tab-only line counts as content, matching the
+    oracle.)
 
     Output: (id, text, n_lines_kept, n_lines_removed).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+
     keep = F.col("c") < kill_freq
     lines = (df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"))
         .select("id", "pos", F.trim("raw").alias("line"))
         .where(F.col("line") != ""))
+    lines = track(lines.persist(StorageLevel.MEMORY_AND_DISK))
     freq = lines.groupBy("line").agg(F.count("*").alias("c"))
     tagged = lines.join(freq, "line")
-    return (tagged.groupBy("id").agg(
+    rebuilt = (tagged.groupBy("id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(
@@ -782,3 +800,12 @@ def corpus_line_dedup(df: DataFrame, text_col: str = "text",
         F.sum(keep.cast("long")).alias("n_lines_kept"),
         F.sum((~keep).cast("long")).alias("n_lines_removed"),
     ))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(rebuilt, "id", "left")
+            .select(
+                "id",
+                F.coalesce("text", F.lit("")).alias("text"),
+                F.coalesce("n_lines_kept", F.lit(0).cast("long"))
+                 .alias("n_lines_kept"),
+                F.coalesce("n_lines_removed", F.lit(0).cast("long"))
+                 .alias("n_lines_removed")))

@@ -162,6 +162,69 @@ def sample_pixels_multi(valid: DataFrame, params: VariogramParams, res: float,
                     F.col(value).alias("value"), "run"))
 
 
+def sample_pixels_multi_lazy(valid: DataFrame, params: VariogramParams,
+                             res: float, n_runs: int,
+                             value: str = "value") -> DataFrame:
+    """R6 × n_runs with ZERO driver round-trips — the lazy,
+    SQL-restatable counterpart of `sample_pixels_multi` for
+    oracle-checked chains (pipeline_chain_multi).
+
+    Same selection semantics — fan every valid pixel out to all runs,
+    Bernoulli pre-filter at ~1.5× the target fraction, per-run
+    smallest-u row_number ≤ n_target — with two substitutions:
+
+    * n_valid / n_target / the pre-filter threshold are computed IN
+      the plan (1-row aggregate, broadcast cross join) instead of an
+      eager ``count()``, so chain construction runs zero jobs;
+    * u comes from an md5 order statistic
+      (``conv(substr(md5(pid:run:seed),1,15),16,10)`` — the verified
+      cross-engine hash, ≡ DuckDB
+      ``('0x'||substr(md5(…),1,15))::BIGINT``) instead of xxhash64,
+      which DuckDB cannot restate.
+
+    Production multi-run sampling should keep `sample_pixels_multi`
+    (xxhash64 is cheaper than md5 and the eager count is amortized);
+    this variant trades hash cost for end-to-end oracle checkability.
+    `valid` must already be filtered to non-null values (both callers
+    of the eager variant do the same).
+    """
+    from pyspark.sql import Window as W
+
+    hex15 = float(1 << 60)  # 16^15 — the md5-prefix value space
+    px = valid.withColumn(
+        "_pid", F.col("row").cast("long") * F.lit(1 << 31) + F.col("col"))
+    tgt = valid.agg(F.count(F.lit(1)).alias("_nv")).select(
+        "_nv",
+        F.least(
+            F.lit(int(params.max_samples)).cast("long"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("_nv") * F.lit(res ** 2)
+                        * F.lit(float(params.samples_per_area))
+                        / F.lit(float(params.area_side ** 2)))),
+            F.col("_nv")).alias("_nt"))
+    # same shortfall-safe sizing as sample_pixels/sample_pixels_multi:
+    # mean survivors = 1.5·target + 6·√target + 16
+    tgt = tgt.withColumn(
+        "_thr",
+        F.least(F.lit(1.0),
+                (1.5 * F.col("_nt") + 6.0 * F.sqrt(F.col("_nt")) + 16.0)
+                / F.col("_nv")) * F.lit(hex15))
+    fanned = px.withColumn(
+        "run", F.explode(F.sequence(F.lit(0), F.lit(n_runs - 1))))
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("_pid"), F.col("run"), F.lit(int(params.seed)))), 1, 15),
+        16, 10).cast("long")
+    cand = (fanned.withColumn("_h", h)
+            .crossJoin(F.broadcast(tgt))
+            .where(F.col("_h").cast("double") < F.col("_thr")))
+    w = W.partitionBy("run").orderBy("_h", "_pid")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.col("_nt"))
+            .select(F.col("_pid").alias("sample_id"), "x", "y",
+                    F.col(value).alias("value"), "run"))
+
+
 def pair_bins(samples: DataFrame, max_lag: float, bin_width: float,
               run_col: str = "run", exact: bool = False) -> DataFrame:
     """J4 + A3 — all pairs within max_lag, aggregated per (run, lag bin).

@@ -258,3 +258,103 @@ def analyze_pair_chain(a: DataFrame, b: DataFrame,
             .unionByName(zonal_stage.select(slots))
             .unionByName(vario_stage.select(slots))
             .unionByName(sigma_stage.select(slots)))
+
+
+def analyze_pair_chain_multi(a: DataFrame, b: DataFrame,
+                             grid_a: GridSpec, grid_b: GridSpec,
+                             n_zones: int = 5, stable_zone: int = 0,
+                             max_lag: float = 30.0, bin_width: float = 6.0,
+                             min_pairs: int = 30, n_runs: int = 4,
+                             max_samples: int = 120,
+                             samples_per_area: float = 10_000.0,
+                             seed: int = 42,
+                             reuse: bool = True) -> DataFrame:
+    """E3 with the reference's CANONICAL multi-run variography: align
+    (J1/R1) → difference (R4) → median bias (A6, 1-row broadcast) →
+    bias subtract (R5) → seeded n_runs-fold sampling of the stable
+    area (R6 ×n, `sample_pixels_multi_lazy` — zero driver round-trips)
+    → per-run pair bins + Matheron (J4/A3/A4/F7) → cross-run A5
+    reduction (`mean_variogram`), all ONE lazy labeled-union DAG.
+
+    The reference's canonical workload runs the variogram n_runs=30
+    times and reduces across runs (variography_uncertainty.py:486-555,
+    notebook cell [78]); `analyze_pair_chain` covers the single-run
+    spine + zonal + σ_A — this variant covers the R6-multi + A5 leg
+    the single-run chain cannot, end-to-end oracle-checkable.
+
+    Rows (stage, run, k, n, v1, v2, v3, v4):
+      'bias'       run=NULL k=NULL  n=stable px   v1=bias
+      'vario'      run, k=bin,      n=pair_count  v1=ssd(4dp)
+                   v2=γ (NULL below min_pairs)
+      'vario_mean' run=NULL, k=bin, n=n_runs_valid, v1=γ_mean,
+                   v2=γ_std, v3=γ_spread, v4=mean_pair_count —
+                   the A5 block (lag is k·bin_width + bin_width/2,
+                   derivable, so it is not repeated as a column).
+    Floats rounded 4-6 dp; SSD reduces in DECIMAL (order-immaterial).
+    """
+    from error_analysis_spark.operators.variogram import (
+        VariogramParams, matheron, mean_variogram, pair_bins,
+        sample_pixels_multi_lazy,
+    )
+
+    dod = AL.difference(AL.align_pair(a, b, grid_a, grid_b))
+    common = AL.dst_grid(grid_a, grid_b)
+    zoned = dod.withColumn(
+        "zone_id", ((F.col("row") * 7 + F.col("col")) % n_zones)
+        .cast("bigint"))
+    if reuse:
+        # same pin discipline as analyze_pair_chain: bias, the sample
+        # draw and the per-run pair join all branch from the zoned DoD
+        from error_analysis_spark.cachereg import track
+        zoned = track(zoned.persist(StorageLevel.MEMORY_AND_DISK))
+    stable = zoned.where(F.col("zone_id") == stable_zone)
+    bias_row = stable.agg(
+        F.expr("percentile(dz, 0.5)").alias("bias"),
+        F.count(F.lit(1)).alias("n_stable"))
+    # corrected stable pixels, value pinned to the 6-dp DECIMAL grid
+    # (cross-engine-exact pair SSD, same as analyze_pair_chain)
+    stable_c = (stable.crossJoin(F.broadcast(bias_row.select("bias")))
+                .select("row", "col", "x", "y",
+                        F.round(F.col("dz") - F.col("bias"), 6)
+                        .cast("decimal(18,6)").alias("value")))
+    params = VariogramParams(bin_width=bin_width, max_samples=max_samples,
+                             samples_per_area=samples_per_area,
+                             n_runs=n_runs, seed=seed)
+    samples = sample_pixels_multi_lazy(stable_c, params, res=common.res,
+                                       n_runs=n_runs)
+    vbins = pair_bins(samples, max_lag=max_lag, bin_width=bin_width)
+    per_run = matheron(vbins.withColumn("ssd_dec", F.col("ssd"))
+                       .withColumn("ssd", F.col("ssd").cast("double")),
+                       min_pairs=min_pairs)
+    reduced = mean_variogram(per_run, bin_width=bin_width)
+
+    slots = ["stage", "run", "k", "n", "v1", "v2", "v3", "v4"]
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    bias_stage = bias_row.select(
+        F.lit("bias").alias("stage"), nl.alias("run"), nl.alias("k"),
+        F.col("n_stable").alias("n"), F.round("bias", 6).alias("v1"),
+        nd.alias("v2"), nd.alias("v3"), nd.alias("v4"))
+
+    vario_stage = per_run.select(
+        F.lit("vario").alias("stage"),
+        F.col("run").cast("bigint").alias("run"),
+        F.col("bin").cast("bigint").alias("k"),
+        F.col("pair_count").alias("n"),
+        # round in DECIMAL, then cast (engine-dependent double halves)
+        F.round(F.col("ssd_dec"), 4).cast("double").alias("v1"),
+        F.round("gamma", 6).alias("v2"), nd.alias("v3"), nd.alias("v4"))
+
+    mean_stage = reduced.select(
+        F.lit("vario_mean").alias("stage"), nl.alias("run"),
+        F.col("bin").cast("bigint").alias("k"),
+        F.col("n_runs_valid").alias("n"),
+        F.round("gamma_mean", 6).alias("v1"),
+        F.round("gamma_std", 6).alias("v2"),
+        F.round("gamma_spread", 6).alias("v3"),
+        F.round("mean_pair_count", 4).alias("v4"))
+
+    return (bias_stage.select(slots)
+            .unionByName(vario_stage.select(slots))
+            .unionByName(mean_stage.select(slots)))

@@ -3088,17 +3088,25 @@ lines AS (
   SELECT doc_id, i AS pos, trim(parts[i]) AS line
   FROM pos WHERE trim(parts[i]) <> ''
 ),
-freq AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
-SELECT l.doc_id,
-       CAST(count(CASE WHEN f.c < 3 THEN 1 END) AS BIGINT)
-         AS n_lines_kept,
-       CAST(count(CASE WHEN f.c >= 3 THEN 1 END) AS BIGINT)
-         AS n_lines_removed,
-       md5(coalesce(string_agg(CASE WHEN f.c < 3 THEN l.line END,
-                               chr(10) ORDER BY l.pos), ''))
-         AS text_md5
-FROM lines l JOIN freq f USING (line)
-GROUP BY l.doc_id
+freq AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+rebuilt AS (
+  SELECT l.doc_id,
+         count(CASE WHEN f.c < 3 THEN 1 END) AS n_kept,
+         count(CASE WHEN f.c >= 3 THEN 1 END) AS n_removed,
+         md5(coalesce(string_agg(CASE WHEN f.c < 3 THEN l.line END,
+                                 chr(10) ORDER BY l.pos), ''))
+           AS text_md5
+  FROM lines l JOIN freq f USING (line)
+  GROUP BY l.doc_id
+)
+-- id-domain contract (round 7): docs with no countable line never
+-- reach `lines`; the left join back onto documents keeps them in
+-- the output with empty text and zero counts (text.py lockstep)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_lines_removed,
+       coalesce(r.text_md5, md5('')) AS text_md5
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 

@@ -690,6 +690,114 @@ FROM sm, sn
 """).format(cov=_CHAIN_COV.format(d="d"))
 
 
+# --------------------------------------------------------------------------
+# E3-multi — the chain with the reference's CANONICAL multi-run
+# variography (n_runs=4 here; notebook cell [78] runs 30): align → DoD
+# → bias subtract → seeded n_runs-fold sampling of the stable zone
+# (sample_pixels_multi_lazy: md5 order statistic, in-plan n_target —
+# zero jobs until the action) → per-run pair bins + Matheron → A5
+# cross-run reduce (mean_variogram). The oracle restates the sampler
+# EXACTLY (same md5 prefix hash, same Bernoulli pre-filter, same
+# per-run row_number ≤ n_target) — selection parity is part of what
+# this query verifies, not just the aggregates.
+# Fixture: the same raster pair as j1_r4_dod / pipeline_chain.
+# --------------------------------------------------------------------------
+
+def pipeline_chain_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from error_analysis_spark.pipeline import analyze_pair_chain_multi
+    a, b = _dod_raster_pair(spark, sf_dir)
+    return analyze_pair_chain_multi(a, b, _DOD_GRID_A, _DOD_GRID_B)
+
+
+PIPELINE_CHAIN_MULTI_SQL = "WITH " + _DOD_REGRID_CTES + """,
+dod AS (
+  SELECT b.row, b.col,
+         0.25 + (b.col + 0.5) * 2.0 AS x,
+         100.125 - (b.row + 0.5) * 2.0 AS y,
+         CAST((b.row * 7 + b.col) % 5 AS BIGINT) AS zone_id,
+         b.value - a.value_a AS dz
+  FROM pb b JOIN a_on_b a ON b.row = a.row AND b.col = a.col
+),
+biasrow AS (
+  SELECT quantile_cont(dz, 0.5) AS bias, count(*) AS n_stable
+  FROM dod WHERE zone_id = 0
+),
+stable AS (
+  SELECT CAST(d.row AS BIGINT) * 2147483648 + d.col AS pid, d.x, d.y,
+         CAST(round(d.dz - br.bias, 6) AS DECIMAL(18,6)) AS value
+  FROM dod d CROSS JOIN biasrow br WHERE d.zone_id = 0
+),
+-- sample_pixels_multi_lazy restated: n_target = min(max_samples=120,
+-- floor(n_valid * res^2 * spa / area^2) = floor(n_valid * 4 * 10000
+-- / 62500), n_valid); pre-filter mean = 1.5t + 6 sqrt(t) + 16
+tgt AS (
+  SELECT n_valid,
+         least(120, greatest(1, CAST(floor(n_valid * 4.0 * 10000.0
+                                           / 62500.0) AS BIGINT)),
+               n_valid) AS n_target
+  FROM (SELECT count(*) AS n_valid FROM stable)
+),
+thr AS (
+  SELECT n_target,
+         least(1.0, (1.5 * n_target + 6.0 * sqrt(n_target) + 16.0)
+                    / n_valid) * 1152921504606846976.0 AS h_thr
+  FROM tgt
+),
+fan AS (
+  SELECT s.*, r.run,
+         ('0x' || substr(md5(s.pid || ':' || r.run || ':' || 42),
+                         1, 15))::BIGINT AS h
+  FROM stable s
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS run) r
+),
+samp AS (
+  SELECT run, pid AS sid, x, y, value
+  FROM (
+    SELECT f.run, f.pid, f.x, f.y, f.value, t.n_target,
+           row_number() OVER (PARTITION BY f.run
+                              ORDER BY f.h, f.pid) AS rn
+    FROM fan f CROSS JOIN thr t
+    WHERE CAST(f.h AS DOUBLE) < t.h_thr
+  ) WHERE rn <= n_target
+),
+vpairs AS (
+  SELECT a.run,
+         sqrt((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y)) AS dist,
+         (a.value - b.value) * (a.value - b.value) AS sq
+  FROM samp a JOIN samp b ON a.run = b.run AND a.sid < b.sid
+),
+vbin AS (
+  SELECT run, CAST(floor(dist / 6.0) AS INTEGER) AS bin,
+         count(*) AS pair_count, sum(sq) AS ssd_dec
+  FROM vpairs WHERE dist <= 30.0 GROUP BY 1, 2
+),
+per_run AS (
+  SELECT run, bin, pair_count, ssd_dec,
+         CASE WHEN pair_count >= 30
+              THEN CAST(ssd_dec AS DOUBLE) / (2.0 * pair_count)
+         END AS gamma
+  FROM vbin
+)
+SELECT 'bias' AS stage, CAST(NULL AS BIGINT) AS run,
+       CAST(NULL AS BIGINT) AS k, n_stable AS n,
+       round(bias, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
+FROM biasrow
+UNION ALL
+SELECT 'vario', CAST(run AS BIGINT), CAST(bin AS BIGINT), pair_count,
+       CAST(round(ssd_dec, 4) AS DOUBLE), round(gamma, 6), NULL, NULL
+FROM per_run
+UNION ALL
+SELECT 'vario_mean', NULL, CAST(bin AS BIGINT), count(gamma),
+       round(avg(gamma), 6), round(stddev_samp(gamma), 6),
+       round((quantile_cont(gamma, 0.975)
+              - quantile_cont(gamma, 0.025)) / 2.0, 6),
+       round(avg(pair_count), 4)
+FROM per_run GROUP BY bin
+"""
+
+
 RASTER_QUERIES: dict[str, tuple] = {
     "r2_focal_all": (r2_focal_all, R2ALL_SQL),
     "s8_grid_max": (s8_grid_max, S8MAX_SQL),
@@ -698,4 +806,5 @@ RASTER_QUERIES: dict[str, tuple] = {
     "r7_polygonize": (r7_polygonize, R7_SQL),
     "j1_r4_dod": (j1_r4_dod, DOD_SQL),
     "pipeline_chain": (pipeline_chain, PIPELINE_CHAIN_SQL),
+    "pipeline_chain_multi": (pipeline_chain_multi, PIPELINE_CHAIN_MULTI_SQL),
 }

@@ -1,0 +1,128 @@
+"""Round-7 semantics: line-dedup id-domain contract, the multi-run
+chain's A5 internal consistency, the mm fixture magic-prefix guard,
+and cachereg's scoped release."""
+
+from __future__ import annotations
+
+import glob
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from error_analysis_spark import cachereg
+from error_analysis_spark.extensions.text import corpus_line_dedup
+
+
+def test_corpus_line_dedup_blank_doc_survives(spark):
+    """Id-domain contract (round-7 fix): a doc whose text is empty or
+    all-blank lines never reaches the exploded frame, but it must NOT
+    vanish from the output — it surfaces with empty text and zero
+    counts, so a curation stage never silently shrinks the corpus."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha\nbeta", "", "  \n \n   "],
+    }))
+    with cachereg.scoped():
+        out = (corpus_line_dedup(docs, kill_freq=3).toPandas()
+               .set_index("id").sort_index())
+    assert sorted(out.index) == [1, 2, 3]
+    for blank in (2, 3):
+        assert out.loc[blank, "text"] == ""
+        assert out.loc[blank, "n_lines_kept"] == 0
+        assert out.loc[blank, "n_lines_removed"] == 0
+    assert out.loc[1, "text"] == "alpha\nbeta"
+    assert out.loc[1, "n_lines_kept"] == 2
+
+
+def test_corpus_line_dedup_one_tokenization(spark):
+    """The exploded `lines` frame is pinned: both its consumers (the
+    corpus frequency count and the join probe) read the cache, so the
+    scan + posexplode + trim pipeline runs once at any scale."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a\nb", "b\nc"]}))
+    with cachereg.scoped():
+        out = corpus_line_dedup(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2
+        # the pin registered with cachereg (released by scoped/harness)
+        assert len(cachereg._TRACKED) == 1
+        out.collect()
+    assert len(cachereg._TRACKED) == 0
+
+
+def test_chain_multi_a5_consistent_with_per_run(spark):
+    """pipeline_chain_multi's 'vario_mean' block is the A5 reduce of
+    its own 'vario' block: per bin, gamma_mean is the mean of the
+    per-run gammas and n counts the runs whose bin met min_pairs."""
+    from error_analysis_spark.plans.queries_raster import (
+        pipeline_chain_multi,
+    )
+    with cachereg.scoped():
+        pdf = pipeline_chain_multi(spark, "/root/testdata/sf0.01").toPandas()
+    vario = pdf[pdf.stage == "vario"]
+    mean = pdf[pdf.stage == "vario_mean"].set_index("k")
+    assert set(vario.run.unique()) == {0, 1, 2, 3}
+    for b, grp in vario.groupby("k"):
+        gammas = grp.v2.dropna()
+        assert mean.loc[b, "n"] == len(gammas)
+        if len(gammas):
+            assert abs(mean.loc[b, "v1"] - gammas.mean()) < 1e-4
+        assert abs(mean.loc[b, "v4"] - grp.n.mean()) < 1e-4
+
+
+def test_lazy_sampler_per_run_counts(spark):
+    """sample_pixels_multi_lazy draws the exact n_target per run with
+    no driver round-trips (construction runs zero jobs) and distinct
+    per-run membership (run-salted hash)."""
+    from error_analysis_spark.operators.variogram import (
+        VariogramParams, sample_pixels_multi_lazy,
+    )
+    n = 400
+    px = spark.range(n).select(
+        (F.col("id") % 20).cast("int").alias("row"),
+        (F.col("id") / 20).cast("int").alias("col"),
+        (F.col("id") % 20 + 0.5).alias("x"),
+        (F.floor(F.col("id") / 20) + 0.5).alias("y"),
+        F.col("id").cast("double").alias("value"))
+    params = VariogramParams(max_samples=50, samples_per_area=1e9, seed=7)
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    samp = sample_pixels_multi_lazy(px, params, res=1.0, n_runs=3)
+    assert len(tracker.getJobIdsForGroup() or []) == jobs_before
+    pdf = samp.toPandas()
+    counts = pdf.groupby("run").sample_id.agg(["count", "nunique"])
+    assert (counts["count"] == 50).all() and (counts["nunique"] == 50).all()
+    sets = pdf.groupby("run").sample_id.apply(frozenset)
+    assert sets[0] != sets[1] != sets[2]
+
+
+def test_mm_fixture_payloads_carry_no_decodable_magic():
+    """Guard for the mm_features/mm_pack oracle (ADVICE r06): its
+    decode_src='real' ⟺ doc_id%6==0 assertion relies on no raw
+    document text beginning with bytes the REAL parsers accept. Pin
+    that property of the fixture data itself, at every SF the driver
+    or bench touches, so a fixture regeneration that violates it fails
+    loudly here instead of silently flipping oracle rows."""
+    magic = ("P6", "BM", "RIFF", "\x89PNG\r\n\x1a\n")
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        hits = [t[:8] for t in texts if t and t.startswith(magic)]
+        assert not hits, f"{sf_dir}: decodable magic prefixes {hits[:3]}"
+
+
+def test_cachereg_scoped_releases_inner_keeps_outer(spark):
+    """scoped() releases exactly the caches tracked inside the block
+    and restores outer registrations for the harness-level release."""
+    outer = cachereg.track(spark.range(5).persist())
+    outer.count()
+    with cachereg.scoped():
+        inner = cachereg.track(spark.range(7).persist())
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory      # released on exit
+    assert outer.storageLevel.useMemory          # untouched
+    assert cachereg._TRACKED == [outer]          # restored
+    assert cachereg.release_tracked() == 1
+    assert not outer.storageLevel.useMemory
