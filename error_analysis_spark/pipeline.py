@@ -322,10 +322,23 @@ def analyze_pair_chain_multi(a: DataFrame, b: DataFrame,
                              n_runs=n_runs, seed=seed)
     samples = sample_pixels_multi_lazy(stable_c, params, res=common.res,
                                        n_runs=n_runs)
-    vbins = pair_bins(samples, max_lag=max_lag, bin_width=bin_width)
-    per_run = matheron(vbins.withColumn("ssd_dec", F.col("ssd"))
-                       .withColumn("ssd", F.col("ssd").cast("double")),
-                       min_pairs=min_pairs)
+    if reuse:
+        # second lazy pin: the pair join probes `samples` on BOTH
+        # sides — unpinned, each side re-runs the fan-out + per-run
+        # selection window
+        from error_analysis_spark.cachereg import track
+        samples = track(samples.persist(StorageLevel.MEMORY_AND_DISK))
+    per_run = matheron(
+        pair_bins(samples, max_lag=max_lag, bin_width=bin_width)
+        .withColumn("ssd_dec", F.col("ssd"))
+        .withColumn("ssd", F.col("ssd").cast("double")),
+        min_pairs=min_pairs)
+    if reuse:
+        # third lazy pin: `per_run` (≤ n_runs × n_bins rows) feeds both
+        # the vario rows and the A5 reduce — pinned, the whole
+        # sample → pair-join pipeline runs exactly once
+        from error_analysis_spark.cachereg import track
+        per_run = track(per_run.persist(StorageLevel.MEMORY_AND_DISK))
     reduced = mean_variogram(per_run, bin_width=bin_width)
 
     slots = ["stage", "run", "k", "n", "v1", "v2", "v3", "v4"]

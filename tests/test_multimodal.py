@@ -218,3 +218,52 @@ def test_wav_empty_data_quarantines_to_stub():
     arr, src = MM.decode_payload_src(empty, "audio", None, None, 8000,
                                      None)
     assert src == "stub" and arr.shape == (8000,)
+
+
+def _smooth_img(h: int = 24, w: int = 40) -> np.ndarray:
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 3 * np.pi, h)
+    return np.stack([
+        127 + 100 * np.outer(np.sin(y), np.cos(x)),
+        127 + 80 * np.outer(np.cos(y), np.sin(x)),
+        np.full((h, w), 200.0)], axis=2).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_round_trip_444_and_quality():
+    """Baseline JPEG decode is a REAL byte-level parser: encode at
+    4:4:4, decode, and the reconstruction error behaves like JPEG
+    (small at q=95, monotonically worse at q=50 — not a stub echo)."""
+    img = _smooth_img()
+    out95 = MM.decode_jpeg(MM.encode_jpeg(img, quality=95))
+    out50 = MM.decode_jpeg(MM.encode_jpeg(img, quality=50))
+    e95 = np.abs(out95.astype(int) - img.astype(int)).mean()
+    e50 = np.abs(out50.astype(int) - img.astype(int)).mean()
+    assert out95.shape == img.shape
+    assert e95 < 2.5 and e95 < e50 < 10
+
+
+def test_jpeg_restart_markers_and_420_subsampling():
+    """DRI/RSTn handling (predictor reset + byte realign) and 4:2:0
+    chroma upsampling both decode correctly, including partial MCUs
+    on odd dimensions."""
+    img = _smooth_img(17, 21)
+    b = MM.encode_jpeg(img, quality=90, restart_interval=2,
+                       subsample=True)
+    out = MM.decode_jpeg(b)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    # chroma box-mean + nearest-upsample loss only (the 17×21 fixture
+    # packs 4π of signal into 21 px, so 4:2:0 loss runs ~10)
+    assert err < 14
+
+
+def test_jpeg_real_decode_through_dispatch_and_quarantine():
+    """decode_payload_src routes JPEG magic bytes to the real parser
+    (decode_src='real'); truncated payloads quarantine to the stub."""
+    img = _smooth_img(8, 8)
+    b = MM.encode_jpeg(img, quality=95)
+    arr, src = MM.decode_payload_src(b, "image", 8, 8, None, None)
+    assert src == "real" and arr.shape == (8, 8, 3)
+    assert np.abs(arr.astype(int) - img.astype(int)).mean() < 3
+    stub, src2 = MM.decode_payload_src(b[:40], "image", 8, 8, None, None)
+    assert src2 == "stub" and stub.shape == (8, 8, 3)

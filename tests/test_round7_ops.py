@@ -39,6 +39,7 @@ def test_corpus_line_dedup_one_tokenization(spark):
     """The exploded `lines` frame is pinned: both its consumers (the
     corpus frequency count and the join probe) read the cache, so the
     scan + posexplode + trim pipeline runs once at any scale."""
+    cachereg.release_tracked()  # drain caches earlier tests left tracked
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2], "text": ["a\nb", "b\nc"]}))
     with cachereg.scoped():
@@ -115,6 +116,7 @@ def test_mm_fixture_payloads_carry_no_decodable_magic():
 def test_cachereg_scoped_releases_inner_keeps_outer(spark):
     """scoped() releases exactly the caches tracked inside the block
     and restores outer registrations for the harness-level release."""
+    cachereg.release_tracked()  # drain caches earlier tests left tracked
     outer = cachereg.track(spark.range(5).persist())
     outer.count()
     with cachereg.scoped():
