@@ -354,6 +354,7 @@ def _zigzag() -> list[tuple[int, int]]:
 
 
 _ZZ = _zigzag()
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZZ])  # zigzag→row-major
 _DCT_T = np.array([[  # T[k,n] = α(k)·cos((2n+1)kπ/16); f = T.T @ F @ T
     (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
     * np.cos((2 * n + 1) * k * np.pi / 16)
@@ -435,9 +436,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart handling, dequantize in zigzag order, exact 8×8 IDCT as
     two dense matmuls against the DCT-II basis (vectorized over the
     block), nearest-neighbor chroma upsampling, JFIF YCbCr→RGB.
-    Baseline sequential only (SOF0, 8-bit, ≤4 components); progressive
-    / arithmetic / 12-bit raise ValueError and quarantine to the
-    PIL-or-stub fallback like any unsupported shard."""
+    Baseline sequential only (SOF0, 8-bit, 1 or 3 components);
+    progressive / arithmetic / 12-bit / CMYK raise ValueError and
+    quarantine to the PIL-or-stub fallback like any unsupported
+    shard."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -485,6 +487,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 data[5]
             if depth != 8:
                 raise ValueError("non-8-bit JPEG unsupported")
+            if nc not in (1, 3):  # gray / YCbCr only — CMYK (nc=4)
+                raise ValueError("unsupported JPEG component count")
             comps = [(data[6 + 3 * i], data[7 + 3 * i] >> 4,
                       data[7 + 3 * i] & 0xF, data[8 + 3 * i])
                      for i in range(nc)]  # (cid, hs, vs, tq)
@@ -542,11 +546,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             raise ValueError("AC coefficient overrun")
                         coef[k] = _extend(br.bits(size), size)
                         k += 1
-                    block = np.zeros((8, 8), np.float64)
-                    dq = coef * q
-                    for i, (r, c) in enumerate(_ZZ):
-                        block[r, c] = dq[i]
-                    px = _DCT_T.T @ block @ _DCT_T + 128.0
+                    block = np.zeros(64, np.float64)
+                    block[_ZZ_FLAT] = coef * q  # vectorized de-zigzag
+                    px = (_DCT_T.T @ block.reshape(8, 8) @ _DCT_T
+                          + 128.0)
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0:y0 + 8, x0:x0 + 8] = px
@@ -626,7 +629,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         out.extend(b"\xff" + bytes([marker])
                    + struct.pack(">H", len(body) + 2) + body)
 
-    zz = np.array([r * 8 + c for r, c in _ZZ])
+    zz = _ZZ_FLAT
     seg(0xDB, bytes([0]) + qlum.reshape(-1)[zz].astype(np.uint8).tobytes())
     seg(0xDB, bytes([1]) + qchr.reshape(-1)[zz].astype(np.uint8).tobytes())
     sampling = [(2, 2), (1, 1), (1, 1)] if subsample \
@@ -766,6 +769,17 @@ def decode_payload_src(payload: bytes, kind: str, width: int | None,
             if payload[:8] == _PNG_SIG:
                 return decode_png(payload), "real"
             if payload[:2] == b"\xff\xd8":
+                if _PIL is not None:  # pragma: no cover — C-speed
+                    # path first where available; the pure-Python
+                    # baseline parser is the no-PIL fallback (and the
+                    # progressive/CMYK fallthrough below)
+                    import io
+                    try:
+                        return (np.asarray(_PIL.open(
+                            io.BytesIO(payload)).convert("RGB")),
+                            "real")
+                    except Exception:
+                        pass
                 return decode_jpeg(payload), "real"
         except (ValueError, IndexError, KeyError, zlib.error,
                 struct.error):

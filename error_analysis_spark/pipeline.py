@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from error_analysis_spark.cachereg import track
 from error_analysis_spark.fixtures import GridSpec
 from error_analysis_spark.operators import align as AL
 from error_analysis_spark.operators import stats as ST
@@ -193,7 +194,6 @@ def analyze_pair_chain(a: DataFrame, b: DataFrame,
         # discipline as the dedup pair lists). Pinning ZONED (pre-bias)
         # rather than the corrected DoD also covers the bias branch and
         # the bias broadcast build.
-        from error_analysis_spark.cachereg import track
         zoned = track(zoned.persist(StorageLevel.MEMORY_AND_DISK))
     stable = zoned.where(F.col("zone_id") == stable_zone)
 
@@ -305,7 +305,6 @@ def analyze_pair_chain_multi(a: DataFrame, b: DataFrame,
     if reuse:
         # same pin discipline as analyze_pair_chain: bias, the sample
         # draw and the per-run pair join all branch from the zoned DoD
-        from error_analysis_spark.cachereg import track
         zoned = track(zoned.persist(StorageLevel.MEMORY_AND_DISK))
     stable = zoned.where(F.col("zone_id") == stable_zone)
     bias_row = stable.agg(
@@ -326,7 +325,6 @@ def analyze_pair_chain_multi(a: DataFrame, b: DataFrame,
         # second lazy pin: the pair join probes `samples` on BOTH
         # sides — unpinned, each side re-runs the fan-out + per-run
         # selection window
-        from error_analysis_spark.cachereg import track
         samples = track(samples.persist(StorageLevel.MEMORY_AND_DISK))
     per_run = matheron(
         pair_bins(samples, max_lag=max_lag, bin_width=bin_width)
@@ -337,7 +335,6 @@ def analyze_pair_chain_multi(a: DataFrame, b: DataFrame,
         # third lazy pin: `per_run` (≤ n_runs × n_bins rows) feeds both
         # the vario rows and the A5 reduce — pinned, the whole
         # sample → pair-join pipeline runs exactly once
-        from error_analysis_spark.cachereg import track
         per_run = track(per_run.persist(StorageLevel.MEMORY_AND_DISK))
     reduced = mean_variogram(per_run, bin_width=bin_width)
 

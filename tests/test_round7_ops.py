@@ -105,7 +105,10 @@ def test_mm_fixture_payloads_carry_no_decodable_magic():
     that property of the fixture data itself, at every SF the driver
     or bench touches, so a fixture regeneration that violates it fails
     loudly here instead of silently flipping oracle rows."""
-    magic = ("P6", "BM", "RIFF", "\x89PNG\r\n\x1a\n")
+    # \x89PNG… and \xff\xd8 (JPEG) are unreachable from utf-8 text but
+    # listed for parity with the dispatch, against a future fixture
+    # regeneration that switches payloads to raw bytes
+    magic = ("P6", "BM", "RIFF", "\x89PNG\r\n\x1a\n", "\xff\xd8")
     for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
         texts = pq.read_table(f"{sf_dir}/documents.parquet",
                               columns=["text"]).column("text").to_pylist()
