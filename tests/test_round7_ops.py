@@ -131,3 +131,45 @@ def test_cachereg_scoped_releases_inner_keeps_outer(spark):
     assert cachereg._TRACKED == [outer]          # restored
     assert cachereg.release_tracked() == 1
     assert not outer.storageLevel.useMemory
+
+
+def test_analyze_pair_chain_multi_is_one_lazy_dag(spark):
+    """The multi-run chain keeps the E3 laziness contract: building it
+    runs ZERO Spark jobs (all three pins — zoned DoD, samples, per-run
+    bins — are lazy persists), the plan never falls back to a
+    CartesianProduct, and one action yields bias + per-run vario +
+    the A5 cross-run block with n_runs runs present."""
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.fixtures import GridSpec
+    from error_analysis_spark.pipeline import analyze_pair_chain_multi
+
+    ga = GridSpec("a", width=20, height=20, x0=0.0, y0=20.0, res=1.0)
+    gb = GridSpec("b", width=10, height=10, x0=0.25, y0=20.125, res=2.0)
+
+    def mk(g):
+        return (spark.range(g.width * g.height).select(
+            (F.col("id") % g.height).cast("int").alias("row"),
+            (F.col("id") / g.height).cast("int").alias("col"),
+            (F.col("id") * 0.01).alias("value"))
+            .withColumn("x", F.lit(g.x0) + (F.col("col") + 0.5) * g.res)
+            .withColumn("y", F.lit(g.y0) - (F.col("row") + 0.5) * g.res))
+
+    cachereg.release_tracked()
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    chain = analyze_pair_chain_multi(mk(ga), mk(gb), ga, gb, n_runs=3,
+                                     max_lag=12.0, bin_width=4.0,
+                                     min_pairs=5)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "chain construction ran Spark jobs"
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    with cachereg.scoped():
+        pdf = chain.toPandas()
+    assert set(pdf["stage"]) == {"bias", "vario", "vario_mean"}
+    assert len(pdf[pdf["stage"] == "bias"]) == 1
+    assert set(pdf[pdf["stage"] == "vario"]["run"]) == {0, 1, 2}
+    mean = pdf[pdf["stage"] == "vario_mean"]
+    assert (mean["n"] <= 3).all() and len(mean) > 0
