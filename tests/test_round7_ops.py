@@ -173,3 +173,89 @@ def test_analyze_pair_chain_multi_is_one_lazy_dag(spark):
     assert set(pdf[pdf["stage"] == "vario"]["run"]) == {0, 1, 2}
     mean = pdf[pdf["stage"] == "vario_mean"]
     assert (mean["n"] <= 3).all() and len(mean) > 0
+
+
+def _line_dedup_reference(texts: dict, kill_freq: int) -> dict:
+    """Pure-Python reference of the C4 line-dedup rule (independent of
+    both the Spark plan and the DuckDB oracle)."""
+    from collections import Counter
+    lines = {i: [ln.strip(" ") for ln in t.split("\n")
+                 if ln.strip(" ") != ""] for i, t in texts.items()}
+    freq = Counter(ln for ls in lines.values() for ln in ls)
+    out = {}
+    for i, ls in lines.items():
+        kept = [ln for ln in ls if freq[ln] < kill_freq]
+        out[i] = ("\n".join(kept), len(kept), len(ls) - len(kept))
+    return out
+
+
+def test_corpus_line_dedup_matches_python_reference(spark):
+    """Randomized cross-check against an implementation-independent
+    reference: random corpora with planted boilerplate, blanks and
+    repeats — text, kept and removed counts must match exactly for
+    every doc (incl. docs the kill rule empties)."""
+    import random
+    rng = random.Random(1234)
+    pool = [f"boiler_{j}" for j in range(6)]
+    for trial in range(3):
+        texts = {}
+        for i in range(60):
+            n = rng.randint(0, 6)
+            ls = []
+            for _ in range(n):
+                r = rng.random()
+                if r < 0.35:
+                    ls.append(rng.choice(pool))
+                elif r < 0.45:
+                    ls.append("   ")          # blank after trim
+                else:
+                    ls.append(f"uniq_{trial}_{i}_{rng.randint(0, 9)}")
+            texts[i] = "\n".join(ls)
+        want = _line_dedup_reference(texts, kill_freq=3)
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+        with cachereg.scoped():
+            got = (corpus_line_dedup(docs, kill_freq=3).toPandas()
+                   .set_index("id"))
+        assert len(got) == len(texts)
+        for i, (text, kept, removed) in want.items():
+            assert got.loc[i, "text"] == text, i
+            assert got.loc[i, "n_lines_kept"] == kept, i
+            assert got.loc[i, "n_lines_removed"] == removed, i
+
+
+def test_lazy_sampler_selection_matches_python_reference(spark):
+    """The md5 order-statistic selection is REPRODUCED exactly by an
+    independent Python recomputation (same hash, same n_target
+    formula, same pre-filter, same smallest-u pick per run) — the
+    partitioning-independence contract, checked beyond the SQL
+    oracle."""
+    import hashlib as hl
+
+    from error_analysis_spark.operators.variogram import (
+        VariogramParams, sample_pixels_multi_lazy,
+    )
+    n, n_runs, seed = 300, 3, 99
+    params = VariogramParams(max_samples=40, samples_per_area=10_000.0,
+                             seed=seed)
+    px = spark.range(n).select(
+        (F.col("id") % 20).cast("int").alias("row"),
+        (F.col("id") / 20).cast("int").alias("col"),
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+        F.col("id").cast("double").alias("value"))
+    got = (sample_pixels_multi_lazy(px, params, res=2.0, n_runs=n_runs)
+           .toPandas())
+    # reference
+    res, spa, area = 2.0, 10_000.0, 250.0 ** 2
+    n_target = min(40, max(1, int(n * res ** 2 * spa / area)), n)
+    frac = min(1.0, (1.5 * n_target + 6.0 * n_target ** 0.5 + 16.0) / n)
+    thr = frac * float(1 << 60)
+    pids = [(i % 20) * (1 << 31) + (i // 20) for i in range(n)]
+    for run in range(n_runs):
+        hs = {p: int(hl.md5(f"{p}:{run}:{seed}".encode())
+                     .hexdigest()[:15], 16) for p in pids}
+        cand = sorted((h, p) for p, h in hs.items() if float(h) < thr)
+        want = {p for _h, p in cand[:n_target]}
+        have = set(got[got.run == run].sample_id)
+        assert have == want, f"run {run} selection mismatch"
