@@ -267,3 +267,25 @@ def test_jpeg_real_decode_through_dispatch_and_quarantine():
     assert np.abs(arr.astype(int) - img.astype(int)).mean() < 3
     stub, src2 = MM.decode_payload_src(b[:40], "image", 8, 8, None, None)
     assert src2 == "stub" and stub.shape == (8, 8, 3)
+
+
+def test_jpeg_real_decode_through_extract_features(spark):
+    """Real JPEG bytes flow through the mapInPandas stage: the decoded
+    stats equal the local decode of the same payload (bit-identical
+    executor/driver decode) + decode_src='real', alongside stub rows
+    in the same Arrow batch."""
+    img = _smooth_img(16, 24)
+    payload = MM.encode_jpeg(img, quality=92, subsample=True)
+    rows = [
+        (0, "image", bytearray(payload), 24, 16, None, None, "jpeg"),
+        (1, "image", bytearray(b"not an image"), 8, 8, None, None,
+         "stub"),
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    out = MM.extract_features(assets, batch_rows=2).toPandas() \
+        .set_index("asset_id")
+    assert out.loc[0, "decode_src"] == "real"
+    assert list(out.loc[0, "shape"]) == [16, 24, 3]
+    want = MM.decode_jpeg(payload)
+    assert abs(out.loc[0, "mean_value"] - float(want.mean())) < 1e-6
+    assert out.loc[1, "decode_src"] == "stub"
