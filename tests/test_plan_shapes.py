@@ -506,3 +506,26 @@ def test_layout_zorder_key_stays_in_codegen(spark):
     from tests.conftest import SF_DIR
     plan = _formatted(spark, layout_zorder(spark, SF_DIR))
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_registry_wide_no_cartesian_product(spark):
+    """Registry-wide scale invariant (round 7): the physical plan of
+    EVERY declared query is free of CartesianProduct — the one join
+    strategy that cannot survive a 100× scale-up. Cross joins in the
+    engine are all 1-row broadcast scalars (bias rows, n_target rows,
+    Bloom bitsets), which plan as BroadcastNestedLoopJoin with a 1-row
+    build side, never as a cartesian. Swept at sf0.001 so eager
+    sub-steps (localCheckpoint count tables, driver-side zone lists)
+    stay cheap; ~2-3 min, the only registry-wide plan test."""
+    import __spark_entry__ as E
+    from error_analysis_spark import cachereg
+
+    qs = E.queries()
+    offenders = []
+    for name in qs:
+        plan = (qs[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        cachereg.release_tracked()
+    assert offenders == [], offenders
