@@ -529,3 +529,33 @@ def test_registry_wide_no_cartesian_product(spark):
             offenders.append(name)
         cachereg.release_tracked()
     assert offenders == [], offenders
+
+
+def test_registry_wide_no_row_at_a_time_python(spark):
+    """Registry-wide JVM-side invariant (round 7): NO query plans a
+    BatchEvalPython (row-at-a-time Python UDF — the 10-100× slow
+    path), and the only queries touching Python at all are the
+    documented Arrow-batched kernels: pandas UDFs for CRS/PIP
+    (SURVEY §7 design), applyInPandas for the σ_A / blocked-GEMM /
+    k-means numpy kernels, mapInPandas for multimodal decode."""
+    import __spark_entry__ as E
+    from error_analysis_spark import cachereg
+
+    allowed_python = {"sigma_a_pack", "sim_pair_pack",
+                      "sim_semantic_dedup", "a13_zone_pixel_counts",
+                      "sc16_utm_roundtrip", "mm_pack"}
+    qs = E.queries()
+    row_at_a_time, undeclared = [], []
+    for name in qs:
+        plan = (qs[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        if "BatchEvalPython" in plan:
+            row_at_a_time.append(name)
+        if any(m in plan for m in ("ArrowEvalPython",
+                                   "FlatMapGroupsInPandas",
+                                   "MapInPandas")) \
+                and name not in allowed_python:
+            undeclared.append(name)
+        cachereg.release_tracked()
+    assert row_at_a_time == [], row_at_a_time
+    assert undeclared == [], undeclared
