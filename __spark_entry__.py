@@ -57,11 +57,14 @@ _FRONT = [
     # cross-run reduce), full oracle incl. selection parity
     "pipeline_chain_multi",
     # the r06 rotate-out tail (r05 greens, unverified in r06 per the
-    # documented window policy) — re-verify all 48 now. NOTE
-    # j4_variogram_bins is in this tail AND changed in r06 (DECIMAL
-    # SSD rounding, 685bb48) — its r05 green predates that change
-    # (ADVICE r06), so its re-verification here is overdue, not
-    # merely rotational.
+    # documented window policy) — re-verify all 48 now. NOTES:
+    # (a) j4_variogram_bins is in this tail AND changed in r06
+    # (DECIMAL SSD rounding, 685bb48) — its r05 green predates that
+    # change (ADVICE r06), so its re-verification here is overdue,
+    # not merely rotational. (b) dedup_sig_pack is in this tail AND
+    # changed in r07 (new member dedup_simhash_pairs — the banded
+    # Hamming-radius search, folded into the pack so the new operator
+    # earns a driver green THIS round without costing a window slot).
     "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
     "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",

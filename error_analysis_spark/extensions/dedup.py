@@ -500,6 +500,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 48,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash Hamming-radius pair search WITHOUT an all-pairs join —
+    the piece that makes SimHash dedup usable on a web corpus (Manku
+    et al. 2007, WWW '07 §3): split the b-bit fingerprint into
+    max_hamming+1 bands; by pigeonhole, any pair within Hamming
+    distance ≤ max_hamming agrees EXACTLY on at least one band, so
+    candidates come from an equi-join on (band, band_bits) — never a
+    fingerprint cross product — and one bit_count(xor) predicate
+    verifies them. The banding is a DECOMPOSITION, not an
+    approximation: the result is exact and complete within the radius
+    (test-asserted against brute-force all-pairs).
+
+    Scale shape: band fan-out is row-local (×(k+1)); the join
+    shuffles on (band, band_bits) — hot band values (e.g. all-zero
+    bands from near-empty docs) are ordinary skew, handled by AQE
+    skew-join splitting like any hot key.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    sigs = simhash(df, text_col, id_col, bits=bits)
+    bands = []
+    for i in range(n_bands):
+        w = width if i < n_bands - 1 else bits - width * (n_bands - 1)
+        bands.append(F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"(simhash >> {i * width}) "
+                   f"& {(1 << w) - 1}").alias("bval")))
+    banded = (sigs.select("id", "simhash",
+                          F.explode(F.array(*bands)).alias("b"))
+              .select("id", "simhash", "b.band", "b.bval"))
+    cand = (banded.alias("a").join(
+        banded.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b.simhash").alias("sb"))
+        .distinct())  # a close pair can agree on several bands
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def build_corpus_index(corpus: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 16,
                        bands: int = 4, seed: int = 42

@@ -519,6 +519,46 @@ FROM bitsum GROUP BY id
 
 
 # --------------------------------------------------------------------------
+# SimHash Hamming-radius pair search (pigeonhole banding, Manku 2007):
+# the oracle restates band split + equi-join + bit_count verify, so a
+# MATCH proves the banded decomposition finds exactly the radius set.
+# --------------------------------------------------------------------------
+
+_SH_HAM = 3
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 5 == 0)
+    return DD.simhash_near_pairs(docs, bits=_SH_BITS,
+                                 max_hamming=_SH_HAM)
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({SIMHASH_SQL}),
+banded AS (
+  SELECT id, simhash, b.band,
+         (simhash >> (b.band * {_SH_BITS // (_SH_HAM + 1)}))
+           & CASE WHEN b.band < {_SH_HAM}
+                  THEN {(1 << (_SH_BITS // (_SH_HAM + 1))) - 1}
+                  ELSE {(1 << (_SH_BITS - (_SH_BITS // (_SH_HAM + 1)) * _SH_HAM)) - 1}
+             END AS bval
+  FROM sig CROSS JOIN
+       (SELECT unnest(generate_series(0, {_SH_HAM})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SH_HAM}
+"""
+
+
+# --------------------------------------------------------------------------
 # Full MinHash-LSH near-dup: signatures → banding → candidates → exact
 # Jaccard verification. The oracle restates the banding single-node, so a
 # MATCH proves the distributed band join finds exactly the same pairs.
@@ -3191,6 +3231,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_lang_id": (text_lang_id, LANG_ID_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "sim_pairwise_topk": (sim_pairwise_topk, PAIRWISE_KNN_SQL),

@@ -222,18 +222,51 @@ FROM _f JOIN _s USING (kind)
 
 def dedup_sig_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc hash signatures: the 8-perm MinHash rows joined with the
-    64-bit SimHash (both row-local signature plans)."""
+    SimHash fingerprint (both row-local signature plans) and, since
+    round 7, the per-doc summary of the banded Hamming-radius search
+    (dedup_simhash_pairs — n_near / min_ham / deterministic nearest
+    neighbor; NULL for docs with no neighbor in radius), so the pack's
+    value hash covers the pair search end-to-end: a missing, extra or
+    mis-distanced pair flips its endpoints' summary rows."""
     sigs = _member("dedup_minhash_sigs")[0](spark, sf_dir)
+    # NOT pinned deliberately: the SimHash subtree feeds the pack's
+    # simhash column and both band-join sides, but measured n≥3 both
+    # ways, recomputing the row-local fingerprint agg (min 1.72 s)
+    # beats persisting it (min 3.77 s — materialization cost plus the
+    # broadcast-stat loss on the cached relation). BASELINE.md r07.
     sim = _member("dedup_simhash")[0](spark, sf_dir)
-    return sigs.join(sim, "id")
+    pairs = _member("dedup_simhash_pairs")[0](spark, sf_dir)
+    sym = (pairs.select(F.col("id_a").alias("id"),
+                        F.col("id_b").alias("nbr"), "hamming")
+           .unionByName(pairs.select(F.col("id_b").alias("id"),
+                                     F.col("id_a").alias("nbr"),
+                                     "hamming")))
+    near = sym.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("hamming").cast("int").alias("min_ham"),
+        F.expr("min_by(nbr, hamming * 4294967296 + nbr)").alias("nearest"))
+    return sigs.join(sim, "id").join(near, ["id"], "left")
 
 
 DEDUP_SIG_PACK_SQL = """
-WITH _m AS ({sigs}), _s AS ({sim})
-SELECT _m.id, _m.perm, _m.minhash, _s.simhash
-FROM _m JOIN _s USING (id)
+WITH _m AS ({sigs}), _s AS ({sim}), _p AS ({pairs}),
+_sym AS (
+  SELECT id_a AS id, id_b AS nbr, hamming FROM _p
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr, hamming FROM _p
+),
+_nn AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_near,
+         CAST(min(hamming) AS INTEGER) AS min_ham,
+         arg_min(nbr, hamming * 4294967296 + nbr) AS nearest
+  FROM _sym GROUP BY id
+)
+SELECT _m.id, _m.perm, _m.minhash, _s.simhash,
+       _nn.n_near, _nn.min_ham, _nn.nearest
+FROM _m JOIN _s USING (id) LEFT JOIN _nn USING (id)
 """.format(sigs=_member("dedup_minhash_sigs")[1],
-           sim=_member("dedup_simhash")[1])
+           sim=_member("dedup_simhash")[1],
+           pairs=_member("dedup_simhash_pairs")[1])
 
 
 def mixing_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +454,8 @@ _ROSTERS: dict[str, list] = {
                       "text_dup_ngrams"],
     "s8_grid_pack": ["s8_grid_max", "s8_grid_idw"],
     "mm_pack": ["mm_features", "mm_payload_stats"],
-    "dedup_sig_pack": ["dedup_minhash_sigs", "dedup_simhash"],
+    "dedup_sig_pack": ["dedup_minhash_sigs", "dedup_simhash",
+                       "dedup_simhash_pairs"],
     "mixing_pack": ["curation_train_order", "curation_pack_chunks",
                     "curation_sample_mix"],
     "contam_chunk_pack": ["text_chunk_windows", "text_contamination"],

@@ -259,3 +259,37 @@ def test_lazy_sampler_selection_matches_python_reference(spark):
         want = {p for _h, p in cand[:n_target]}
         have = set(got[got.run == run].sample_id)
         assert have == want, f"run {run} selection mismatch"
+
+
+def test_simhash_near_pairs_equals_brute_force(spark):
+    """The pigeonhole banding is a DECOMPOSITION, not an approximation:
+    on a corpus with planted near-identical docs, the banded
+    Hamming-radius search returns exactly the brute-force all-pairs
+    radius set (ids, pairing, and distances)."""
+    import itertools
+
+    from error_analysis_spark.extensions.dedup import (
+        simhash, simhash_near_pairs,
+    )
+    base = ["alpha bravo charlie delta echo foxtrot golf hotel",
+            "india juliet kilo lima mike november oscar papa",
+            "quebec romeo sierra tango uniform victor whiskey xray"]
+    texts = {}
+    for i in range(30):
+        t = base[i % 3]
+        if i % 3 == 0 and i > 0:
+            # planted near-dup: one token swapped vs its family
+            t = t.replace("charlie", f"charlie{i % 7}")
+        texts[i] = t + f" tail{i % 5}"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    got = (simhash_near_pairs(docs, bits=48, max_hamming=3).toPandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    sigs = {r["id"]: r["simhash"]
+            for r in simhash(docs, bits=48).collect()}
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert len(want) > 0  # the fixture actually plants near-dups
