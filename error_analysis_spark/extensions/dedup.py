@@ -522,6 +522,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
     n_bands = max_hamming + 1
+    if bits < n_bands:
+        # width-0 bands would all share bval=0 and the candidate join
+        # would silently degenerate into the all-pairs cross product
+        raise ValueError(
+            f"bits ({bits}) must be >= max_hamming + 1 ({n_bands}): "
+            "every band needs at least one bit")
     width = bits // n_bands
     sigs = simhash(df, text_col, id_col, bits=bits)
     bands = []

@@ -224,10 +224,14 @@ def dedup_sig_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc hash signatures: the 8-perm MinHash rows joined with the
     SimHash fingerprint (both row-local signature plans) and, since
     round 7, the per-doc summary of the banded Hamming-radius search
-    (dedup_simhash_pairs — n_near / min_ham / deterministic nearest
-    neighbor; NULL for docs with no neighbor in radius), so the pack's
-    value hash covers the pair search end-to-end: a missing, extra or
-    mis-distanced pair flips its endpoints' summary rows."""
+    (dedup_simhash_pairs — n_near / min_ham / sum_ham / deterministic
+    nearest neighbor; NULL for docs with no neighbor in radius). The
+    pack's value hash covers the pair search end-to-end: a missing or
+    extra pair flips its endpoints' n_near, and ANY distance change —
+    minimal pair or not — flips both endpoints' sum_ham (min_ham alone
+    would miss a mis-distanced non-minimal pair). The nearest tie-break
+    key is exact wide-integer arithmetic (DECIMAL(38,0) here, HUGEINT
+    in the oracle), safe for the full signed-64-bit id domain."""
     sigs = _member("dedup_minhash_sigs")[0](spark, sf_dir)
     # NOT pinned deliberately: the SimHash subtree feeds the pack's
     # simhash column and both band-join sides, but measured n≥3 both
@@ -241,10 +245,18 @@ def dedup_sig_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(pairs.select(F.col("id_b").alias("id"),
                                      F.col("id_a").alias("nbr"),
                                      "hamming")))
+    # (hamming, nbr) lexicographic order as one exact integer key:
+    # hamming * 2^64 + (nbr - INT64_MIN); ids ≥ 2^32 or negative would
+    # silently mis-order under a narrower multiplier
+    key = (F.col("hamming").cast("decimal(38,0)")
+           * F.lit("18446744073709551616").cast("decimal(38,0)")
+           + F.col("nbr").cast("decimal(38,0)")
+           + F.lit("9223372036854775808").cast("decimal(38,0)"))
     near = sym.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_near"),
         F.min("hamming").cast("int").alias("min_ham"),
-        F.expr("min_by(nbr, hamming * 4294967296 + nbr)").alias("nearest"))
+        F.sum("hamming").cast("long").alias("sum_ham"),
+        F.min_by("nbr", key).alias("nearest"))
     return sigs.join(sim, "id").join(near, ["id"], "left")
 
 
@@ -258,11 +270,13 @@ _sym AS (
 _nn AS (
   SELECT id, CAST(count(*) AS BIGINT) AS n_near,
          CAST(min(hamming) AS INTEGER) AS min_ham,
-         arg_min(nbr, hamming * 4294967296 + nbr) AS nearest
+         CAST(sum(hamming) AS BIGINT) AS sum_ham,
+         arg_min(nbr, hamming * 18446744073709551616
+                      + (nbr + 9223372036854775808)) AS nearest
   FROM _sym GROUP BY id
 )
 SELECT _m.id, _m.perm, _m.minhash, _s.simhash,
-       _nn.n_near, _nn.min_ham, _nn.nearest
+       _nn.n_near, _nn.min_ham, _nn.sum_ham, _nn.nearest
 FROM _m JOIN _s USING (id) LEFT JOIN _nn USING (id)
 """.format(sigs=_member("dedup_minhash_sigs")[1],
            sim=_member("dedup_simhash")[1],

@@ -508,47 +508,43 @@ def test_layout_zorder_key_stays_in_codegen(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
-def test_registry_wide_no_cartesian_product(spark):
-    """Registry-wide scale invariant (round 7): the physical plan of
-    EVERY declared query is free of CartesianProduct — the one join
-    strategy that cannot survive a 100× scale-up. Cross joins in the
-    engine are all 1-row broadcast scalars (bias rows, n_target rows,
-    Bloom bitsets), which plan as BroadcastNestedLoopJoin with a 1-row
-    build side, never as a cartesian. Swept at sf0.001 so eager
-    sub-steps (localCheckpoint count tables, driver-side zone lists)
-    stay cheap; ~2-3 min, the only registry-wide plan test."""
+def test_registry_wide_plan_invariants(spark):
+    """THE registry-wide plan sweep (round 7) — every declared query's
+    physical plan is built ONCE and checked against all scale
+    invariants together:
+
+    1. No CartesianProduct anywhere — the one join strategy that
+       cannot survive a 100× scale-up. Cross joins in the engine are
+       all 1-row broadcast scalars (bias rows, n_target rows, Bloom
+       bitsets), which plan as BroadcastNestedLoopJoin with a 1-row
+       build side, never as a cartesian.
+    2. No BatchEvalPython anywhere — the row-at-a-time Python UDF
+       10-100× slow path.
+    3. Arrow-batched Python (ArrowEvalPython / FlatMapGroupsInPandas /
+       MapInPandas) appears ONLY in the documented kernels: pandas
+       UDFs for CRS/PIP (SURVEY §7 design), applyInPandas for the
+       σ_A / blocked-GEMM / k-means numpy kernels, mapInPandas for
+       multimodal decode.
+
+    Swept at the sf0.001 sibling of SF_DIR so eager sub-steps
+    (localCheckpoint count tables, driver-side zone lists) stay
+    cheap; ~2 min."""
+    import os
+
     import __spark_entry__ as E
     from error_analysis_spark import cachereg
 
-    qs = E.queries()
-    offenders = []
-    for name in qs:
-        plan = (qs[name](spark, "/root/testdata/sf0.001")
-                ._jdf.queryExecution().executedPlan().toString())
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-        cachereg.release_tracked()
-    assert offenders == [], offenders
-
-
-def test_registry_wide_no_row_at_a_time_python(spark):
-    """Registry-wide JVM-side invariant (round 7): NO query plans a
-    BatchEvalPython (row-at-a-time Python UDF — the 10-100× slow
-    path), and the only queries touching Python at all are the
-    documented Arrow-batched kernels: pandas UDFs for CRS/PIP
-    (SURVEY §7 design), applyInPandas for the σ_A / blocked-GEMM /
-    k-means numpy kernels, mapInPandas for multimodal decode."""
-    import __spark_entry__ as E
-    from error_analysis_spark import cachereg
-
+    sf_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     allowed_python = {"sigma_a_pack", "sim_pair_pack",
                       "sim_semantic_dedup", "a13_zone_pixel_counts",
                       "sc16_utm_roundtrip", "mm_pack"}
     qs = E.queries()
-    row_at_a_time, undeclared = [], []
+    cartesian, row_at_a_time, undeclared = [], [], []
     for name in qs:
-        plan = (qs[name](spark, "/root/testdata/sf0.001")
+        plan = (qs[name](spark, sf_dir)
                 ._jdf.queryExecution().executedPlan().toString())
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
         if "BatchEvalPython" in plan:
             row_at_a_time.append(name)
         if any(m in plan for m in ("ArrowEvalPython",
@@ -557,5 +553,6 @@ def test_registry_wide_no_row_at_a_time_python(spark):
                 and name not in allowed_python:
             undeclared.append(name)
         cachereg.release_tracked()
+    assert cartesian == [], cartesian
     assert row_at_a_time == [], row_at_a_time
     assert undeclared == [], undeclared

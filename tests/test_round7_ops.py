@@ -293,3 +293,16 @@ def test_simhash_near_pairs_equals_brute_force(spark):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 3)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert len(want) > 0  # the fixture actually plants near-dups
+
+
+def test_simhash_near_pairs_rejects_zero_width_bands(spark):
+    """bits < max_hamming+1 would give zero-width bands (bval=0 for
+    every doc) and silently degenerate the candidate join into the
+    all-pairs cross product — the operator must reject it loudly."""
+    import pytest
+
+    from error_analysis_spark.extensions.dedup import simhash_near_pairs
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a c"]}))
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(docs, bits=8, max_hamming=15)
