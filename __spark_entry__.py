@@ -47,31 +47,68 @@ _MERGED.update(PACK_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # r06's one post-window query (local test_oracle green only), ALSO
-    # changed this round: the id-domain contract fix (docs with no
-    # countable line survive with empty text) + the one-tokenization
-    # pin — driver-green it first
-    "text_line_dedup",
-    # new in r07: the E3 chain with the reference's canonical
-    # multi-run variography (R6 ×n via the lazy md5 sampler + the A5
-    # cross-run reduce), full oracle incl. selection parity
-    "pipeline_chain_multi",
-    # the r06 rotate-out tail (r05 greens, unverified in r06 per the
-    # documented window policy) — re-verify all 48 now. NOTES:
-    # (a) j4_variogram_bins is in this tail AND changed in r06
-    # (DECIMAL SSD rounding, 685bb48) — its r05 green predates that
-    # change (ADVICE r06), so its re-verification here is overdue,
-    # not merely rotational. (b) dedup_sig_pack is in this tail AND
-    # changed in r07 (new member dedup_simhash_pairs — the banded
-    # Hamming-radius search, folded into the pack so the new operator
-    # earns a driver green THIS round without costing a window slot).
+    # Round 8: the r07 rotate-out tail is EXACTLY 50 names = the whole
+    # window (VERDICT r07 #1) — re-verify all of it. Changed-this-round
+    # members lead per the rotation policy:
+    # (a) text_bpe_merges — upgraded from the first-merge candidate
+    #     table to the ITERATIVE trainer (Sennrich 2016 merge loop,
+    #     VERDICT r07 #6), new output schema + unrolled-CTE oracle;
+    # (b) mm_pack — gained the perceptual-hash image near-dup members
+    #     (dHash over the real decode path + banded Hamming pair
+    #     search, VERDICT r07 #5), folded in per the dedup_sig_pack
+    #     precedent so the new operator earns a driver green without a
+    #     window slot;
+    # (c) text_contam_bloom — unchanged code, but this round's
+    #     adjudication target (its r07 driver read was 4.9× floor in
+    #     an ambient window), so its re-verification is load-bearing.
+    "text_bpe_merges", "mm_pack", "text_contam_bloom",
+    # the remaining r07 tail (r06 greens, unverified in r07 per the
+    # documented window policy), verbatim order
+    "j11_interval_join", "layout_zorder", "curation_delta_agg",
+    "text_domain_topk", "emb_hard_triplets",
+    "pipeline_chain", "ingest_compaction",
+    "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
+    "so2_anti_join", "f1_drop_noise", "a6_median_bias",
+    "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
+    "sc_scalar_pack", "sc6_gps_dates", "sc2_catalog_parse",
+    "so3_full_outer", "a5_mean_variogram", "a1_describe_events",
+    "a7_bootstrap_median", "f2_keep_ground", "text_fingerprint",
+    "text_token_stats", "text_quality", "sim_cosine_topk",
+    "text_normalize", "text_oov_rate",
+    "curation_domain_cap", "w5_rolling_stats",
+    "sketch_grouped_quantiles", "curation_split",
+    "curation_length_buckets", "sketch_cms_err",
+    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
+    "text_bigram_ppl", "emb_covariance", "curation_data_card",
+    "w7_funnel", "w8_retention", "text_tfidf_topk",
+    "curation_quality_prune",
+]
+# Changed this round but OUTSIDE the window (all three hold r07 driver
+# greens; the window is fully booked by the 50-name tail): pinned here
+# with local test_oracle greens + bit-identity parity tests, they lead
+# the r09 window. All three were r07-_FRONT names headed into the r09
+# window anyway, so this costs zero rotation slippage.
+#   dedup_sig_pack       — row-local SimHash rewrite (VERDICT r07 #3),
+#                          parity-tested bit-identical signatures;
+#   text_line_dedup      — md5-keyed corpus-wide exchanges (VERDICT
+#                          r07 #4), output identical by construction;
+#   pipeline_chain_multi — single-valid-run stddev NULL guard (ADVICE
+#                          r07), fixture output unchanged.
+_POST_WINDOW_NEW: list[str] = [
+    "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
+]
+# The rotate-out tail: the r07-green window queries unchanged this
+# round (47 = 50 minus the three changed ones pinned above; every one
+# carries a green CORRECTNESS_r07 row). They are next round's
+# re-verification set, after the three pins.
+_ROTATE_OUT = [
     "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
     "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
     "curation_pareto", "curation_checksum", "curation_merge_upsert",
     "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
     "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
-    "text_doc_pack", "s8_grid_pack", "dedup_sig_pack",
+    "text_doc_pack", "s8_grid_pack",
     "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
     "dedup_cluster_pack", "text_sketch_pack", "emb_pack",
     "temporal_pack",
@@ -83,34 +120,6 @@ _FRONT = [
     "curation_funnel",
     "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
     "ingest_csv_quarantine",
-]
-# Round 7 declares nothing past the window: the 50 slots hold the one
-# r06 post-window query (also changed), 1 new chain, and the 48-name
-# r06 rotate-out tail exactly (1 + 1 + 48 = 50).
-_POST_WINDOW_NEW: list[str] = []
-# The rotate-out tail: exactly the r06-green window queries that are
-# unchanged this round (every one carries a green CORRECTNESS_r06 row,
-# so no query goes unverified two rounds running). They are next
-# round's re-verification set.
-_ROTATE_OUT = [
-    "j11_interval_join", "layout_zorder", "curation_delta_agg",
-    "text_bpe_merges", "text_domain_topk", "emb_hard_triplets",
-    "pipeline_chain", "mm_pack", "ingest_compaction",
-    "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
-    "so2_anti_join", "f1_drop_noise", "a6_median_bias",
-    "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
-    "sc_scalar_pack", "sc6_gps_dates", "sc2_catalog_parse",
-    "so3_full_outer", "a5_mean_variogram", "a1_describe_events",
-    "a7_bootstrap_median", "f2_keep_ground", "text_fingerprint",
-    "text_token_stats", "text_quality", "sim_cosine_topk",
-    "text_normalize", "text_oov_rate", "text_contam_bloom",
-    "curation_domain_cap", "w5_rolling_stats",
-    "sketch_grouped_quantiles", "curation_split",
-    "curation_length_buckets", "sketch_cms_err",
-    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
-    "text_bigram_ppl", "emb_covariance", "curation_data_card",
-    "w7_funnel", "w8_retention", "text_tfidf_topk",
-    "curation_quality_prune",
 ]
 
 _ALL: dict[str, tuple] = {}

@@ -122,11 +122,21 @@ def main() -> None:
     # full per-query map: one human line each + a committed detail file
     for name, dt in timings.items():
         print(f"# {name}: {dt}")
+    # Provenance (VERDICT r07 #7): unattended runs (the driver's
+    # per-round bench) must not silently shadow the COMMITTED builder
+    # detail in place — they write to BENCH_DETAIL_run.json
+    # (gitignored) instead. The builder's deliberate floor runs set
+    # SPARK_GRAFT_BENCH_SOURCE (e.g. "builder min-of-3, quiesced") and
+    # land in BENCH_DETAIL.json; both carry a `source` field.
+    src = os.environ.get("SPARK_GRAFT_BENCH_SOURCE")
+    detail_name = "BENCH_DETAIL.json" if src else "BENCH_DETAIL_run.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     with open(detail_path, "w") as fh:
         json.dump({"metric": "headline_total_sec", "value": total,
                    "unit": "sec", "sf": sf_val, "n_queries": len(timings),
+                   "source": src or "unattended single run "
+                   "(not a committed floor)",
                    "queries": timings}, fh, indent=1, sort_keys=True)
     # final machine line LAST and SHORT (driver tail-captures stdout):
     # total + count + sf + only the 5 slowest queries inline
@@ -138,7 +148,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf_val,
         "n_queries": len(timings),
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }))
     spark.stop()
 

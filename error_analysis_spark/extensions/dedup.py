@@ -475,9 +475,44 @@ def _components_local(spark, rows, id_type: str,
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 48) -> DataFrame:
     """SimHash: per token, md5-derived bit pattern; signature bit_j = 1 if
-    Σ_tokens (±1 for bit_j of hash) > 0. Near-dups share signatures within
-    small Hamming distance. Computed via explode over bit positions —
-    pure JVM expressions. `bits` ≤ 60 (md5-prefix hash width)."""
+    Σ_tokens (±1 for bit_j of hash) > 0 (Charikar 2002 / Manku 2007).
+    `bits` ≤ 60 (md5-prefix hash width).
+
+    PURE ROW-LOCAL plan (round 8, the MinHash r03 precedent,
+    `sig_mins_over`): one pass over the per-doc token-hash array with a
+    `bits`-wide counter-array accumulator — ones_j = Σ ((h >> j) & 1),
+    bit_j set iff 2·ones_j > n (≡ the ±1 sum > 0). ZERO exchanges and
+    no row fan-out; the previous form crossJoined the token stream ×
+    `bits` and reduced with two corpus-keyed hash aggregates
+    (bit-identical output, kept as `_simhash_fanned` for the parity
+    test). Docs with no tokens have no signature (absent row), matching
+    the fanned form's semantics."""
+    th = F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("long"))
+    sig = F.expr(f"""
+        aggregate(
+          zip_with(
+            aggregate(_th, array_repeat(0L, {bits}),
+                      (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                                           (c, i) -> c + (shiftright(h, i) & 1))),
+            sequence(0, {bits - 1}),
+            (o, j) -> IF(2 * o > size(_th), shiftleft(1L, j), 0L)),
+          0L, (a, x) -> a + x)""")
+    return (df.select(F.col(id_col).alias("id"), th.alias("_th"))
+            .where(F.size("_th") > 0)
+            .select("id", sig.cast("long").alias("simhash")))
+
+
+def _simhash_fanned(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", bits: int = 48) -> DataFrame:
+    """Round-1..7 SimHash plan, retained ONLY as the parity reference
+    for the row-local rewrite: explode tokens, crossJoin(broadcast(bit
+    positions)), two corpus-keyed aggregates. Semantically identical to
+    `simhash` (test-asserted bit-identical); never call it in a
+    production plan — it fans the token stream ×`bits` and shuffles
+    the corpus twice."""
     toks = doc_tokens(df, text_col, id_col, distinct=False)
     toks = toks.withColumn("th", _md5_long(F.col("token")))
     bit = df.sparkSession.range(bits).select(F.col("id").alias("bit"))
@@ -521,6 +556,22 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
+    sigs = simhash(df, text_col, id_col, bits=bits)
+    return hamming_near_pairs(sigs, sig_col="simhash", bits=bits,
+                              max_hamming=max_hamming)
+
+
+def hamming_near_pairs(sigs: DataFrame, sig_col: str, bits: int,
+                       max_hamming: int,
+                       id_col: str = "id") -> DataFrame:
+    """Banded Hamming-radius pair search over ANY ≤64-bit integer
+    fingerprint column — the Manku 2007 pigeonhole decomposition shared
+    by `simhash_near_pairs` (text) and `phash_near_pairs`
+    (multimodal.py — perceptual image hashes): split into
+    max_hamming+1 bands, equi-join on (band, band_bits), verify with
+    one bit_count(xor). Exact and complete within the radius.
+
+    Returns (id_a, id_b, hamming), id_a < id_b."""
     n_bands = max_hamming + 1
     if bits < n_bands:
         # width-0 bands would all share bval=0 and the candidate join
@@ -529,25 +580,30 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             f"bits ({bits}) must be >= max_hamming + 1 ({n_bands}): "
             "every band needs at least one bit")
     width = bits // n_bands
-    sigs = simhash(df, text_col, id_col, bits=bits)
+    sigs = sigs.select(F.col(id_col).alias("id"),
+                       F.col(sig_col).cast("long").alias("_sig"))
     bands = []
     for i in range(n_bands):
         w = width if i < n_bands - 1 else bits - width * (n_bands - 1)
+        # w == 64 only in the degenerate 1-band case (max_hamming=0 on
+        # a full 64-bit hash): the mask literal would overflow bigint,
+        # and no mask is needed — the band IS the whole signature
+        expr = (f"(_sig >> {i * width}) & {(1 << w) - 1}"
+                if w < 64 else "_sig")
         bands.append(F.struct(
             F.lit(i).alias("band"),
-            F.expr(f"(simhash >> {i * width}) "
-                   f"& {(1 << w) - 1}").alias("bval")))
-    banded = (sigs.select("id", "simhash",
+            F.expr(expr).alias("bval")))
+    banded = (sigs.select("id", "_sig",
                           F.explode(F.array(*bands)).alias("b"))
-              .select("id", "simhash", "b.band", "b.bval"))
+              .select("id", "_sig", "b.band", "b.bval"))
     cand = (banded.alias("a").join(
         banded.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bval") == F.col("b.bval"))
         & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("sa"),
-                F.col("b.simhash").alias("sb"))
+                F.col("a._sig").alias("sa"),
+                F.col("b._sig").alias("sb"))
         .distinct())  # a close pair can agree on several bands
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
     return (cand.withColumn("hamming", ham)

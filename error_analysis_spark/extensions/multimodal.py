@@ -507,6 +507,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, comps = frame
+    # Validate table/component references AFTER the marker walk so a
+    # stream with missing DQT/DHT ids or a SOF↔SOS component mismatch
+    # raises the documented ValueError, not a bare KeyError deep in the
+    # MCU loop (ADVICE r07; the dispatch layer's KeyError catch stays
+    # as a backstop for truly malformed entropy data).
+    sof_ids = {c[0] for c in comps}
+    for cid, _hs, _vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"SOF references missing DQT table {tq}")
+        if cid not in scan:
+            raise ValueError(f"SOF component {cid} absent from SOS scan")
+    for cid, (dct, act) in scan.items():
+        if cid not in sof_ids:
+            raise ValueError(f"SOS component {cid} absent from SOF")
+        if (0, dct) not in huff or (1, act) not in huff:
+            raise ValueError(
+                f"SOS component {cid} references missing DHT table "
+                f"(dc={dct}, ac={act})")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -714,6 +732,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                     coef = _DCT_T @ block @ _DCT_T.T
                     qz = np.round(coef / q).astype(np.int32) \
                         .reshape(-1)[zz]
+                    # T.81 baseline caps AC categories at size 10
+                    # (±1023); a quant entry of 1 (quality ≳ 96) can
+                    # push a worst-case block past that and KeyError
+                    # the symbol lookup. Clamp (ADVICE r07): the DC
+                    # coefficient clamps too, bounding |DC diff| ≤
+                    # 2046 → size ≤ 11, still inside dc_syms.
+                    np.clip(qz, -1023, 1023, out=qz)
                     diff = int(qz[0]) - pred[ci]
                     pred[ci] = int(qz[0])
                     size, val = put_coef(diff)

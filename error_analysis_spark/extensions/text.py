@@ -756,9 +756,14 @@ def corpus_line_dedup(df: DataFrame, text_col: str = "text",
     line order.
 
     Scale shape: one row-local posexplode, ONE map-side-combinable
-    aggregate keyed on line text, one hash join back (no broadcast
+    aggregate keyed on md5(line) (16-byte binary — the corpus-wide
+    frequency exchange and the join-back probe carry FIXED-WIDTH keys
+    instead of full boilerplate strings, which are long exactly when
+    they are frequent; 128-bit md5 is collision-safe at corpus scale
+    where a 64-bit hash is not), one hash join back (no broadcast
     assumption — the frequent-line set of a web corpus is large), one
     groupBy rebuild via array_sort(collect_list(struct(pos, line))).
+    The line STRING rides only the pinned exploded frame.
     The exploded `lines` frame is pinned (cachereg-tracked lazy
     persist) so the frequency count and the join probe share ONE
     scan + tokenization pass at any scale — AQE exchange reuse is
@@ -786,10 +791,11 @@ def corpus_line_dedup(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"))
         .select("id", "pos", F.trim("raw").alias("line"))
-        .where(F.col("line") != ""))
+        .where(F.col("line") != "")
+        .withColumn("lh", F.unhex(F.md5("line"))))
     lines = track(lines.persist(StorageLevel.MEMORY_AND_DISK))
-    freq = lines.groupBy("line").agg(F.count("*").alias("c"))
-    tagged = lines.join(freq, "line")
+    freq = lines.groupBy("lh").agg(F.count("*").alias("c"))
+    tagged = lines.join(freq, "lh")
     rebuilt = (tagged.groupBy("id").agg(
         F.array_join(
             F.transform(

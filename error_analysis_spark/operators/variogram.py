@@ -300,7 +300,11 @@ def mean_variogram(per_run: DataFrame, bin_width: float) -> DataFrame:
         per_run.groupBy("bin")
         .agg(
             F.avg(g).alias("gamma_mean"),
-            F.stddev_samp(g).alias("gamma_std"),
+            # Spark's stddev_samp of a single value is NaN where ANSI
+            # SQL (and the DuckDB oracles) return NULL — guard so a bin
+            # where exactly one run meets min_pairs reduces identically
+            # on both engines (ADVICE r07)
+            F.when(F.count(g) > 1, F.stddev_samp(g)).alias("gamma_std"),
             ((F.percentile(g, F.lit(0.975)) - F.percentile(g, F.lit(0.025)))
              / F.lit(2.0)).alias("gamma_spread"),
             F.avg("pair_count").alias("mean_pair_count"),

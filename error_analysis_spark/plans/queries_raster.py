@@ -789,6 +789,8 @@ SELECT 'vario', CAST(run AS BIGINT), CAST(bin AS BIGINT), pair_count,
        CAST(round(ssd_dec, 4) AS DOUBLE), round(gamma, 6), NULL, NULL
 FROM per_run
 UNION ALL
+-- stddev_samp of one value is NULL here (ANSI); the Spark side guards
+-- its NaN with F.when(count > 1, stddev_samp) to reduce identically
 SELECT 'vario_mean', NULL, CAST(bin AS BIGINT), count(gamma),
        round(avg(gamma), 6), round(stddev_samp(gamma), 6),
        round((quantile_cont(gamma, 0.975)
