@@ -562,41 +562,90 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 
 def hamming_near_pairs(sigs: DataFrame, sig_col: str, bits: int,
-                       max_hamming: int,
-                       id_col: str = "id") -> DataFrame:
+                       max_hamming: int, id_col: str = "id",
+                       n_bands: int | None = None) -> DataFrame:
     """Banded Hamming-radius pair search over ANY ≤64-bit integer
     fingerprint column — the Manku 2007 pigeonhole decomposition shared
     by `simhash_near_pairs` (text) and `phash_near_pairs`
-    (multimodal.py — perceptual image hashes): split into
-    max_hamming+1 bands, equi-join on (band, band_bits), verify with
-    one bit_count(xor). Exact and complete within the radius.
+    (multimodal.py — perceptual image hashes). Exact and complete
+    within the radius either way; verify is one bit_count(xor).
+
+    `n_bands` (m) controls the candidate-density trade (Manku §3's
+    block-permutation generalization):
+
+    - m = max_hamming+1 (the default): any pair within k agrees
+      EXACTLY on ≥ 1 whole band → equi-join on (band, band_bits).
+      Simplest, k+1× fan-out — but the band is only b/(k+1) bits, so
+      candidates grow as n²·(k+1)/2^(b/(k+1)): at wide radii (k ≥ 4 on
+      48 bits) random-density corpora saturate the buckets and the
+      join degenerates toward all-pairs (measured: the round-8 probe
+      at n=500k, k=5 blew past 10⁹ candidates).
+    - m > max_hamming: ≤ k bands are dirty, so ≥ m-k bands agree —
+      probe on ALL C(m, m-k) composite keys of m-k bands each. Key
+      width becomes (m-k)·b/m bits (e.g. b=48, k=3, m=6 → 24-bit keys
+      instead of 12), shrinking per-bucket density exponentially, at
+      C(m, m-k)× row fan-out. Still EXACT: the pigeonhole guarantees
+      at least one all-clean combination per qualifying pair.
 
     Returns (id_a, id_b, hamming), id_a < id_b."""
-    n_bands = max_hamming + 1
-    if bits < n_bands:
+    cand = _band_candidates(sigs, sig_col, bits, max_hamming, id_col,
+                            n_bands)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def _band_candidates(sigs: DataFrame, sig_col: str, bits: int,
+                     max_hamming: int, id_col: str = "id",
+                     n_bands: int | None = None) -> DataFrame:
+    """The candidate stage of `hamming_near_pairs`, exposed so scale
+    probes can measure the candidate:verified ratio on the SAME plan
+    the operator runs: combination-keyed equi-join, distinct
+    (id_a, id_b, sa, sb) with id_a < id_b, BEFORE the bit_count
+    verify. Each composite key packs its m-k band values into ONE
+    long (injective shift-or concatenation — total key width ≤ bits
+    ≤ 64, sign wrap harmless for equality)."""
+    from itertools import combinations
+
+    m = n_bands if n_bands is not None else max_hamming + 1
+    if m <= max_hamming:
+        # fewer clean bands than zero: a pair within the radius could
+        # dirty every band and the search would silently MISS it
+        raise ValueError(
+            f"n_bands ({m}) must exceed max_hamming ({max_hamming}): "
+            "the pigeonhole needs at least one clean band per pair")
+    if bits < m:
         # width-0 bands would all share bval=0 and the candidate join
         # would silently degenerate into the all-pairs cross product
         raise ValueError(
-            f"bits ({bits}) must be >= max_hamming + 1 ({n_bands}): "
-            "every band needs at least one bit")
-    width = bits // n_bands
+            f"bits ({bits}) must be >= n_bands ({m}"
+            + ("" if n_bands is not None else " = max_hamming + 1")
+            + "): every band needs at least one bit")
+    width = bits // m
+    widths = [width if i < m - 1 else bits - width * (m - 1)
+              for i in range(m)]
+
+    def band_expr(i: int) -> str:
+        # widths[i] == 64 only in the degenerate 1-band case
+        # (max_hamming=0 on a full 64-bit hash): the mask literal
+        # would overflow bigint, and no mask is needed
+        return (f"((_sig >> {i * width}) & {(1 << widths[i]) - 1})"
+                if widths[i] < 64 else "_sig")
+
     sigs = sigs.select(F.col(id_col).alias("id"),
                        F.col(sig_col).cast("long").alias("_sig"))
-    bands = []
-    for i in range(n_bands):
-        w = width if i < n_bands - 1 else bits - width * (n_bands - 1)
-        # w == 64 only in the degenerate 1-band case (max_hamming=0 on
-        # a full 64-bit hash): the mask literal would overflow bigint,
-        # and no mask is needed — the band IS the whole signature
-        expr = (f"(_sig >> {i * width}) & {(1 << w) - 1}"
-                if w < 64 else "_sig")
-        bands.append(F.struct(
-            F.lit(i).alias("band"),
-            F.expr(expr).alias("bval")))
+    keys = []
+    for cid, combo in enumerate(combinations(range(m), m - max_hamming)):
+        kv = band_expr(combo[0])
+        for i in combo[1:]:
+            kv = f"(({kv} << {widths[i]}) | {band_expr(i)})"
+        keys.append(F.struct(F.lit(cid).alias("band"),
+                             F.expr(kv).alias("bval")))
     banded = (sigs.select("id", "_sig",
-                          F.explode(F.array(*bands)).alias("b"))
+                          F.explode(F.array(*keys)).alias("b"))
               .select("id", "_sig", "b.band", "b.bval"))
-    cand = (banded.alias("a").join(
+    return (banded.alias("a").join(
         banded.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bval") == F.col("b.bval"))
@@ -604,11 +653,7 @@ def hamming_near_pairs(sigs: DataFrame, sig_col: str, bits: int,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a._sig").alias("sa"),
                 F.col("b._sig").alias("sb"))
-        .distinct())  # a close pair can agree on several bands
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
-    return (cand.withColumn("hamming", ham)
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+        .distinct())  # a close pair can agree on several keys
 
 
 def build_corpus_index(corpus: DataFrame, text_col: str = "text",

@@ -888,6 +888,78 @@ def extract_features(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+PHASH_SCHEMA = "asset_id bigint, phash bigint, decode_src string"
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the standard perceptual image
+    fingerprint: Krawetz 2013 'Kind of Like That') of an H×W×3 uint8
+    array: nearest-neighbor-sample an 8-row × 9-column grid
+    (y_i = ⌊i·H/8⌋, x_j = ⌊j·W/9⌋), grayscale as the UNSCALED channel
+    sum r+g+b (monotone, so gradient comparisons are unchanged and the
+    arithmetic is exact integer — restatable in ANSI SQL, unlike /3
+    rounding), bit (i,j) = 1 iff g(i,j+1) > g(i,j), packed
+    little-endian (bit k = i·8+j) into a SIGNED int64 (bit 63 wraps
+    negative — two's complement, matching Spark/DuckDB BIGINT)."""
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = arr[np.ix_(ys, xs)].astype(np.int32).sum(axis=2)
+    bits = g[:, 1:] > g[:, :-1]            # 8×8 horizontal gradients
+    ph = 0
+    for k, b in enumerate(bits.reshape(-1)):
+        if b:
+            ph |= 1 << k
+    if ph >= 1 << 63:
+        ph -= 1 << 64
+    return ph
+
+
+def image_phash(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
+    """Perceptual-hash stage for image near-dup dedup (VERDICT r07 #5 —
+    the modality the text/embedding dedup stack didn't cover): decode
+    each image-kind asset through the REAL byte-decode path
+    (`decode_payload_src`: PPM/BMP/PNG/baseline-JPEG parsers, stub
+    fallback — `decode_src` says which per row) and emit its `dhash64`.
+    Non-image assets are filtered out before the Python stage (the
+    filter prunes at the scan, and audio/video never pay the decode).
+
+    Output: (asset_id, phash bigint, decode_src). Feed to
+    `phash_near_pairs` for the Hamming-radius pair search."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                out = []
+                for r in chunk.itertuples(index=False):
+                    arr, src = decode_payload_src(
+                        bytes(r.payload), "image", _i(r.width),
+                        _i(r.height), None, None)
+                    out.append({"asset_id": r.asset_id,
+                                "phash": dhash64(arr),
+                                "decode_src": src})
+                yield pd.DataFrame(out)
+
+    imgs = assets.where(F.col("kind") == "image") \
+        .select("asset_id", "payload", "width", "height")
+    return imgs.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_pairs(phashes: DataFrame,
+                     max_hamming: int = 6) -> DataFrame:
+    """Hamming-radius image near-dup pairs over `image_phash` output —
+    the SAME exact pigeonhole banding as the SimHash text search
+    (dedup.hamming_near_pairs, Manku 2007): max_hamming+1 bands over
+    the 64-bit dHash, equi-join on (band, band_bits), one
+    bit_count(xor) verify. Exact and complete within the radius; never
+    an all-pairs join. Returns (id_a, id_b, hamming), id_a < id_b."""
+    from error_analysis_spark.extensions.dedup import hamming_near_pairs
+    return hamming_near_pairs(phashes, sig_col="phash", bits=64,
+                              max_hamming=max_hamming,
+                              id_col="asset_id")
+
+
 def resize_images(assets: DataFrame, out_w: int = 32, out_h: int = 32,
                   batch_rows: int = 16) -> DataFrame:
     """Image resize stage (nearest-neighbor on the decoded array — works

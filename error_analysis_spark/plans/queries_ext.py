@@ -823,6 +823,145 @@ FROM assets
 """
 
 
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup dedup (VERDICT r07 #5 — the
+    modality gap: the dedup stack was text/embedding-only). Every
+    image asset's 64-bit dHash (nearest-neighbor 8×9 grid over the
+    REAL decode path — multimodal.dhash64) plus the per-asset summary
+    of the banded Hamming-radius pair search at radius 6 (the
+    dedup_sig_pack hash-visibility pattern: n_near/min_ham/sum_ham
+    make every pair and every distance flip the pack hash; nearest
+    uses the exact DECIMAL(38,0) tie-break key).
+
+    The phash frame is pinned (cachereg-tracked): it feeds both sides
+    of the band join AND the output projection, and unlike the
+    row-local SimHash subtree the decode stage is a Python/Arrow
+    mapInPandas pass — at scale (real JPEG corpora) recomputing the
+    decode 3× dominates everything else, so the pin is the correct
+    100 TB shape.
+
+    Grain: one row per IMAGE asset (audio/video never pay the decode —
+    the kind filter prunes before the Python stage)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+
+    assets = _doc_assets(spark, sf_dir)
+    ph = MM.image_phash(assets, batch_rows=32)
+    ph = track(ph.persist(StorageLevel.MEMORY_AND_DISK))
+    pairs = MM.phash_near_pairs(ph, max_hamming=6)
+    sym = (pairs.select(F.col("id_a").alias("asset_id"),
+                        F.col("id_b").alias("nbr"), "hamming")
+           .unionByName(pairs.select(F.col("id_b").alias("asset_id"),
+                                     F.col("id_a").alias("nbr"),
+                                     "hamming")))
+    key = (F.col("hamming").cast("decimal(38,0)")
+           * F.lit("18446744073709551616").cast("decimal(38,0)")
+           + F.col("nbr").cast("decimal(38,0)")
+           + F.lit("9223372036854775808").cast("decimal(38,0)"))
+    near = sym.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("ph_n_near"),
+        F.min("hamming").cast("int").alias("ph_min_ham"),
+        F.sum("hamming").cast("long").alias("ph_sum_ham"),
+        F.min_by("nbr", key).alias("ph_nearest"))
+    return (ph.join(near, ["asset_id"], "left")
+            .select("asset_id", "phash",
+                    F.col("decode_src").alias("ph_src"),
+                    "ph_n_near", "ph_min_ham", "ph_sum_ham",
+                    "ph_nearest"))
+
+
+# The oracle restates the WHOLE perceptual pipeline in SQL: the PPM
+# rows' decoded pixels are the ASCII codes of rpad(md5(text),36,'0')
+# (the payload raster bytes), the stub rows' pixels are the sha256
+# digest of the utf-8 text tiled cyclically over (h,w,3)
+# (decode_payload_src's deterministic fallback), the dHash is the
+# 8-row × 9-col nearest-neighbor grid with unscaled r+g+b grayscale,
+# and the pair search is brute-force (the Spark banding is an EXACT
+# decomposition, so brute force is the semantics). The signed-64 pack
+# avoids HUGEINT shifts via hi/lo 32-bit halves.
+MM_PHASH_SQL = """
+WITH imgs AS (
+  SELECT doc_id AS asset_id,
+         (doc_id % 6 = 0) AS is_ppm,
+         CASE WHEN doc_id % 6 = 0 THEN 3
+              ELSE CAST(16 + (doc_id % 7) * 8 AS INTEGER) END AS h,
+         CASE WHEN doc_id % 6 = 0 THEN 4
+              ELSE CAST(16 + (doc_id % 13) * 8 AS INTEGER) END AS w,
+         rpad(md5(text), 36, '0') AS raster,
+         sha256(text) AS sha
+  FROM documents WHERE doc_id % 3 = 0
+),
+grid AS (
+  SELECT gi.range::INTEGER AS i, gj.range::INTEGER AS j
+  FROM range(8) gi, range(9) gj
+),
+spos AS (
+  SELECT asset_id, is_ppm, raster, sha, i, j,
+         (((i * h) // 8) * w + ((j * w) // 9)) * 3 AS base
+  FROM imgs, grid
+),
+gval AS (
+  SELECT asset_id, i, j,
+         CASE WHEN is_ppm THEN
+             ord(substr(raster, base + 1, 1))
+           + ord(substr(raster, base + 2, 1))
+           + ord(substr(raster, base + 3, 1))
+         ELSE
+             CAST(('0x' || substr(sha, (base % 32) * 2 + 1, 2)) AS INTEGER)
+           + CAST(('0x' || substr(sha, ((base + 1) % 32) * 2 + 1, 2)) AS INTEGER)
+           + CAST(('0x' || substr(sha, ((base + 2) % 32) * 2 + 1, 2)) AS INTEGER)
+         END AS gsum
+  FROM spos
+),
+bits AS (
+  SELECT a.asset_id, a.i * 8 + a.j AS k,
+         CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+  FROM gval a JOIN gval b
+    ON a.asset_id = b.asset_id AND a.i = b.i AND b.j = a.j + 1
+  WHERE a.j < 8
+),
+ph AS (
+  SELECT asset_id,
+         CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                       ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY asset_id
+),
+sig AS (
+  SELECT asset_id,
+         CASE WHEN hi >= 2147483648
+              THEN (hi - 4294967296) * 4294967296 + lo
+              ELSE hi * 4294967296 + lo END AS phash
+  FROM ph
+),
+prs AS (
+  SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+),
+sym AS (
+  SELECT id_a AS asset_id, id_b AS nbr, hamming FROM prs
+  UNION ALL
+  SELECT id_b AS asset_id, id_a AS nbr, hamming FROM prs
+),
+nn AS (
+  SELECT asset_id, CAST(count(*) AS BIGINT) AS ph_n_near,
+         CAST(min(hamming) AS INTEGER) AS ph_min_ham,
+         CAST(sum(hamming) AS BIGINT) AS ph_sum_ham,
+         arg_min(nbr, hamming * 18446744073709551616
+                      + (nbr + 9223372036854775808)) AS ph_nearest
+  FROM sym GROUP BY asset_id
+)
+SELECT sig.asset_id, sig.phash,
+       CASE WHEN imgs.is_ppm THEN 'real' ELSE 'stub' END AS ph_src,
+       nn.ph_n_near, nn.ph_min_ham, nn.ph_sum_ham, nn.ph_nearest
+FROM sig JOIN imgs USING (asset_id) LEFT JOIN nn USING (asset_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Connected-components dedup grouping (canonical document selection):
 # near-dup pairs (embedding cosine ≥ threshold) → clusters via hash-min
@@ -3049,31 +3188,108 @@ FROM v2 GROUP BY source HAVING count(*) > 0
 # --------------------------------------------------------------------------
 
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 BPE merge candidates (text.py:bpe_merge_pairs): corpus →
-    distinct-word table → adjacent-char-pair counts, the argmax of
-    which is the next merge rule of BPE tokenizer training."""
+    """BPE tokenizer training, both halves (round 8 upgrade, VERDICT
+    r07 #6): part='cand' is the ranked top-50 first-merge candidate
+    table (text.py:bpe_merge_pairs — the round-5 query, now with an
+    explicit rank), part='rule' is the output of the FULL iterative
+    trainer (text.py:bpe_train — 8 rounds of the Sennrich 2016 merge
+    loop over the vocabulary-bounded distinct-word table). Step 1 of
+    the rules equals the candidates' argmax by construction — the
+    oracle restates the whole loop as an unrolled CTE chain."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    return TX.bpe_merge_pairs(docs, top_k=50)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("left_sym"),
+                       F.asc("right_sym"))
+    cand = (TX.bpe_merge_pairs(docs, top_k=50)
+            .select(F.lit("cand").alias("part"),
+                    F.row_number().over(w).alias("ord"),
+                    "left_sym", "right_sym", "pair_count"))
+    rules = (TX.bpe_train(docs, n_merges=8)
+             .select(F.lit("rule").alias("part"),
+                     F.col("step").alias("ord"),
+                     "left_sym", "right_sym", "pair_count"))
+    return cand.unionByName(rules)
 
 
-BPE_MERGES_SQL = r"""
-WITH words AS (
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Unrolled-CTE DuckDB restatement of the iterative BPE trainer:
+    each merge round is three CTEs — p{t} (adjacent-pair counts over
+    the current word encodings), m{t} (the 1-row argmax with the
+    deterministic tie order), w{t} (the greedy merge applied via
+    sentinel-string replace, cross-joined with the 1-row m{t}). The
+    sentinel representation makes plain `replace` exactly the
+    reference's left-to-right non-overlapping scan on BOTH engines.
+    An empty p{t} (nothing left to merge) makes m{t} and every later
+    CTE empty, mirroring the Spark loop's early break."""
+    s, e = chr(1), chr(2)
+    parts = [f"""
+words AS (
   SELECT t.w, CAST(count(*) AS BIGINT) AS n
   FROM documents,
-       unnest(list_filter(regexp_split_to_array(text, '\s+'),
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                           x -> x <> '')) AS t(w)
+  WHERE NOT contains(t.w, '{s}') AND NOT contains(t.w, '{e}')
   GROUP BY t.w
 ),
-pairs AS (
+w0 AS (
+  SELECT regexp_replace(w, '(.)', '{s}\\1{e}', 'g') AS s, n FROM words
+)"""]
+    for t in range(1, n_merges + 1):
+        parts.append(f"""
+p{t} AS (
+  SELECT syms[u.i] AS l, syms[u.i + 1] AS r,
+         CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT n,
+               string_split(substr(s, 2, length(s) - 2), '{e}{s}') AS syms
+        FROM w{t - 1}) enc,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+m{t} AS (
+  SELECT {t} AS step, l, r, cnt FROM p{t}
+  ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{t} AS (
+  SELECT replace(s, '{s}' || l || '{e}{s}' || r || '{e}',
+                 '{s}' || l || r || '{e}') AS s, n
+  FROM w{t - 1}, m{t}
+)""")
+    rules = "\nUNION ALL\n".join(
+        f"SELECT 'rule' AS part, step AS ord, l AS left_sym, "
+        f"r AS right_sym, cnt AS pair_count FROM m{t}"
+        for t in range(1, n_merges + 1))
+    return f"""
+WITH {','.join(parts)},
+cpairs AS (
   SELECT substring(w, CAST(u.i AS INT), 1) AS left_sym,
          substring(w, CAST(u.i AS INT) + 1, 1) AS right_sym, n
-  FROM words, unnest(range(1, length(w))) AS u(i)
+  FROM (SELECT t.w, CAST(count(*) AS BIGINT) AS n
+        FROM documents,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS t(w)
+        GROUP BY t.w) cw,
+       unnest(range(1, length(w))) AS u(i)
+),
+cand AS (
+  SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM cpairs GROUP BY left_sym, right_sym
+),
+candr AS (
+  SELECT 'cand' AS part,
+         CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym,
+                                 right_sym) AS INTEGER) AS ord,
+         left_sym, right_sym, pair_count
+  FROM cand
 )
-SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
-FROM pairs GROUP BY left_sym, right_sym
-ORDER BY pair_count DESC, left_sym, right_sym
-LIMIT 50
+SELECT part, ord, left_sym, right_sym, pair_count
+FROM candr WHERE ord <= 50
+UNION ALL
+{rules}
 """
+
+
+BPE_MERGES_SQL = _bpe_train_sql(8)
 
 
 def text_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3238,6 +3454,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding": (dedup_embedding, EMB_DEDUP_SQL),
     "mm_payload_stats": (mm_payload_stats, MM_STATS_SQL),
     "mm_features": (mm_features, MM_FEATURES_SQL),
+    "mm_phash": (mm_phash, MM_PHASH_SQL),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
     "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),

@@ -205,19 +205,28 @@ FROM ({gmax}) a FULL OUTER JOIN ({gidw}) b
 
 def mm_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-asset multimodal features annotated with the per-kind corpus
-    stats (broadcastable 3-row dimension)."""
+    stats (broadcastable 3-row dimension) and — since round 8 — the
+    perceptual-hash image near-dup columns (mm_phash: 64-bit dHash
+    over the real decode path + banded Hamming-radius pair summary,
+    folded in per the dedup_sig_pack precedent so the new operator is
+    driver-green without a window slot; NULL for audio/video)."""
     feats = _member("mm_features")[0](spark, sf_dir)
     stats = _member("mm_payload_stats")[0](spark, sf_dir)
-    return feats.join(F.broadcast(stats), "kind")
+    ph = _member("mm_phash")[0](spark, sf_dir)
+    return (feats.join(F.broadcast(stats), "kind")
+            .join(ph, ["asset_id"], "left"))
 
 
 MM_PACK_SQL = """
-WITH _f AS ({feats}), _s AS ({stats})
+WITH _f AS ({feats}), _s AS ({stats}), _p AS ({phash})
 SELECT _f.kind, _f.asset_id, _f.n_bytes, _f.shape, _f.decode_src,
-       _s.n_assets, _s.total_bytes, _s.n_distinct_payloads, _s.avg_width
-FROM _f JOIN _s USING (kind)
+       _s.n_assets, _s.total_bytes, _s.n_distinct_payloads, _s.avg_width,
+       _p.phash, _p.ph_src, _p.ph_n_near, _p.ph_min_ham, _p.ph_sum_ham,
+       _p.ph_nearest
+FROM _f JOIN _s USING (kind) LEFT JOIN _p USING (asset_id)
 """.format(feats=_member("mm_features")[1],
-           stats=_member("mm_payload_stats")[1])
+           stats=_member("mm_payload_stats")[1],
+           phash=_member("mm_phash")[1])
 
 
 def dedup_sig_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,10 +243,11 @@ def dedup_sig_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle), safe for the full signed-64-bit id domain."""
     sigs = _member("dedup_minhash_sigs")[0](spark, sf_dir)
     # NOT pinned deliberately: the SimHash subtree feeds the pack's
-    # simhash column and both band-join sides, but measured n≥3 both
-    # ways, recomputing the row-local fingerprint agg (min 1.72 s)
-    # beats persisting it (min 3.77 s — materialization cost plus the
-    # broadcast-stat loss on the cached relation). BASELINE.md r07.
+    # simhash column and both band-join sides. In r07 this was a
+    # measured trade (recompute 1.72 s vs persist 3.77 s); since the
+    # round-8 row-local rewrite the subtree is a ZERO-exchange scan +
+    # select, so recomputing 3× is trivially right — there is no
+    # shuffle to save (VERDICT r07 #3).
     sim = _member("dedup_simhash")[0](spark, sf_dir)
     pairs = _member("dedup_simhash_pairs")[0](spark, sf_dir)
     sym = (pairs.select(F.col("id_a").alias("id"),
@@ -467,7 +477,7 @@ _ROSTERS: dict[str, list] = {
                       "text_token_count_bpe", "text_perplexity",
                       "text_dup_ngrams"],
     "s8_grid_pack": ["s8_grid_max", "s8_grid_idw"],
-    "mm_pack": ["mm_features", "mm_payload_stats"],
+    "mm_pack": ["mm_features", "mm_payload_stats", "mm_phash"],
     "dedup_sig_pack": ["dedup_minhash_sigs", "dedup_simhash",
                        "dedup_simhash_pairs"],
     "mixing_pack": ["curation_train_order", "curation_pack_chunks",

@@ -1,0 +1,330 @@
+"""Round-8 semantics: the row-local SimHash rewrite (bit-identical
+parity + zero-exchange plan), the md5-keyed line-dedup exchanges, the
+perceptual-hash image near-dup path (dHash properties + planted-pair
+recall through the banded search), and the three ADVICE r07 fixes
+(JPEG AC clamp, JPEG ValueError contract, single-run stddev NULL)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from error_analysis_spark import cachereg
+from error_analysis_spark.extensions import multimodal as MM
+from error_analysis_spark.extensions.dedup import (
+    _simhash_fanned, hamming_near_pairs, simhash)
+
+
+# --------------------------------------------------------------------------
+# row-local SimHash (VERDICT r07 #3)
+# --------------------------------------------------------------------------
+
+def test_simhash_rowlocal_parity_with_fanned(spark):
+    """The round-8 row-local signature plan is BIT-IDENTICAL to the
+    round-1..7 fanned form (crossJoin ×bits + two corpus aggregates)
+    on real corpus text, including empty/degenerate docs (both forms
+    drop token-less docs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [90001, 90002, 90003],
+        "text": ["", "   ", "one two two three"],
+    }))
+    df = docs.select("doc_id", "text").unionByName(extra)
+    new = {r.id: r.simhash for r in simhash(df).collect()}
+    old = {r.id: r.simhash for r in _simhash_fanned(df).collect()}
+    assert new == old
+    assert 90001 not in new and 90002 not in new  # token-less: no row
+
+
+def test_simhash_signature_plan_has_no_exchange(spark):
+    """The signature subtree is pure row-local expressions — zero
+    Exchange operators (the MinHash r03 invariant, now shared)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_hamming_near_pairs_rejects_degenerate_bands():
+    with pytest.raises(ValueError, match="at least one bit"):
+        hamming_near_pairs(None, sig_col="s", bits=3, max_hamming=3)
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        hamming_near_pairs(None, sig_col="s", bits=48, max_hamming=3,
+                           n_bands=3)
+
+
+def test_multiband_probe_exact_vs_brute_force(spark):
+    """The generalized m > k+1 probing (C(m, m-k) composite keys) is
+    still an EXACT decomposition: on random 48-bit signatures with
+    planted near pairs, m=6 and m=8 return byte-identical pair sets
+    to the classic m=k+1 banding AND to brute force."""
+    import itertools
+    rng = np.random.default_rng(3)
+    sigs_py = {i: int(rng.integers(0, 1 << 48)) for i in range(220)}
+    for i in range(0, 200, 10):          # plant pairs at Hamming 1..3
+        d = 1 + (i // 10) % 3
+        v = sigs_py[i]
+        for b in rng.choice(48, size=d, replace=False):
+            v ^= 1 << int(b)
+        sigs_py[1000 + i] = v
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sigs_py.items()], "id long, sig long")
+    brute = {(a, b) for a, b in itertools.combinations(sorted(sigs_py), 2)
+             if bin(sigs_py[a] ^ sigs_py[b]).count("1") <= 3}
+    for m in (None, 6, 8):
+        got = {(r.id_a, r.id_b)
+               for r in hamming_near_pairs(df, "sig", bits=48,
+                                           max_hamming=3,
+                                           n_bands=m).collect()}
+        assert got == brute, f"m={m}: {got ^ brute}"
+
+
+# --------------------------------------------------------------------------
+# md5-keyed line-dedup exchanges (VERDICT r07 #4)
+# --------------------------------------------------------------------------
+
+def test_line_dedup_exchanges_are_hash_keyed(spark):
+    """The corpus-wide frequency aggregate and the join-back shuffle on
+    the fixed-width md5 key, never on the raw line string (boilerplate
+    lines are long exactly when they are frequent)."""
+    from error_analysis_spark.extensions.text import corpus_line_dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with cachereg.scoped():
+        out = corpus_line_dedup(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(lh#" in plan, plan
+        assert "hashpartitioning(line#" not in plan, plan
+        # output contract unchanged: every input id survives
+        assert out.count() == docs.count()
+
+
+# --------------------------------------------------------------------------
+# perceptual image hash + banded near-dup search (VERDICT r07 #5)
+# --------------------------------------------------------------------------
+
+def _gradient_image(h: int = 24, w: int = 36, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    base = np.linspace(0, 200, w, dtype=np.float64)[None, :] \
+        + np.linspace(0, 40, h)[:, None]
+    noise = rng.integers(0, 12, size=(h, w))
+    img = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return np.stack([img, img, img], axis=2)
+
+
+def test_dhash64_brightness_invariant_and_sensitive():
+    """dHash compares horizontal gradients: a uniform brightness shift
+    changes nothing; rewriting a sampled region flips bits."""
+    img = _gradient_image()
+    brighter = np.clip(img.astype(np.int32) + 30, 0, 255).astype(np.uint8)
+    assert MM.dhash64(img) == MM.dhash64(brighter)
+    other = img.copy()
+    other[:, :12, :] = 255 - other[:, :12, :]   # invert the left third
+    assert MM.dhash64(other) != MM.dhash64(img)
+
+
+def test_dhash64_signed_packing():
+    """Bit 63 (i=7, j=7) wraps negative — two's complement int64, the
+    type contract the banding and the DuckDB oracle share."""
+    # descending rightmost gradient in the bottom row → bit 63 clear;
+    # ascending → set. Build explicitly: g(7,8) > g(7,7).
+    arr = np.zeros((8, 9, 3), np.uint8)
+    arr[7, 8, :] = 255
+    ph = MM.dhash64(arr)
+    assert ph < 0 and (ph >> 63) & 1 == -1 & 1  # sign bit set
+
+
+def test_phash_planted_near_duplicate_recall(spark):
+    """Recall test: PPM-encoded images with small pixel perturbations
+    (near-dups at Hamming 1-6) are ALL found by the banded search —
+    the pigeonhole decomposition is exact, and the end-to-end path
+    (encode → real byte decode → dHash → band join) preserves it."""
+    base = _gradient_image()
+    variants = [(0, base)]
+    rng = np.random.default_rng(13)
+    for vid in range(1, 5):
+        v = base.copy().astype(np.int32)
+        # perturb a few random pixels gently: most gradient comparisons
+        # survive, so the pair stays within the radius
+        for _ in range(3):
+            y, x = rng.integers(0, v.shape[0]), rng.integers(0, v.shape[1])
+            v[y, x, :] = np.clip(v[y, x, :] + rng.integers(-25, 25), 0, 255)
+        variants.append((vid, v.astype(np.uint8)))
+    # one far image: independent noise everywhere
+    far = rng.integers(0, 255, size=base.shape).astype(np.uint8)
+    variants.append((99, far))
+    rows = [{"asset_id": i, "kind": "image",
+             "payload": MM.encode_ppm(a),
+             "width": int(a.shape[1]), "height": int(a.shape[0])}
+            for i, a in variants]
+    assets = spark.createDataFrame(pd.DataFrame(rows))
+    ph = MM.image_phash(assets)
+    sigs = {r.asset_id: r.phash for r in ph.collect()}
+    assert all(r.decode_src == "real"
+               for r in ph.collect()), "PPM must take the real path"
+    # expected pairs: brute force over the collected signatures
+    ids = sorted(sigs)
+    expect = {(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1:]
+              if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 6}
+    planted = {(a, b) for a, b in expect if a < 5 and b < 5}
+    assert planted, "fixture produced no close pairs — perturb less"
+    got = {(r.id_a, r.id_b)
+           for r in MM.phash_near_pairs(ph, max_hamming=6).collect()}
+    assert got == expect          # exact: no missed pair, no extra pair
+    assert planted <= got         # and the planted near-dups are in
+
+
+def test_phash_stage_prunes_to_images(spark):
+    """Audio/video rows never reach the Python decode stage: the kind
+    filter sits under the mapInPandas scan."""
+    rows = [
+        {"asset_id": 1, "kind": "image", "payload": b"xx",
+         "width": 8, "height": 8},
+        {"asset_id": 2, "kind": "audio", "payload": b"yy",
+         "width": None, "height": None},
+    ]
+    assets = spark.createDataFrame(pd.DataFrame(rows))
+    out = MM.image_phash(assets).collect()
+    assert [r.asset_id for r in out] == [1]
+    assert out[0].decode_src == "stub"  # not a decodable image format
+
+
+# --------------------------------------------------------------------------
+# iterative BPE trainer (VERDICT r07 #6)
+# --------------------------------------------------------------------------
+
+def _bpe_reference(corpus: list[str], n_merges: int) -> list[tuple]:
+    """Plain-Python Sennrich 2016 trainer: dict of word→symbol tuples,
+    greedy scan-and-skip merge application — the classic reference
+    loop, no Spark, no SQL."""
+    from collections import Counter
+    words = Counter()
+    for doc in corpus:
+        for w in doc.split():
+            if w:
+                words[tuple(w)] += 1
+    rules = []
+    for step in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, n in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((step, left, right, cnt))
+        merged = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2          # scan-and-skip: no re-merge in-pass
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + n
+        words = Counter(merged)
+    return rules
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    """The distributed trainer (sentinel-string replace over the
+    distinct-word table) reproduces the classic in-memory merge loop
+    exactly — rules, order, and corpus-weighted counts — on a corpus
+    built to exercise overlap ('aaaa'), merged-symbol reuse ('l'+'o',
+    then 'lo'+'w') and ties."""
+    corpus = [
+        "low lower lowest low low",
+        "newer newest new newer",
+        "aaaa aaa aa baaab",
+        "wider wide widest low",
+    ]
+    expect = _bpe_reference(corpus, n_merges=10)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(corpus)), "text": corpus}))
+    from error_analysis_spark.extensions.text import bpe_train
+    got = [(r.step, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe_train(docs, n_merges=10).orderBy("step").collect()]
+    assert got == expect
+    # the overlap case really occurred: some rule merged a symbol with
+    # itself or reused a previously merged symbol
+    assert any(len(left) > 1 or len(right) > 1
+               for _s, left, right, _c in got)
+
+
+def test_bpe_train_early_stops_when_nothing_left(spark):
+    """Single-char vocabulary: zero pairs → zero rules, no crash."""
+    from error_analysis_spark.extensions.text import bpe_train
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "text": "a b c a"}, index=[0]))
+    assert bpe_train(docs, n_merges=5).count() == 0
+
+
+# --------------------------------------------------------------------------
+# ADVICE r07 fixes
+# --------------------------------------------------------------------------
+
+def test_encode_jpeg_extreme_block_at_quality_100():
+    """A saturated checkerboard at quality 100 (quant entries of 1)
+    drives quantized AC magnitudes past 1023; the clamp keeps the
+    symbol lookup inside the T.81 baseline category range instead of
+    raising KeyError. The stream must stay decodable."""
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    checker = ((yy + xx) % 2 * 255).astype(np.uint8)
+    arr = np.stack([checker, 255 - checker, checker], axis=2)
+    payload = MM.encode_jpeg(arr, quality=100)
+    out = MM.decode_jpeg(payload)
+    assert out.shape == arr.shape
+
+
+def test_decode_jpeg_missing_tables_raise_valueerror():
+    """Missing DHT/DQT ids and SOF↔SOS component mismatches raise the
+    documented ValueError (not a bare KeyError) — ADVICE r07."""
+    import struct as _struct
+    base = MM.encode_jpeg(_gradient_image(16, 16), quality=80)
+
+    def strip_segments(payload: bytes, marker: int) -> bytes:
+        out, pos = bytearray(payload[:2]), 2
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                out.extend(payload[pos:])
+                break
+            m = payload[pos + 1]
+            if m == 0xD9 or 0xD0 <= m <= 0xD8 or m == 0x01:
+                out.extend(payload[pos:pos + 2])
+                pos += 2
+                continue
+            (seglen,) = _struct.unpack(">H", payload[pos + 2:pos + 4])
+            seg = payload[pos:pos + 2 + seglen]
+            pos += 2 + seglen
+            if m != marker:
+                out.extend(seg)
+            if m == 0xDA:       # entropy data follows: copy the rest
+                out.extend(payload[pos:])
+                break
+        return bytes(out)
+
+    for marker, msg in ((0xC4, "DHT"), (0xDB, "DQT")):
+        with pytest.raises(ValueError, match=msg):
+            MM.decode_jpeg(strip_segments(base, marker))
+
+
+def test_mean_variogram_single_run_std_is_null(spark):
+    """A bin where exactly one run meets min_pairs: Spark's
+    stddev_samp would say NaN, ANSI/DuckDB say NULL — the guard makes
+    both engines reduce identically (ADVICE r07)."""
+    from error_analysis_spark.operators.variogram import mean_variogram
+    per_run = spark.createDataFrame(pd.DataFrame({
+        "run": [0, 0, 1],
+        "bin": [0, 1, 1],
+        "gamma": [1.5, 2.0, 4.0],
+        "pair_count": [10, 10, 10],
+    }))
+    out = {r.bin: r for r in mean_variogram(per_run, 5.0).collect()}
+    assert out[0].gamma_std is None            # single run → NULL
+    assert out[1].gamma_std is not None        # two runs → a number
+    assert out[0].n_runs_valid == 1
