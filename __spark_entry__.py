@@ -94,8 +94,13 @@ _FRONT = [
 #                          r07 #4), output identical by construction;
 #   pipeline_chain_multi — single-valid-run stddev NULL guard (ADVICE
 #                          r07), fixture output unchanged.
+#   emb_pq_topk          — NEW: product-quantization ANN (deterministic
+#                          md5-seeded codebook + one exact-arithmetic
+#                          Lloyd step + map-only ADC encode/top-k),
+#                          full DuckDB oracle, local green recorded.
 _POST_WINDOW_NEW: list[str] = [
     "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
+    "emb_pq_topk",
 ]
 # The rotate-out tail: the r07-green window queries unchanged this
 # round (47 = 50 minus the three changed ones pinned above; every one

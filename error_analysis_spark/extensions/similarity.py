@@ -787,3 +787,256 @@ def embedding_covariance(embeddings: DataFrame,
     # one engine and 0.0 on the other; the driver hash compares strings)
     return m.select("i", "j", "n",
                     (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): deterministic codebooks + ADC top-k
+# --------------------------------------------------------------------------
+
+def _fp_arr(c: Column, quantize: int = 6) -> Column:
+    """1e-q fixed-point array<long> — every subsequent squared-L2 is an
+    exact integer, bit-equal across engines/partitionings (same trick as
+    `seed_cell_assignments`)."""
+    return F.transform(c, lambda x: F.floor(
+        x.cast("double") * F.lit(10.0 ** quantize) + F.lit(0.5))
+        .cast("long"))
+
+
+def _pq_encode(frame: DataFrame, book: list[list[list[int]]], cw: int,
+               qfp: list[int] | None = None,
+               passthrough: tuple[str, ...] = ("id",)) -> DataFrame:
+    """Arrow-batched PQ encode: one mapInPandas over (…, q) emitting the
+    per-block combined argmin keys ks[b] = min-dist(block, centroid)·cw
+    + code0 (np.argmin ties → first index = lowest code, matching the
+    relational min(key) decomposition exactly), plus — when `qfp` is
+    given — the ADC distance Σ_b qd[b][code_b] and the exact query
+    distance, all in int64 (every value bounded ≪ 2^62, bit-equal to
+    the SQL restatement).
+
+    Why a kernel and not expressions: the argmin over n_codes·n_blocks
+    centroids is a ~3k-node expression tree either unrolled or as
+    higher-order functions, and Catalyst re-pays seconds of
+    analysis/codegen PER ACTION on a tree that size (measured 5-10× the
+    actual scan cost at sf0.1), while HOF evaluation is interpreted
+    row-at-a-time anyway. This is the blocked-GEMM/k-means precedent:
+    a numpy int64 einsum per Arrow batch IS the FAISS-style PQ scan
+    shape — one plan node, vectorized, map-only, linear in corpus
+    size, codebook rides in the closure (O(KB))."""
+    import numpy as np
+    import pandas as pd
+
+    nb, nc, bd = len(book), len(book[0]), len(book[0][0])
+    C = np.asarray(book, dtype=np.int64)               # (nb, nc, bd)
+    csq = (C * C).sum(-1)                              # (nb, nc)
+    qv = np.asarray(qfp, dtype=np.int64) if qfp is not None else None
+    qd = (((qv.reshape(nb, 1, bd) - C) ** 2).sum(-1)
+          if qv is not None else None)                 # (nb, nc)
+    cols = list(passthrough)
+    out_schema = ", ".join(
+        [f"{c} long" if c == "id" else f"{c} array<long>" for c in cols]
+        + ["ks array<long>"]
+        + (["exact_dist long", "adc_dist long"] if qfp is not None else []))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, D)
+            B = Q.reshape(len(pdf), nb, bd)
+            # ‖sub‖² − 2·sub·c + ‖c‖² via int64 einsum — exact, no
+            # (n, nb, nc, bd) temp
+            d = ((B * B).sum(-1)[:, :, None]
+                 - 2 * np.einsum("nbd,bcd->nbc", B, C) + csq[None])
+            codes = d.argmin(-1)                        # (n, nb)
+            ks = d.min(-1) * cw + codes
+            out = {c: pdf[c].to_numpy() for c in cols}
+            out["ks"] = list(ks)
+            if qv is not None:
+                out["exact_dist"] = ((Q - qv) ** 2).sum(-1)
+                out["adc_dist"] = qd[np.arange(nb)[None, :], codes].sum(-1)
+            yield pd.DataFrame(out)
+
+    inp = frame.select(*dict.fromkeys(cols + ["q"]))
+    return inp.mapInPandas(kernel, schema=out_schema)
+
+
+def _pq_lloyd_partials(frame: DataFrame, book: list[list[list[int]]],
+                       cw: int) -> DataFrame:
+    """Assign + per-batch partial Lloyd statistics in one Arrow pass:
+    emits (b 1-based, code 1-based, pos 0-based, s, cnt) with s = Σ of
+    the assigned sub-vector components and cnt = member count, per
+    batch — ≤ n_blocks·n_codes·bd rows per batch regardless of batch
+    size (the numpy map-side combine). int64 partial sums are exact
+    and order-independent, so the final Σs/Σcnt reduce is bit-stable."""
+    import numpy as np
+    import pandas as pd
+
+    nb, nc, bd = len(book), len(book[0]), len(book[0][0])
+    C = np.asarray(book, dtype=np.int64)
+    csq = (C * C).sum(-1)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            B = Q.reshape(len(pdf), nb, bd)
+            d = ((B * B).sum(-1)[:, :, None]
+                 - 2 * np.einsum("nbd,bcd->nbc", B, C) + csq[None])
+            codes = d.argmin(-1)                       # (n, nb)
+            sums = np.zeros((nb, nc, bd), dtype=np.int64)
+            cnts = np.zeros((nb, nc), dtype=np.int64)
+            for b in range(nb):
+                np.add.at(sums[b], codes[:, b], B[:, b, :])
+                cnts[b] = np.bincount(codes[:, b], minlength=nc)
+            b_i, c_i = np.nonzero(cnts)
+            yield pd.DataFrame({
+                "b": np.repeat(b_i + 1, bd),
+                "code": np.repeat(c_i + 1, bd),
+                "pos": np.tile(np.arange(bd), len(b_i)),
+                "s": sums[b_i, c_i].reshape(-1),
+                "cnt": np.repeat(cnts[b_i, c_i], bd),
+            })
+
+    return frame.select("q").mapInPandas(
+        kernel, schema="b int, code int, pos int, s long, cnt long")
+
+
+def pq_train(embeddings: DataFrame, n_blocks: int = 8, n_codes: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             quantize: int = 6, train_mod: int = 1) -> list[list[list[int]]]:
+    """Train a product-quantization codebook: split each vector into
+    `n_blocks` contiguous sub-vectors and learn `n_codes` centroids per
+    block (Jégou et al. 2011, "Product quantization for nearest
+    neighbor search" — public TPAMI paper; the reference engine has no
+    ANN surface, this is part of the training-data-pipeline extension).
+
+    Fully deterministic k-means — seeds are the sub-vectors of the
+    `n_codes` vectors with the smallest md5(id) (the
+    `seed_cell_assignments` convention), refined by ONE Lloyd step:
+    argmin assignment on exact fixed-point integer squared-L2 (ties →
+    lowest code), then element-wise mean re-rounded to the fixed-point
+    grid. One step keeps every arithmetic step relational/IEEE-exact so
+    a SQL oracle can restate training bit-for-bit.
+
+    Scale shape: training reads only `id % train_mod == 0` (codebooks
+    train on a bounded sample at 100 TB; pass train_mod so the sample
+    is a few 100k rows), and the Lloyd aggregation groups on
+    (block, code, pos) — a key space of n_blocks × n_codes × block_dim
+    regardless of corpus size, fully map-side-combinable. The returned
+    codebook is n_blocks × n_codes × block_dim longs — driver-bounded
+    (the Bloom-bitset precedent) and re-broadcast as literals by
+    `pq_topk`.
+
+    The argmin rides ONE integer key `dist * 2^ceil(log2(n_codes)) +
+    (code-1)`: min(key) decomposes into (min dist, lowest tied code) in
+    a single aggregate with no float comparisons — the same key both
+    engines minimize.
+    """
+    dim = len(embeddings.select(vec_col).head()[0])
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")
+    bd = dim // n_blocks
+    cw = max(n_codes, 32)  # code-slot width in the combined key
+    from error_analysis_spark.extensions.text import md5_prefix_long
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        _fp_arr(F.col(vec_col), quantize).alias("q"))
+    from pyspark.sql import Window
+    seeds = [(int(r["code"]), list(r["sq"])) for r in (
+        base.select(F.col("q").alias("sq"),
+                    md5_prefix_long(F.col("id").cast("string")).alias("_h"),
+                    F.col("id"))
+        .orderBy("_h", "id").limit(n_codes)
+        .select(F.col("sq"), F.row_number().over(
+            Window.orderBy("_h", "id")).alias("code"))
+        .collect())]
+
+    train = base.where(F.col("id") % train_mod == 0) if train_mod > 1 \
+        else base
+    seed_book = [[sq[b * bd:(b + 1) * bd] for _, sq in seeds]
+                 for b in range(n_blocks)]
+    # one Arrow pass: assign + PARTIAL Lloyd sums per batch (the numpy
+    # map-side combine — ≤ n_blocks·n_codes·bd rows per batch instead
+    # of a ×dim explode of the sample), then a bounded final reduce.
+    # Mean as exact-int sum / count (a float avg would be partial-sum
+    # order-dependent; the long sums are order-independent and their
+    # double cast exact below 2^53), re-rounded to the fixed-point grid
+    partials = _pq_lloyd_partials(train, seed_book, cw)
+    refined = (partials.groupBy("b", "code", "pos")
+               .agg(F.floor(F.sum("s").cast("double") / F.sum("cnt")
+                            + 0.5).cast("long").alias("cv"))
+               .collect())
+    book: dict[tuple[int, int], dict[int, int]] = {}
+    for r in refined:
+        book.setdefault((r["b"], r["code"]), {})[r["pos"]] = int(r["cv"])
+    out: list[list[list[int]]] = []
+    for b in range(1, n_blocks + 1):
+        row = []
+        for code, sq in seeds:
+            got = book.get((b, code))
+            if got is None:  # empty code (possible when train_mod > 1)
+                row.append([int(v) for v in
+                            sq[(b - 1) * bd:b * bd]])
+            else:
+                row.append([got[p] for p in range(bd)])
+        out.append(row)
+    return out
+
+
+def pq_topk(embeddings: DataFrame, query_vec: list[float],
+            codebook: list[list[list[int]]], k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            quantize: int = 6) -> DataFrame:
+    """PQ-encode every vector against the literal `codebook` and rank by
+    asymmetric-distance (ADC): approx dist = Σ_b table[b][code_b] where
+    table is the query-block→centroid exact integer squared-L2,
+    precomputed driver-side (n_blocks × n_codes entries, broadcast as
+    literals inside the plan).
+
+    Map-only over the corpus — encode + ADC are ONE Arrow-batched numpy
+    kernel (`_pq_encode`, the FAISS-style vectorized PQ scan) with zero
+    joins/shuffles; the only non-map stages are the TakeOrdered top-k
+    and one bounded (block, code) histogram aggregate (≤
+    n_blocks·n_codes groups, map-side combined). This is the plan that
+    survives 100 TB: the codebook rides in the kernel closure (O(KB)),
+    the scan is linear, nothing exchanges on a corpus key.
+
+    Returns the labeled union
+      ('topk', rank, vec_id, exact_dist, adc_dist)  k rows
+      ('hist', block, code, n_assigned, distortion) ≤ n_blocks·n_codes
+    with i/j BIGINT, m BIGINT, v DOUBLE — distortion (Σ min squared-L2
+    to the chosen centroid) is the PQ quality metric and makes every
+    row's code assignment hash-visible, not just the top k."""
+    n_blocks = len(codebook)
+    n_codes = len(codebook[0])
+    bd = len(codebook[0][0])
+    cw = max(n_codes, 32)
+    scale = 10.0 ** quantize
+    import math
+    qfp = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        _fp_arr(F.col(vec_col), quantize).alias("q"))
+    enc = _pq_encode(base, codebook, cw, qfp=qfp)
+
+    from pyspark.sql import Window
+    topk = (enc.orderBy("adc_dist", "id").limit(k)
+            .select(
+                F.lit("topk").alias("part"),
+                F.row_number().over(Window.orderBy("adc_dist", "id"))
+                .cast("long").alias("i"),
+                F.col("id").alias("j"),
+                F.col("exact_dist").alias("m"),
+                F.col("adc_dist").cast("double").alias("v")))
+    hist = (enc.select(F.posexplode("ks").alias("pos", "kv"))
+            .groupBy((F.col("pos") + 1).cast("long").alias("i"),
+                     (F.col("kv") % cw + 1).alias("j"))
+            .agg(F.count("*").alias("m"),
+                 F.sum(((F.col("kv") - F.col("kv") % cw) / cw)
+                       .cast("decimal(38,0)"))
+                 .cast("double").alias("v"))
+            .select(F.lit("hist").alias("part"), "i", "j", "m", "v"))
+    return topk.unionByName(hist)

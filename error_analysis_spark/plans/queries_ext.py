@@ -3415,7 +3415,136 @@ LEFT JOIN n ON n.anchor_id = a2.anchor_id AND n.rk = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Product-quantization ANN: deterministic codebook + ADC top-k
+# --------------------------------------------------------------------------
+
+# fixed-point query vector shared by both engines: x_j = ((j*37)%200-100)/250
+# → qfp_j = (((j*37)%200)-100)*4000 exactly (1e6 scale, no float rounding)
+_PQ_DIM = 64
+_PQ_QFP = [(((j * 37) % 200) - 100) * 4000 for j in range(_PQ_DIM)]
+_PQ_Q = [v / 1e6 for v in _PQ_QFP]
+
+
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table: train the
+    8-block × 16-code codebook (md5-seeded, one exact-arithmetic Lloyd
+    step), PQ-encode every vector, rank by ADC against the fixed query
+    vector. Labeled union: 'topk' (rank, id, exact_dist, adc) +
+    'hist' (block, code, n_assigned, distortion) — the histogram makes
+    every row's code assignment hash-visible. Training is the bounded
+    (block, code, pos) aggregate; encode+ADC are ONE map-only Arrow
+    kernel (codebook + ADC table in the closure — the documented
+    vectorized-kernel exception, similarity._pq_encode). Jégou et al.
+    2011; no reference counterpart (training-data-pipeline
+    extension)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = SIM.pq_train(emb)
+    return SIM.pq_topk(emb, _PQ_Q, book, k=10)
+
+
+PQ_TOPK_SQL = f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+           AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT q AS sq,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT,
+                    id) AS code
+  FROM base
+  QUALIFY code <= 16
+),
+grid AS (SELECT unnest(generate_series(1, 8)) AS b),
+blocks AS (
+  SELECT base.id, grid.b,
+         list_slice(base.q, (grid.b - 1) * 8 + 1, grid.b * 8) AS sub
+  FROM base CROSS JOIN grid
+),
+scb AS (
+  SELECT grid.b, seeds.code,
+         list_slice(seeds.sq, (grid.b - 1) * 8 + 1, grid.b * 8) AS cvec
+  FROM seeds CROSS JOIN grid
+),
+assign AS (
+  SELECT bl.id, bl.b,
+         min(CAST(list_sum(list_transform(list_zip(bl.sub, s.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) * 32
+             + (s.code - 1)) AS k
+  FROM blocks bl JOIN scb s ON s.b = bl.b
+  GROUP BY bl.id, bl.b
+),
+members AS (
+  SELECT a.b, (a.k % 32) + 1 AS code,
+         unnest(bl.sub) AS val,
+         unnest(generate_series(1, 8)) AS pos
+  FROM assign a JOIN blocks bl ON bl.id = a.id AND bl.b = a.b
+),
+cent AS (
+  SELECT b, code, pos,
+         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS cv
+  FROM members GROUP BY b, code, pos
+),
+centarr AS (
+  SELECT b, code, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY b, code
+),
+codebook AS (
+  SELECT s.b, s.code, COALESCE(c.cvec, s.cvec) AS cvec
+  FROM scb s LEFT JOIN centarr c ON c.b = s.b AND c.code = s.code
+),
+enc AS (
+  SELECT bl.id, bl.b,
+         min(CAST(list_sum(list_transform(list_zip(bl.sub, cb.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) * 32
+             + (cb.code - 1)) AS k
+  FROM blocks bl JOIN codebook cb ON cb.b = bl.b
+  GROUP BY bl.id, bl.b
+),
+qv AS (SELECT {_PQ_QFP} AS qf),
+qd AS (
+  SELECT cb.b, cb.code,
+         CAST(list_sum(list_transform(
+           list_zip(cb.cvec, list_slice(qv.qf, (cb.b - 1) * 8 + 1,
+                                        cb.b * 8)),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS qdist
+  FROM codebook cb CROSS JOIN qv
+),
+adc AS (
+  SELECT e.id, CAST(sum(q.qdist) AS BIGINT) AS adc
+  FROM enc e JOIN qd q ON q.b = e.b AND q.code = (e.k % 32) + 1
+  GROUP BY e.id
+),
+exact AS (
+  SELECT base.id,
+         CAST(list_sum(list_transform(list_zip(base.q, qv.qf),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS ex
+  FROM base CROSS JOIN qv
+),
+topk AS (
+  SELECT 'topk' AS part,
+         CAST(row_number() OVER (ORDER BY a.adc, a.id) AS BIGINT) AS i,
+         a.id AS j, e.ex AS m, CAST(a.adc AS DOUBLE) AS v
+  FROM adc a JOIN exact e ON e.id = a.id
+  ORDER BY a.adc, a.id LIMIT 10
+),
+hist AS (
+  SELECT 'hist' AS part, CAST(b AS BIGINT) AS i,
+         CAST((k % 32) + 1 AS BIGINT) AS j,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(k // 32) AS DOUBLE) AS v
+  FROM enc GROUP BY b, (k % 32) + 1
+)
+SELECT * FROM topk UNION ALL SELECT * FROM hist
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
+    "emb_pq_topk": (emb_pq_topk, PQ_TOPK_SQL),
     "ingest_csv_quarantine": (ingest_csv_quarantine, CSV_QUARANTINE_SQL),
     "ingest_compaction": (ingest_compaction, COMPACTION_SQL),
     "curation_delta_agg": (curation_delta_agg, DELTA_AGG_SQL),

@@ -537,7 +537,13 @@ def test_registry_wide_plan_invariants(spark):
     sf_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     allowed_python = {"sigma_a_pack", "sim_pair_pack",
                       "sim_semantic_dedup", "a13_zone_pixel_counts",
-                      "sc16_utm_roundtrip", "mm_pack"}
+                      "sc16_utm_roundtrip", "mm_pack",
+                      # round 8: the PQ encode/ADC scan is a documented
+                      # Arrow kernel (int64 einsum — the FAISS-style
+                      # vectorized shape; the equivalent 3k-node
+                      # expression tree re-paid seconds of Catalyst
+                      # analysis per action, similarity._pq_encode)
+                      "emb_pq_topk"}
     qs = E.queries()
     cartesian, row_at_a_time, undeclared = [], [], []
     for name in qs:

@@ -328,3 +328,76 @@ def test_mean_variogram_single_run_std_is_null(spark):
     assert out[0].gamma_std is None            # single run → NULL
     assert out[1].gamma_std is not None        # two runs → a number
     assert out[0].n_runs_valid == 1
+
+
+# --------------------------------------------------------------------------
+# product quantization (round-8 new operator)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq_setup(spark):
+    from error_analysis_spark.extensions import similarity as S
+    from error_analysis_spark.plans.queries_ext import _PQ_Q
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = S.pq_train(emb)
+    out = S.pq_topk(emb, _PQ_Q, book, k=10).toPandas()
+    return emb, book, out
+
+
+def test_pq_hist_counts_partition_rows(pq_setup):
+    """Per block, the code histogram partitions the corpus exactly:
+    Σ n_assigned = n_rows for every one of the 8 blocks."""
+    emb, _, out = pq_setup
+    n = emb.count()
+    hist = out[out.part == "hist"]
+    per_block = hist.groupby("i")["m"].sum()
+    assert len(per_block) == 8
+    assert (per_block == n).all()
+
+
+def test_pq_lloyd_step_reduces_distortion(spark, pq_setup):
+    """One Lloyd refinement must not increase total quantization
+    distortion vs the raw md5-seeded codebook (k-means monotonicity;
+    the fixed-point re-rounding of centroids gets a 0.1% slack)."""
+    from error_analysis_spark.extensions import similarity as S
+    from error_analysis_spark.plans.queries_ext import _PQ_Q
+    emb, _, out = pq_setup
+    trained = out[out.part == "hist"]["v"].sum()
+    # train_mod beyond the id domain → every code empty → pure seed book
+    seed_book = S.pq_train(emb, train_mod=10 ** 9)
+    out_seed = S.pq_topk(emb, _PQ_Q, seed_book, k=10).toPandas()
+    seeded = out_seed[out_seed.part == "hist"]["v"].sum()
+    assert trained <= seeded * 1.001
+    assert trained < seeded  # on real data the step strictly improves
+
+
+def test_pq_adc_recall_floor_vs_exact(pq_setup):
+    """ADC top-10 overlaps the exact top-10 on the sf0.001 embeddings
+    (deterministic pipeline → a fixed measured floor; unstructured
+    random vectors are PQ's worst case, so the floor is low but the
+    ranking itself is fully reproducible)."""
+    emb, _, out = pq_setup
+    pdf = emb.toPandas()
+    from error_analysis_spark.plans.queries_ext import _PQ_Q
+    X = np.stack(pdf.embedding.values).astype(np.float64)
+    d = ((X - np.array(_PQ_Q)) ** 2).sum(1)
+    exact = set(pdf.vec_id.values[np.argsort(d, kind="stable")][:10])
+    adc = set(out[out.part == "topk"]["j"].values)
+    assert len(adc) == 10
+    assert len(exact & adc) >= 2
+
+
+def test_pq_encode_plan_is_join_free(spark, pq_setup):
+    """The whole pq_topk plan has no join of any kind and no
+    row-at-a-time Python — the corpus-side work is exactly ONE
+    Arrow-batched MapInPandas kernel (the documented FAISS-style PQ
+    scan) plus the bounded (block, code) aggregate and the TakeOrdered
+    top-k."""
+    from error_analysis_spark.extensions import similarity as S
+    from error_analysis_spark.plans.queries_ext import _PQ_Q
+    emb, book, _ = pq_setup
+    plan = S.pq_topk(emb, _PQ_Q, book, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in pq_topk plan"
+    assert plan.count("MapInPandas") == 2  # one per union branch
