@@ -832,8 +832,10 @@ def _pq_encode(frame: DataFrame, book: list[list[list[int]]], cw: int,
     qd = (((qv.reshape(nb, 1, bd) - C) ** 2).sum(-1)
           if qv is not None else None)                 # (nb, nc)
     cols = list(passthrough)
+    ftypes = {f.name: f.dataType.simpleString()
+              for f in frame.schema.fields}
     out_schema = ", ".join(
-        [f"{c} long" if c == "id" else f"{c} array<long>" for c in cols]
+        [f"{c} {ftypes[c]}" for c in cols]
         + ["ks array<long>"]
         + (["exact_dist long", "adc_dist long"] if qfp is not None else []))
 

@@ -756,6 +756,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
              .groupBy("w").agg(F.count("*").alias("n"))
              .select(F.regexp_replace(
                  "w", "(.)", s_mark + "$1" + e_mark).alias("s"), "n"))
+    # pin the distinct-word table: every merge round's pair count and
+    # replace chain re-derives from this vocabulary-bounded frame, so
+    # without the pin each of the n_merges rounds re-tokenizes the
+    # whole corpus (round 8; the text_line_dedup pin precedent)
+    from error_analysis_spark.cachereg import track
+    words = track(words.persist())
     rules: list[tuple] = []
     for step in range(1, n_merges + 1):
         syms = F.split(F.expr("substring(s, 2, length(s) - 2)"),
@@ -782,6 +788,102 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     return spark.createDataFrame(
         rules, schema="step int, left_sym string, right_sym string, "
                       "pair_count bigint")
+
+
+def bpe_encode_stats(docs: DataFrame, rules: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Apply learned BPE merge rules to every document and report the
+    per-doc token budget — the encode half of the tokenizer (the train
+    half is `bpe_train`; together they close the Sennrich 2016 loop:
+    learn merges once, encode the corpus with them).
+
+    Per doc: whitespace words (sentinel-containing words are
+    unencodable and skipped, the trainer's contract), each word
+    sentinel-encoded and run through the merge `replace` chain in rule
+    order — the same greedy left-to-right non-overlapping scan the
+    trainer applies, as plain string replaces. Reports n_words,
+    n_chars, n_tokens (post-merge symbol count = '\\x02' occurrences)
+    and chars-per-token compression.
+
+    Scale shape: entirely ROW-LOCAL — the rule list is O(n_merges)
+    literals in the expression, no vocabulary join, no exchange of any
+    kind; docs with zero encodable words drop (mirrored by the
+    oracle's unnest)."""
+    s_mark, e_mark = "\x01", "\x02"
+    words = F.filter(tokens(text_col),
+                     lambda w: ~w.contains(s_mark) & ~w.contains(e_mark))
+
+    def encode(w: Column) -> Column:
+        x = F.regexp_replace(w, "(.)", s_mark + "$1" + e_mark)
+        for left, right in rules:
+            x = F.replace(
+                x,
+                F.lit(s_mark + left + e_mark + s_mark + right + e_mark),
+                F.lit(s_mark + left + right + e_mark))
+        return x
+
+    n_words = F.size("_ws").cast("long")
+    n_chars = F.aggregate(F.transform("_ws", F.length),
+                          F.lit(0).cast("long"),
+                          lambda acc, x: acc + x.cast("long"))
+    # tokens per word = sentinel-pair count = split(enc, '\x02') - 1
+    n_tokens = F.aggregate(
+        F.transform("_ws", lambda w: F.size(F.split(encode(w), e_mark))
+                    - 1),
+        F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        words.alias("_ws"))
+            .where(F.size("_ws") > 0)
+            .select("doc_id", n_words.alias("n_words"),
+                    n_chars.alias("n_chars"), n_tokens.alias("n_tokens"))
+            .withColumn("chars_per_token",
+                        F.round(F.col("n_chars").cast("double")
+                                / F.col("n_tokens"), 4) + F.lit(0.0)))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of a RAG / training-sequence pipeline: fixed `chunk_tokens`-token
+    windows advancing by stride = chunk_tokens − overlap, last window
+    truncated, token-less docs dropped.
+
+    Entirely ROW-LOCAL (sequence → explode → slice): the ×n_chunks
+    fan-out happens map-side with zero exchanges, so the operator is a
+    pure linear scan at any corpus size. Each chunk carries its
+    md5-prefix content hash (the engine-wide content-hash key) so
+    downstream exact-dedup joins on chunks reuse the same key space as
+    document dedup.
+
+    Returns (doc_id, chunk_id 0-based, start_pos 0-based, n_tokens,
+    chunk_hash)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"{overlap} / {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        tokens(text_col).alias("_t"))
+            .where(F.size("_t") > 0)
+            .withColumn("_n", F.size("_t").cast("long")))
+    # chunk count: 1 + ceil((n - chunk)/stride) for n > chunk, else 1 —
+    # exact in double below 2^53
+    last = F.when(
+        F.col("_n") <= chunk_tokens, F.lit(0).cast("long")).otherwise(
+        F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride)
+        .cast("long"))
+    chunk = F.slice("_t", F.col("chunk_id").cast("int") * stride + 1,
+                    chunk_tokens)
+    return (base
+            .select("doc_id", "_t",
+                    F.explode(F.sequence(F.lit(0).cast("long"), last))
+                    .alias("chunk_id"))
+            .select("doc_id", "chunk_id",
+                    (F.col("chunk_id") * stride).alias("start_pos"),
+                    F.size(chunk).cast("long").alias("n_tokens"),
+                    md5_prefix_long(F.array_join(chunk, " "))
+                    .alias("chunk_hash")))
 
 
 def domain_topk_tokens(docs: DataFrame, k: int = 5,

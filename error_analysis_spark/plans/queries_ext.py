@@ -3212,16 +3212,18 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.unionByName(rules)
 
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
-    """Unrolled-CTE DuckDB restatement of the iterative BPE trainer:
-    each merge round is three CTEs — p{t} (adjacent-pair counts over
-    the current word encodings), m{t} (the 1-row argmax with the
-    deterministic tie order), w{t} (the greedy merge applied via
-    sentinel-string replace, cross-joined with the 1-row m{t}). The
-    sentinel representation makes plain `replace` exactly the
-    reference's left-to-right non-overlapping scan on BOTH engines.
-    An empty p{t} (nothing left to merge) makes m{t} and every later
-    CTE empty, mirroring the Spark loop's early break."""
+def _bpe_core_ctes(n_merges: int = 8) -> list[str]:
+    """The shared unrolled-CTE trainer scaffold (words → w0 → p/m/w per
+    round) used by both the trainer oracle (`_bpe_train_sql`) and the
+    encoder oracle (`_bpe_encode_sql`): each merge round is three CTEs
+    — p{t} (adjacent-pair counts over the current word encodings),
+    m{t} (the 1-row argmax with the deterministic tie order), w{t}
+    (the greedy merge applied via sentinel-string replace, cross-joined
+    with the 1-row m{t}). The sentinel representation makes plain
+    `replace` exactly the reference's left-to-right non-overlapping
+    scan on BOTH engines. An empty p{t} (nothing left to merge) makes
+    m{t} and every later CTE empty, mirroring the Spark loop's early
+    break."""
     s, e = chr(1), chr(2)
     parts = [f"""
 words AS (
@@ -3255,6 +3257,13 @@ w{t} AS (
                  '{s}' || l || r || '{e}') AS s, n
   FROM w{t - 1}, m{t}
 )""")
+    return parts
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Trainer oracle: the shared scaffold plus candidate ranking and
+    the per-round rule rows (see `_bpe_core_ctes`)."""
+    parts = _bpe_core_ctes(n_merges)
     rules = "\nUNION ALL\n".join(
         f"SELECT 'rule' AS part, step AS ord, l AS left_sym, "
         f"r AS right_sym, cnt AS pair_count FROM m{t}"
@@ -3290,6 +3299,106 @@ UNION ALL
 
 
 BPE_MERGES_SQL = _bpe_train_sql(8)
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the BPE tokenizer (round 8): train the 8
+    merge rules (text.bpe_train — the driver green for training is
+    text_bpe_merges), then apply them to every document row-locally
+    and report the per-doc token budget (n_words, n_chars, post-merge
+    n_tokens, chars-per-token). The oracle restates BOTH halves: the
+    trainer's unrolled CTE chain feeds a per-doc replace chain through
+    LEFT JOINs (empty rule rows pass the text through unchanged,
+    mirroring the Spark loop's early break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [(r["left_sym"], r["right_sym"])
+             for r in TX.bpe_train(docs, n_merges=8).collect()]
+    return TX.bpe_encode_stats(docs, rules)
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    s, e = chr(1), chr(2)
+    parts = _bpe_core_ctes(n_merges)
+    parts.append(f"""
+d0 AS (
+  SELECT d.doc_id, t.w,
+         regexp_replace(t.w, '(.)', '{s}\\1{e}', 'g') AS s
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                          x -> x <> '')) AS t(w)
+  WHERE NOT contains(t.w, '{s}') AND NOT contains(t.w, '{e}')
+)""")
+    for t in range(1, n_merges + 1):
+        parts.append(f"""
+d{t} AS (
+  SELECT d.doc_id, d.w,
+         CASE WHEN m.l IS NULL THEN d.s
+              ELSE replace(d.s, '{s}' || m.l || '{e}{s}' || m.r || '{e}',
+                           '{s}' || m.l || m.r || '{e}') END AS s
+  FROM d{t - 1} d LEFT JOIN m{t} m ON TRUE
+)""")
+    return f"""
+WITH {','.join(parts)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(s, '{e}')) - 1) AS BIGINT) AS n_tokens,
+       round(CAST(sum(length(w)) AS DOUBLE)
+             / (CAST(sum(len(string_split(s, '{e}')) - 1) AS DOUBLE)),
+             4) + 0.0 AS chars_per_token
+FROM d{n_merges}
+GROUP BY doc_id
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql(8)
+
+
+_CHUNK_T, _CHUNK_OVL = 32, 8
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document into 32-token windows
+    with 8-token overlap (sized so the sf docs — median 54 tokens —
+    genuinely split into 2-4 overlapping chunks) (text.chunk_documents) — per-chunk rows with
+    the md5-prefix content hash, all row-local (map-side ×n_chunks
+    fan-out, zero exchanges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=_CHUNK_T,
+                              overlap=_CHUNK_OVL)
+
+
+_CHUNK_STRIDE = _CHUNK_T - _CHUNK_OVL
+CHUNKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+nz AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+  FROM toks WHERE len(t) > 0
+),
+ch AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(
+           0, CASE WHEN n <= {_CHUNK_T} THEN 0
+                   ELSE (n - {_CHUNK_T} + {_CHUNK_STRIDE} - 1)
+                        // {_CHUNK_STRIDE} END)) AS chunk_id
+  FROM nz
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_pos,
+       CAST(len(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                           chunk_id * {_CHUNK_STRIDE} + {_CHUNK_T}))
+            AS BIGINT) AS n_tokens,
+       ('0x' || substr(md5(array_to_string(
+           list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                      chunk_id * {_CHUNK_STRIDE} + {_CHUNK_T}), ' ')),
+           1, 15))::BIGINT AS chunk_hash
+FROM ch
+"""
 
 
 def text_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3545,6 +3654,8 @@ SELECT * FROM topk UNION ALL SELECT * FROM hist
 
 EXT_QUERIES: dict[str, tuple] = {
     "emb_pq_topk": (emb_pq_topk, PQ_TOPK_SQL),
+    "text_bpe_encode": (text_bpe_encode, BPE_ENCODE_SQL),
+    "text_chunking": (text_chunking, CHUNKING_SQL),
     "ingest_csv_quarantine": (ingest_csv_quarantine, CSV_QUARANTINE_SQL),
     "ingest_compaction": (ingest_compaction, COMPACTION_SQL),
     "curation_delta_agg": (curation_delta_agg, DELTA_AGG_SQL),

@@ -401,3 +401,76 @@ def test_pq_encode_plan_is_join_free(spark, pq_setup):
     for bad in ("Join", "CartesianProduct", "BatchEvalPython"):
         assert bad not in plan, f"{bad} in pq_topk plan"
     assert plan.count("MapInPandas") == 2  # one per union branch
+
+
+# --------------------------------------------------------------------------
+# BPE encode + document chunking (round-8 wave 2)
+# --------------------------------------------------------------------------
+
+def test_bpe_encode_matches_python_reference(spark):
+    """bpe_encode_stats token counts equal a plain-Python greedy
+    left-to-right merge loop on the same rules (the Sennrich apply
+    step), including the 'aaa' non-overlap case and words untouched by
+    any rule; with no rules every char is one token."""
+    from error_analysis_spark.extensions.text import bpe_encode_stats
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aaa ab abab", "low lower lowest", ""],
+    }))
+    rules = [("a", "a"), ("a", "b"), ("lo", "w")]
+
+    def py_encode(word):
+        syms = list(word)
+        for left, right in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    # seed rule 1: 'lo' must exist before ('lo','w') applies — mirror
+    # by prepending the char-pair rule that builds it
+    rules = [("l", "o")] + rules
+    got = {r.doc_id: r for r in bpe_encode_stats(docs, rules).collect()}
+    assert 3 not in got                      # no encodable words → drop
+    for doc_id, text in ((1, "aaa ab abab"), (2, "low lower lowest")):
+        expect = sum(py_encode(w) for w in text.split())
+        assert got[doc_id].n_tokens == expect, (doc_id, got[doc_id])
+        assert got[doc_id].n_chars == sum(len(w) for w in text.split())
+    # no rules: one token per char
+    none = {r.doc_id: r for r in bpe_encode_stats(docs, []).collect()}
+    assert none[1].n_tokens == none[1].n_chars
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunks advance by stride = chunk − overlap: consecutive chunks
+    share exactly `overlap` token positions, every token position is
+    covered, the last chunk truncates, and boundary sizes (== chunk,
+    chunk+1, < chunk, empty) produce 1 / 2 / 1 / 0 chunks."""
+    from error_analysis_spark.extensions.text import chunk_documents
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [mk(16), mk(17), mk(5), ""],
+    }))
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4).toPandas()
+    by_doc = {k: g.sort_values("chunk_id")
+              for k, g in out.groupby("doc_id")}
+    assert len(by_doc[1]) == 1 and len(by_doc[3]) == 1
+    assert 4 not in by_doc
+    two = by_doc[2]
+    assert len(two) == 2
+    assert list(two.start_pos) == [0, 12]
+    assert list(two.n_tokens) == [16, 5]     # truncated tail
+    # coverage: start..start+n spans reach the last token index (16)
+    assert (two.start_pos + two.n_tokens).max() == 17
+    # overlap: chunk 1 starts 4 tokens before chunk 0 ends (16-12)
+    assert two.iloc[0].start_pos + 16 - two.iloc[1].start_pos == 4
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
