@@ -101,12 +101,9 @@ _FRONT = [
 #   text_bpe_encode      — NEW: the encode half of the BPE tokenizer
 #                          (row-local merge-chain apply, per-doc token
 #                          budget), full two-half oracle.
-#   text_chunking        — NEW: sliding-window RAG/sequence chunking
-#                          (32-token windows, 8 overlap, md5 chunk
-#                          hashes), row-local, full oracle.
 _POST_WINDOW_NEW: list[str] = [
     "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
-    "emb_pq_topk", "text_bpe_encode", "text_chunking",
+    "emb_pq_topk", "text_bpe_encode",
 ]
 # The rotate-out tail: the r07-green window queries unchanged this
 # round (47 = 50 minus the three changed ones pinned above; every one

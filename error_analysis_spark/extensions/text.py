@@ -842,50 +842,6 @@ def bpe_encode_stats(docs: DataFrame, rules: list[tuple[str, str]],
                                 / F.col("n_tokens"), 4) + F.lit(0.0)))
 
 
-def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
-                    overlap: int = 32, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """Sliding-window document chunking — the context-window prep step
-    of a RAG / training-sequence pipeline: fixed `chunk_tokens`-token
-    windows advancing by stride = chunk_tokens − overlap, last window
-    truncated, token-less docs dropped.
-
-    Entirely ROW-LOCAL (sequence → explode → slice): the ×n_chunks
-    fan-out happens map-side with zero exchanges, so the operator is a
-    pure linear scan at any corpus size. Each chunk carries its
-    md5-prefix content hash (the engine-wide content-hash key) so
-    downstream exact-dedup joins on chunks reuse the same key space as
-    document dedup.
-
-    Returns (doc_id, chunk_id 0-based, start_pos 0-based, n_tokens,
-    chunk_hash)."""
-    if not 0 <= overlap < chunk_tokens:
-        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
-                         f"{overlap} / {chunk_tokens}")
-    stride = chunk_tokens - overlap
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        tokens(text_col).alias("_t"))
-            .where(F.size("_t") > 0)
-            .withColumn("_n", F.size("_t").cast("long")))
-    # chunk count: 1 + ceil((n - chunk)/stride) for n > chunk, else 1 —
-    # exact in double below 2^53
-    last = F.when(
-        F.col("_n") <= chunk_tokens, F.lit(0).cast("long")).otherwise(
-        F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride)
-        .cast("long"))
-    chunk = F.slice("_t", F.col("chunk_id").cast("int") * stride + 1,
-                    chunk_tokens)
-    return (base
-            .select("doc_id", "_t",
-                    F.explode(F.sequence(F.lit(0).cast("long"), last))
-                    .alias("chunk_id"))
-            .select("doc_id", "chunk_id",
-                    (F.col("chunk_id") * stride).alias("start_pos"),
-                    F.size(chunk).cast("long").alias("n_tokens"),
-                    md5_prefix_long(F.array_join(chunk, " "))
-                    .alias("chunk_hash")))
-
-
 def domain_topk_tokens(docs: DataFrame, k: int = 5,
                        text_col: str = "text",
                        domain_col: str = "source") -> DataFrame:

@@ -3354,53 +3354,6 @@ GROUP BY doc_id
 BPE_ENCODE_SQL = _bpe_encode_sql(8)
 
 
-_CHUNK_T, _CHUNK_OVL = 32, 8
-
-
-def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window chunking of every document into 32-token windows
-    with 8-token overlap (sized so the sf docs — median 54 tokens —
-    genuinely split into 2-4 overlapping chunks) (text.chunk_documents) — per-chunk rows with
-    the md5-prefix content hash, all row-local (map-side ×n_chunks
-    fan-out, zero exchanges)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.chunk_documents(docs, chunk_tokens=_CHUNK_T,
-                              overlap=_CHUNK_OVL)
-
-
-_CHUNK_STRIDE = _CHUNK_T - _CHUNK_OVL
-CHUNKING_SQL = f"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'),
-                     x -> x <> '') AS t
-  FROM documents
-),
-nz AS (
-  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
-  FROM toks WHERE len(t) > 0
-),
-ch AS (
-  SELECT doc_id, t, n,
-         unnest(generate_series(
-           0, CASE WHEN n <= {_CHUNK_T} THEN 0
-                   ELSE (n - {_CHUNK_T} + {_CHUNK_STRIDE} - 1)
-                        // {_CHUNK_STRIDE} END)) AS chunk_id
-  FROM nz
-)
-SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_pos,
-       CAST(len(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
-                           chunk_id * {_CHUNK_STRIDE} + {_CHUNK_T}))
-            AS BIGINT) AS n_tokens,
-       ('0x' || substr(md5(array_to_string(
-           list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
-                      chunk_id * {_CHUNK_STRIDE} + {_CHUNK_T}), ' ')),
-           1, 15))::BIGINT AS chunk_hash
-FROM ch
-"""
-
-
 def text_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tokens per domain (text.py:domain_topk_tokens): rank
     window over the domain-bounded vocabulary aggregate."""
@@ -3655,7 +3608,6 @@ SELECT * FROM topk UNION ALL SELECT * FROM hist
 EXT_QUERIES: dict[str, tuple] = {
     "emb_pq_topk": (emb_pq_topk, PQ_TOPK_SQL),
     "text_bpe_encode": (text_bpe_encode, BPE_ENCODE_SQL),
-    "text_chunking": (text_chunking, CHUNKING_SQL),
     "ingest_csv_quarantine": (ingest_csv_quarantine, CSV_QUARANTINE_SQL),
     "ingest_compaction": (ingest_compaction, COMPACTION_SQL),
     "curation_delta_agg": (curation_delta_agg, DELTA_AGG_SQL),

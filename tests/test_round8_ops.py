@@ -446,31 +446,3 @@ def test_bpe_encode_matches_python_reference(spark):
     # no rules: one token per char
     none = {r.doc_id: r for r in bpe_encode_stats(docs, []).collect()}
     assert none[1].n_tokens == none[1].n_chars
-
-
-def test_chunk_documents_overlap_and_coverage(spark):
-    """Chunks advance by stride = chunk − overlap: consecutive chunks
-    share exactly `overlap` token positions, every token position is
-    covered, the last chunk truncates, and boundary sizes (== chunk,
-    chunk+1, < chunk, empty) produce 1 / 2 / 1 / 0 chunks."""
-    from error_analysis_spark.extensions.text import chunk_documents
-    mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
-    docs = spark.createDataFrame(pd.DataFrame({
-        "doc_id": [1, 2, 3, 4],
-        "text": [mk(16), mk(17), mk(5), ""],
-    }))
-    out = chunk_documents(docs, chunk_tokens=16, overlap=4).toPandas()
-    by_doc = {k: g.sort_values("chunk_id")
-              for k, g in out.groupby("doc_id")}
-    assert len(by_doc[1]) == 1 and len(by_doc[3]) == 1
-    assert 4 not in by_doc
-    two = by_doc[2]
-    assert len(two) == 2
-    assert list(two.start_pos) == [0, 12]
-    assert list(two.n_tokens) == [16, 5]     # truncated tail
-    # coverage: start..start+n spans reach the last token index (16)
-    assert (two.start_pos + two.n_tokens).max() == 17
-    # overlap: chunk 1 starts 4 tokens before chunk 0 ends (16-12)
-    assert two.iloc[0].start_pos + 16 - two.iloc[1].start_pos == 4
-    with pytest.raises(ValueError):
-        chunk_documents(docs, chunk_tokens=16, overlap=16)

@@ -117,3 +117,53 @@ def test_stateful_operator_matches_sql_path(spark, fx, tmp_path_factory):
     np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
     np.testing.assert_allclose(got["mean_dz"], want["mean_dz"], rtol=1e-9)
     np.testing.assert_allclose(got["rms_dz"], want["rms_dz"], rtol=1e-9)
+
+
+def test_stream_chunking_matches_batch(spark, tmp_path_factory):
+    """chunk_windows is stateless row-local algebra (sequence →
+    posexplode → slice), so the SAME operator runs unchanged on a
+    stream: chunks collected over micro-batched arrivals equal the
+    batch run over the union of arrivals, chunk hashes included (the
+    append-mode no-state contract — no watermark, no dedup, pure map)."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from error_analysis_spark.extensions.text import chunk_windows
+    from error_analysis_spark.streaming import dedup as SD
+
+    d = tmp_path_factory.mktemp("chunkstream")
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mk = lambda n, w: " ".join(f"{w}{i}" for i in range(n))  # noqa: E731
+    batches = [[(1, mk(40, "a"), "web")], [(2, mk(17, "b"), "web")],
+               [(3, "", "web"), (4, mk(16, "c"), "book")]]
+    rows_all = []
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [(i_, t, s, t0 + dt.timedelta(minutes=i)) for i_, t, s in rows],
+            columns=["doc_id", "text", "source", "ingest_time"])
+        rows_all.append(pdf)
+        (spark.createDataFrame(pdf, SD.DOC_SCHEMA).coalesce(1)
+         .write.parquet(str(d / f"b{i}"), mode="overwrite"))
+        part = glob.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(part, str(d / f"arrival_{i}.parquet"))
+        shutil.rmtree(str(d / f"b{i}"))
+
+    stream = SD.stream_documents(spark, str(d), max_files_per_trigger=1)
+    chunks = chunk_windows(stream, window=16, stride=12)
+    q = (chunks.writeStream.outputMode("append")
+         .format("memory").queryName("stream_chunks").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("stream_chunks").toPandas()
+
+    batch_df = spark.createDataFrame(
+        pd.concat(rows_all, ignore_index=True), SD.DOC_SCHEMA)
+    want = chunk_windows(batch_df, window=16, stride=12).toPandas()
+    key = ["doc_id", "chunk_idx", "chunk_tokens", "chunk_hash"]
+    assert sorted(map(tuple, got[key].values.tolist())) \
+        == sorted(map(tuple, want[key].values.tolist()))
+    assert 3 not in set(got["doc_id"])          # empty doc: no chunks
+    assert got[got.doc_id == 1].shape[0] == 4   # starts 0,12,24,36
