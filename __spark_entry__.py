@@ -94,21 +94,31 @@ _FRONT = [
 #                          r07 #4), output identical by construction;
 #   pipeline_chain_multi — single-valid-run stddev NULL guard (ADVICE
 #                          r07), fixture output unchanged.
-#   emb_pq_topk          — NEW: product-quantization ANN (deterministic
+#   emb_pack             — gained member emb_pq_topk (NEW
+#                          product-quantization ANN: deterministic
 #                          md5-seeded codebook + one exact-arithmetic
-#                          Lloyd step + map-only ADC encode/top-k),
-#                          full DuckDB oracle, local green recorded.
-#   text_bpe_encode      — NEW: the encode half of the BPE tokenizer
-#                          (row-local merge-chain apply, per-doc token
-#                          budget), full two-half oracle.
+#                          Lloyd step + Arrow-kernel ADC encode/top-k,
+#                          full training-to-topk oracle through the
+#                          slots); moved here from the rotate-out tail
+#                          because its shape changed.
+#   text_doc_pack        — gained member text_bpe_encode (NEW encode
+#                          half of the BPE tokenizer: learned merges
+#                          applied row-locally, per-doc token budgets;
+#                          LEFT-join columns, full two-half oracle);
+#                          ditto.
+# Folding the two NEW queries into tail packs (the dedup_sig_pack
+# precedent) instead of declaring them standalone keeps the r09 window
+# at exactly 50: 5 pins + the 45-name tail, zero slippage.
 _POST_WINDOW_NEW: list[str] = [
     "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
-    "emb_pq_topk", "text_bpe_encode",
+    "emb_pack", "text_doc_pack",
 ]
 # The rotate-out tail: the r07-green window queries unchanged this
-# round (47 = 50 minus the three changed ones pinned above; every one
-# carries a green CORRECTNESS_r07 row). They are next round's
-# re-verification set, after the three pins.
+# round (45 = 50 minus the three changed front names and minus
+# emb_pack/text_doc_pack, which changed late-round when they absorbed
+# the two new members and are pinned above; every name here carries a
+# green CORRECTNESS_r07 row). They are next round's re-verification
+# set, after the five pins — 5 + 45 = 50 exactly.
 _ROTATE_OUT = [
     "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
     "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
@@ -116,9 +126,9 @@ _ROTATE_OUT = [
     "curation_pareto", "curation_checksum", "curation_merge_upsert",
     "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
     "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
-    "text_doc_pack", "s8_grid_pack",
+    "s8_grid_pack",
     "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
-    "dedup_cluster_pack", "text_sketch_pack", "emb_pack",
+    "dedup_cluster_pack", "text_sketch_pack",
     "temporal_pack",
     "sim_semantic_dedup", "dedup_jaccard", "dedup_containment",
     "a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",

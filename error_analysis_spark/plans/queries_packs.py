@@ -160,31 +160,44 @@ def text_doc_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis profile: repetition signals + PII
     scrub + BPE token counts + unigram perplexity + duplicated-8-gram
     coverage, one row per doc (inner join on doc_id — every member
-    covers the full corpus)."""
+    covers the full corpus), plus — since round 8 — the trained-BPE
+    encode columns (text_bpe_encode: the full Sennrich trainer's rules
+    applied row-locally; LEFT join because docs whose every word
+    contains a sentinel byte are unencodable and carry NULLs)."""
     out = _member("text_repetition")[0](spark, sf_dir)
     for m in ("text_pii_scrub", "text_token_count_bpe",
               "text_perplexity", "text_dup_ngrams"):
         out = out.join(_member(m)[0](spark, sf_dir), "doc_id")
-    return out
+    enc = _member("text_bpe_encode")[0](spark, sf_dir).select(
+        "doc_id", F.col("n_words").alias("bpe_enc_words"),
+        F.col("n_chars").alias("bpe_enc_chars"),
+        F.col("n_tokens").alias("bpe_enc_tokens"),
+        F.col("chars_per_token").alias("bpe_enc_cpt"))
+    return out.join(enc, ["doc_id"], "left")
 
 
 TEXT_DOC_PACK_SQL = f"""
 WITH _rep AS ({{rep}}), _pii AS ({{pii}}), _bpe AS ({{bpe}}),
-     _ppl AS ({{ppl}}), _dng AS ({{dng}})
+     _ppl AS ({{ppl}}), _dng AS ({{dng}}), _enc AS ({{enc}})
 SELECT _rep.doc_id, _rep.dup_line_frac, _rep.top_2gram_frac,
        _rep.dup_5gram_frac,
        _pii.n_email, _pii.n_ipv4, _pii.n_phone, _pii.scrub_md5,
        _bpe.n_bpe_tokens, _bpe.n_ws_tokens, _bpe.fertility,
        _ppl.n_tokens, _ppl.cross_entropy, _ppl.perplexity,
-       _dng.n_grams, _dng.n_dup, _dng.dup_frac
+       _dng.n_grams, _dng.n_dup, _dng.dup_frac,
+       _enc.n_words AS bpe_enc_words, _enc.n_chars AS bpe_enc_chars,
+       _enc.n_tokens AS bpe_enc_tokens,
+       _enc.chars_per_token AS bpe_enc_cpt
 FROM _rep
 JOIN _pii USING (doc_id) JOIN _bpe USING (doc_id)
 JOIN _ppl USING (doc_id) JOIN _dng USING (doc_id)
+LEFT JOIN _enc ON _enc.doc_id = _rep.doc_id
 """.format(rep=_member("text_repetition")[1],
            pii=_member("text_pii_scrub")[1],
            bpe=_member("text_token_count_bpe")[1],
            ppl=_member("text_perplexity")[1],
-           dng=_member("text_dup_ngrams")[1])
+           dng=_member("text_dup_ngrams")[1],
+           enc=_member("text_bpe_encode")[1])
 
 
 def s8_grid_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +447,10 @@ _EMB_PACK = [
     ("emb_quantize_stats", ("vec_id",),
      ("code_sum", "code_checksum", "n_sat"), ("scale", "mse")),
     ("emb_label_centroids", ("label",), ("dim", "n_vecs"), ("mean_val",)),
+    # round 8: product-quantization ANN — topk rows (rank, id,
+    # exact_dist, adc) + the per-(block, code) assignment histogram
+    # (count, distortion), all hash-visible through the slots
+    ("emb_pq_topk", ("part",), ("i", "j", "m"), ("v",)),
 ]
 
 _TEMPORAL = [
@@ -475,7 +492,7 @@ _ROSTERS: dict[str, list] = {
     "tpch_subq_pack": [m[0] for m in _TPCH_SUBQ],
     "text_doc_pack": ["text_repetition", "text_pii_scrub",
                       "text_token_count_bpe", "text_perplexity",
-                      "text_dup_ngrams"],
+                      "text_dup_ngrams", "text_bpe_encode"],
     "s8_grid_pack": ["s8_grid_max", "s8_grid_idw"],
     "mm_pack": ["mm_features", "mm_payload_stats", "mm_phash"],
     "dedup_sig_pack": ["dedup_minhash_sigs", "dedup_simhash",

@@ -542,8 +542,9 @@ def test_registry_wide_plan_invariants(spark):
                       # Arrow kernel (int64 einsum — the FAISS-style
                       # vectorized shape; the equivalent 3k-node
                       # expression tree re-paid seconds of Catalyst
-                      # analysis per action, similarity._pq_encode)
-                      "emb_pq_topk"}
+                      # analysis per action, similarity._pq_encode).
+                      # Declared via emb_pack since the member fold.
+                      "emb_pack"}
     qs = E.queries()
     cartesian, row_at_a_time, undeclared = [], [], []
     for name in qs:
