@@ -47,79 +47,21 @@ _MERGED.update(PACK_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # Round 8: the r07 rotate-out tail is EXACTLY 50 names = the whole
-    # window (VERDICT r07 #1) — re-verify all of it. Changed-this-round
-    # members lead per the rotation policy:
-    # (a) text_bpe_merges — upgraded from the first-merge candidate
-    #     table to the ITERATIVE trainer (Sennrich 2016 merge loop,
-    #     VERDICT r07 #6), new output schema + unrolled-CTE oracle;
-    # (b) mm_pack — gained the perceptual-hash image near-dup members
-    #     (dHash over the real decode path + banded Hamming pair
-    #     search, VERDICT r07 #5), folded in per the dedup_sig_pack
-    #     precedent so the new operator earns a driver green without a
-    #     window slot;
-    # (c) text_contam_bloom — unchanged code, but this round's
-    #     adjudication target (its r07 driver read was 4.9× floor in
-    #     an ambient window), so its re-verification is load-bearing.
-    "text_bpe_merges", "mm_pack", "text_contam_bloom",
-    # the remaining r07 tail (r06 greens, unverified in r07 per the
-    # documented window policy), verbatim order
-    "j11_interval_join", "layout_zorder", "curation_delta_agg",
-    "text_domain_topk", "emb_hard_triplets",
-    "pipeline_chain", "ingest_compaction",
-    "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
-    "so2_anti_join", "f1_drop_noise", "a6_median_bias",
-    "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
-    "sc_scalar_pack", "sc6_gps_dates", "sc2_catalog_parse",
-    "so3_full_outer", "a5_mean_variogram", "a1_describe_events",
-    "a7_bootstrap_median", "f2_keep_ground", "text_fingerprint",
-    "text_token_stats", "text_quality", "sim_cosine_topk",
-    "text_normalize", "text_oov_rate",
-    "curation_domain_cap", "w5_rolling_stats",
-    "sketch_grouped_quantiles", "curation_split",
-    "curation_length_buckets", "sketch_cms_err",
-    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
-    "text_bigram_ppl", "emb_covariance", "curation_data_card",
-    "w7_funnel", "w8_retention", "text_tfidf_topk",
-    "curation_quality_prune",
-]
-# Changed this round but OUTSIDE the window (all three hold r07 driver
-# greens; the window is fully booked by the 50-name tail): pinned here
-# with local test_oracle greens + bit-identity parity tests, they lead
-# the r09 window. All three were r07-_FRONT names headed into the r09
-# window anyway, so this costs zero rotation slippage.
-#   dedup_sig_pack       — row-local SimHash rewrite (VERDICT r07 #3),
-#                          parity-tested bit-identical signatures;
-#   text_line_dedup      — md5-keyed corpus-wide exchanges (VERDICT
-#                          r07 #4), output identical by construction;
-#   pipeline_chain_multi — single-valid-run stddev NULL guard (ADVICE
-#                          r07), fixture output unchanged.
-#   emb_pack             — gained member emb_pq_topk (NEW
-#                          product-quantization ANN: deterministic
-#                          md5-seeded codebook + one exact-arithmetic
-#                          Lloyd step + Arrow-kernel ADC encode/top-k,
-#                          full training-to-topk oracle through the
-#                          slots); moved here from the rotate-out tail
-#                          because its shape changed.
-#   text_doc_pack        — gained member text_bpe_encode (NEW encode
-#                          half of the BPE tokenizer: learned merges
-#                          applied row-locally, per-doc token budgets;
-#                          LEFT-join columns, full two-half oracle);
-#                          ditto.
-# Folding the two NEW queries into tail packs (the dedup_sig_pack
-# precedent) instead of declaring them standalone keeps the r09 window
-# at exactly 50: 5 pins + the 45-name tail, zero slippage.
-_POST_WINDOW_NEW: list[str] = [
+    # Round 9: execute the window exactly as planned in round 8
+    # (VERDICT r08 #1) — the 5 changed pins FIRST (each holds an r07
+    # driver green that predates its round-8 rewrite/fold, so their
+    # current code has only local test_oracle greens until this window
+    # runs them):
+    #   dedup_sig_pack       — row-local SimHash rewrite (r08);
+    #   text_line_dedup      — md5-keyed corpus-wide exchanges (r08);
+    #   pipeline_chain_multi — single-valid-run stddev NULL guard;
+    #   emb_pack             — absorbed emb_pq_topk (PQ ANN, r08);
+    #   text_doc_pack        — absorbed text_bpe_encode (r08).
     "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
     "emb_pack", "text_doc_pack",
-]
-# The rotate-out tail: the r07-green window queries unchanged this
-# round (45 = 50 minus the three changed front names and minus
-# emb_pack/text_doc_pack, which changed late-round when they absorbed
-# the two new members and are pinned above; every name here carries a
-# green CORRECTNESS_r07 row). They are next round's re-verification
-# set, after the five pins — 5 + 45 = 50 exactly.
-_ROTATE_OUT = [
+    # then the full 45-name r08 rotate-out tail (every name carries a
+    # green CORRECTNESS_r07 row; unchanged since), verbatim order.
+    # 5 + 45 = 50 exactly — zero slippage.
     "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
     "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
@@ -138,6 +80,43 @@ _ROTATE_OUT = [
     "curation_funnel",
     "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
     "ingest_csv_quarantine",
+]
+# Changed this round but OUTSIDE the window (holds an r08 driver
+# green; the window is fully booked by 5 pins + the 45-name tail):
+#   mm_pack — gained the audio perceptual near-dup members (spectral
+#             band fingerprint over the real WAV decode path + banded
+#             Hamming pair search, VERDICT r08 #5), folded in per the
+#             dHash precedent. Local test_oracle green + planted
+#             near-duplicate recall test; leads the r10 window.
+_POST_WINDOW_NEW: list[str] = [
+    "mm_pack",
+]
+# The rotate-out tail: the r08-green window queries unchanged this
+# round (49 = the 50 r08 window names minus mm_pack, which changed
+# this round when it absorbed the audio fingerprint members and is
+# pinned above; every name here carries a green CORRECTNESS_r08 row).
+# They are next round's re-verification set, after the pin —
+# 1 + 49 = 50 exactly.
+_ROTATE_OUT = [
+    "text_bpe_merges", "text_contam_bloom",
+    "j11_interval_join", "layout_zorder", "curation_delta_agg",
+    "text_domain_topk", "emb_hard_triplets",
+    "pipeline_chain", "ingest_compaction",
+    "a8_rms", "a16_sym_bounds", "sc4_json_extract", "f5_valid_filter",
+    "so2_anti_join", "f1_drop_noise", "a6_median_bias",
+    "a14_closed_form", "a15_param_percentiles", "f6_percentile_clip",
+    "sc_scalar_pack", "sc6_gps_dates", "sc2_catalog_parse",
+    "so3_full_outer", "a5_mean_variogram", "a1_describe_events",
+    "a7_bootstrap_median", "f2_keep_ground", "text_fingerprint",
+    "text_token_stats", "text_quality", "sim_cosine_topk",
+    "text_normalize", "text_oov_rate",
+    "curation_domain_cap", "w5_rolling_stats",
+    "sketch_grouped_quantiles", "curation_split",
+    "curation_length_buckets", "sketch_cms_err",
+    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
+    "text_bigram_ppl", "emb_covariance", "curation_data_card",
+    "w7_funnel", "w8_retention", "text_tfidf_topk",
+    "curation_quality_prune",
 ]
 
 _ALL: dict[str, tuple] = {}
