@@ -9,6 +9,8 @@ multi-probe via several independent tables).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -828,6 +830,16 @@ def _pq_encode(frame: DataFrame, book: list[list[list[int]]], cw: int,
     nb, nc, bd = len(book), len(book[0]), len(book[0][0])
     C = np.asarray(book, dtype=np.int64)               # (nb, nc, bd)
     csq = (C * C).sum(-1)                              # (nb, nc)
+    # int64 headroom (ADVICE r08): key = dist·cw + code needs
+    # dist ≤ bd·(2·max|fp|)² to stay ≪ 2^62. At quantize=6 this allows
+    # |x| ≈ 148 for bd=16 — unit-scale embeddings are far inside, but
+    # a silently overflowing input must fail loudly, not corrupt ranks.
+    fp_max = int(math.isqrt((2 ** 62 // cw - 1) // (4 * bd)))
+    if int(np.abs(C).max(initial=0)) > fp_max:
+        raise ValueError(
+            f"pq codebook magnitude exceeds the int64 key bound "
+            f"(max |fp| {int(np.abs(C).max())} > {fp_max}); lower "
+            "`quantize` or rescale the embeddings")
     qv = np.asarray(qfp, dtype=np.int64) if qfp is not None else None
     qd = (((qv.reshape(nb, 1, bd) - C) ** 2).sum(-1)
           if qv is not None else None)                 # (nb, nc)
@@ -844,6 +856,11 @@ def _pq_encode(frame: DataFrame, book: list[list[list[int]]], cw: int,
             if not len(pdf):
                 continue
             Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, D)
+            if int(np.abs(Q).max(initial=0)) > fp_max:
+                raise ValueError(
+                    f"pq input magnitude exceeds the int64 key bound "
+                    f"(max |fp| {int(np.abs(Q).max())} > {fp_max} at "
+                    "this quantize); rescale the embeddings")
             B = Q.reshape(len(pdf), nb, bd)
             # ‖sub‖² − 2·sub·c + ‖c‖² via int64 einsum — exact, no
             # (n, nb, nc, bd) temp
@@ -876,12 +893,19 @@ def _pq_lloyd_partials(frame: DataFrame, book: list[list[list[int]]],
     nb, nc, bd = len(book), len(book[0]), len(book[0][0])
     C = np.asarray(book, dtype=np.int64)
     csq = (C * C).sum(-1)
+    fp_max = int(math.isqrt((2 ** 62 // cw - 1) // (4 * bd)))
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            if int(np.abs(Q).max(initial=0)) > fp_max:
+                raise ValueError(
+                    f"pq training input magnitude exceeds the int64 "
+                    f"key bound (max |fp| {int(np.abs(Q).max())} > "
+                    f"{fp_max} at this quantize); rescale the "
+                    "embeddings")
             B = Q.reshape(len(pdf), nb, bd)
             d = ((B * B).sum(-1)[:, :, None]
                  - 2 * np.einsum("nbd,bcd->nbc", B, C) + csq[None])
@@ -935,7 +959,12 @@ def pq_train(embeddings: DataFrame, n_blocks: int = 8, n_codes: int = 16,
     a single aggregate with no float comparisons — the same key both
     engines minimize.
     """
-    dim = len(embeddings.select(vec_col).head()[0])
+    probe = embeddings.select(vec_col).head()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"pq_train: input frame is empty or {vec_col!r} is NULL in "
+            "its first row — cannot infer the vector dimension")
+    dim = len(probe[0])
     if dim % n_blocks:
         raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")
     bd = dim // n_blocks
@@ -954,6 +983,11 @@ def pq_train(embeddings: DataFrame, n_blocks: int = 8, n_codes: int = 16,
         .select(F.col("sq"), F.row_number().over(
             Window.orderBy("_h", "id")).alias("code"))
         .collect())]
+    # list position must equal code-1 no matter what order collect()
+    # returned the window rows in (ADVICE r08: relying on the
+    # single-partition WindowExec's row order would silently permute
+    # centroids under any future plan change)
+    seeds.sort(key=lambda t: t[0])
 
     train = base.where(F.col("id") % train_mod == 0) if train_mod > 1 \
         else base
@@ -1037,7 +1071,10 @@ def pq_topk(embeddings: DataFrame, query_vec: list[float],
             .groupBy((F.col("pos") + 1).cast("long").alias("i"),
                      (F.col("kv") % cw + 1).alias("j"))
             .agg(F.count("*").alias("m"),
-                 F.sum(((F.col("kv") - F.col("kv") % cw) / cw)
+                 # exact long integer division (ADVICE r08: `/` casts
+                 # both sides to double first, exact only below 2^53;
+                 # `div` stays in int64 like the oracle's k // cw)
+                 F.sum(F.expr(f"(kv - kv % {cw}L) div {cw}L")
                        .cast("decimal(38,0)"))
                  .cast("double").alias("v"))
             .select(F.lit("hist").alias("part"), "i", "j", "m", "v"))
