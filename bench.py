@@ -111,8 +111,13 @@ def main() -> None:
             _ = n
     # one-shot streaming micro-bench (its own checkpoint each run, so
     # min-of-2 double-counts listing; a single availableNow drain is
-    # the steady-state shape)
-    timings["streaming_dedup_ingest"] = bench_streaming_dedup(spark, sf_dir)
+    # the steady-state shape). Reported SEPARATELY from the headline
+    # total (VERDICT r08 #4): as a single unattended wall-clock read
+    # dominated by fixed trigger scheduling it swings 0.8→20 s with
+    # ambient load and has no per-query floor obligation — letting it
+    # into the total let one noisy extra dominate the round-over-round
+    # delta. The headline total is now exactly the declared registry.
+    extras = {"streaming_dedup_ingest": bench_streaming_dedup(spark, sf_dir)}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -122,6 +127,8 @@ def main() -> None:
     # full per-query map: one human line each + a committed detail file
     for name, dt in timings.items():
         print(f"# {name}: {dt}")
+    for name, dt in extras.items():
+        print(f"# {name}: {dt} (extra, outside headline total)")
     # Provenance (VERDICT r07 #7): unattended runs (the driver's
     # per-round bench) must not silently shadow the COMMITTED builder
     # detail in place — they write to BENCH_DETAIL_run.json
@@ -137,7 +144,8 @@ def main() -> None:
                    "unit": "sec", "sf": sf_val, "n_queries": len(timings),
                    "source": src or "unattended single run "
                    "(not a committed floor)",
-                   "queries": timings}, fh, indent=1, sort_keys=True)
+                   "queries": timings, "extras": extras}, fh,
+                  indent=1, sort_keys=True)
     # final machine line LAST and SHORT (driver tail-captures stdout):
     # total + count + sf + only the 5 slowest queries inline
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
@@ -148,6 +156,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf_val,
         "n_queries": len(timings),
+        "extras": extras,
         "detail": detail_name,
     }))
     spark.stop()

@@ -946,6 +946,143 @@ def image_phash(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
     return imgs.mapInPandas(run, PHASH_SCHEMA)
 
 
+def _wav_pcm_intsum(payload: bytes) -> np.ndarray:
+    """PCM16 WAV → int64[n] channel-SUM samples (the exact-integer
+    sibling of `decode_wav`'s float mono mix: sum = mean × n_ch, a
+    positive scaling — every energy-comparison consumer is invariant
+    to it, and the arithmetic stays exactly restatable in SQL).
+    Raises exactly where decode_wav raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    n_ch = bits = fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+        if cid == b"fmt ":
+            fmt, n_ch, _rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits}, "
+                         f"channels={n_ch})")
+    n = len(data) // (2 * n_ch)
+    if n == 0:
+        raise ValueError("WAV data chunk holds no complete sample")
+    pcm = np.frombuffer(data, dtype="<i2", count=n * n_ch)
+    return pcm.reshape(n, n_ch).astype(np.int64).sum(axis=1)
+
+
+# fingerprint grid: 9 time frames × lags 1..9 → 8×8 double-difference
+# bits (Haitsma & Kalker 2002 §III: sign of the energy difference,
+# differentiated along both time and band — here the "band" axis is
+# the lag-difference energy E_j = Σ (x[i] − x[i−j])², the
+# exact-integer filterbank: E_j weights the spectrum by 2(1−cos jω),
+# a lag-selective high-pass family, so adjacent-lag differences read
+# spectral shape without any float FFT)
+_AFP_FRAMES = 9
+_AFP_LAGS = 9
+_AFP_PROBES = 16
+
+
+def audio_fp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint over integer samples: per time-frame
+    lag-difference energies E[f][j] (j = 1.._AFP_LAGS, 16 strided
+    probes per cell), then the Haitsma–Kalker double-difference sign
+    bits bit(f,j) = 1 iff (E[f][j] − E[f][j+1]) > (E[f−1][j] −
+    E[f−1][j+1]), packed little-endian into a SIGNED int64 like
+    `dhash64`. All arithmetic is int64-exact and restatable in ANSI
+    SQL; the bits are invariant to any positive amplitude scaling
+    (energies scale uniformly) and to DC offset (differences kill it).
+
+    Bounds: |sample| ≤ 32768·n_ch (channel sum) ⇒ each squared diff
+    ≤ 4.3e9·n_ch², ×16 probes ≪ 2^63 for any sane channel count."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    min_n = _AFP_FRAMES * (_AFP_LAGS + 1)
+    if n < min_n:  # tile tiny clips (deterministic; oracle rows are
+        s = np.resize(s, min_n)  # always 1600 samples, far above this)
+        n = min_n
+    E = np.empty((_AFP_FRAMES, _AFP_LAGS), dtype=np.int64)
+    for f in range(_AFP_FRAMES):
+        st = (f * n) // _AFP_FRAMES
+        en = ((f + 1) * n) // _AFP_FRAMES
+        L = en - st
+        m = np.arange(_AFP_PROBES, dtype=np.int64)
+        a = st + (m * (L - _AFP_LAGS - 1)) // _AFP_PROBES
+        for j in range(1, _AFP_LAGS + 1):
+            d = s[a + j] - s[a]
+            E[f, j - 1] = int((d * d).sum())
+    band_diff = E[:, :-1] - E[:, 1:]            # (frames, lags-1)
+    bits = band_diff[1:] > band_diff[:-1]       # (frames-1, lags-1) = 8×8
+    fp = 0
+    for k, b in enumerate(bits.reshape(-1)):
+        if b:
+            fp |= 1 << k
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+AFP_SCHEMA = "asset_id bigint, afp bigint, decode_src string"
+
+
+def audio_fingerprint(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
+    """Perceptual-fingerprint stage for AUDIO near-dup dedup (VERDICT
+    r08 #5 — the last modality the dedup stack skipped): decode each
+    audio-kind asset (real PCM16 WAV via the byte parser as exact
+    int64 channel sums; the deterministic sha256-tiled stub otherwise,
+    `decode_src` audited per row) and emit its `audio_fp64`.
+    Image/video assets are filtered out before the Python stage.
+
+    Output: (asset_id, afp bigint, decode_src). Feed to
+    `afp_near_pairs` for the banded Hamming-radius pair search."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                out = []
+                for r in chunk.itertuples(index=False):
+                    payload = bytes(r.payload)
+                    try:
+                        ints = _wav_pcm_intsum(payload)
+                        src = "real"
+                    except (ValueError, IndexError, struct.error):
+                        n = _i(r.sample_rate) or 16000
+                        base = np.frombuffer(
+                            hashlib.sha256(payload).digest(),
+                            dtype=np.uint8)
+                        ints = np.resize(base, n).astype(np.int64)
+                        src = "stub"
+                    out.append({"asset_id": r.asset_id,
+                                "afp": audio_fp64(ints),
+                                "decode_src": src})
+                yield pd.DataFrame(out)
+
+    aud = assets.where(F.col("kind") == "audio") \
+        .select("asset_id", "payload", "sample_rate")
+    return aud.mapInPandas(run, AFP_SCHEMA)
+
+
+def afp_near_pairs(afps: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Hamming-radius audio near-dup pairs over `audio_fingerprint`
+    output — the SAME exact pigeonhole banding as the SimHash text
+    search and `phash_near_pairs` (dedup.hamming_near_pairs, Manku
+    2007). Exact and complete within the radius; never an all-pairs
+    join. Returns (id_a, id_b, hamming), id_a < id_b."""
+    from error_analysis_spark.extensions.dedup import hamming_near_pairs
+    return hamming_near_pairs(afps, sig_col="afp", bits=64,
+                              max_hamming=max_hamming,
+                              id_col="asset_id")
+
+
 def phash_near_pairs(phashes: DataFrame,
                      max_hamming: int = 6) -> DataFrame:
     """Hamming-radius image near-dup pairs over `image_phash` output —

@@ -962,6 +962,142 @@ FROM sig JOIN imgs USING (asset_id) LEFT JOIN nn USING (asset_id)
 """
 
 
+def mm_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual near-dup dedup (VERDICT r08 #5 — the last
+    modality the dedup stack skipped). Every audio asset's 64-bit
+    fingerprint (multimodal.audio_fp64: per-time-frame lag-difference
+    energies — the exact-integer filterbank — double-differenced into
+    Haitsma–Kalker sign bits; real PCM16 WAVs parse byte-level, stubs
+    tile sha256, `decode_src` audited per row) plus the per-asset
+    summary of the banded Hamming-radius pair search at radius 8 (the
+    mm_phash hash-visibility pattern: af_n_near/af_min_ham/af_sum_ham
+    make every pair and every distance flip the pack hash; af_nearest
+    uses the exact DECIMAL(38,0) tie-break key).
+
+    The afp frame is pinned (cachereg-tracked): it feeds both sides of
+    the band join AND the output projection, and the decode stage is a
+    Python/Arrow mapInPandas pass — the image_phash precedent.
+
+    Grain: one row per AUDIO asset (image/video never pay the decode)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+
+    assets = _doc_assets(spark, sf_dir)
+    af = MM.audio_fingerprint(assets, batch_rows=32)
+    af = track(af.persist(StorageLevel.MEMORY_AND_DISK))
+    pairs = MM.afp_near_pairs(af, max_hamming=8)
+    sym = (pairs.select(F.col("id_a").alias("asset_id"),
+                        F.col("id_b").alias("nbr"), "hamming")
+           .unionByName(pairs.select(F.col("id_b").alias("asset_id"),
+                                     F.col("id_a").alias("nbr"),
+                                     "hamming")))
+    key = (F.col("hamming").cast("decimal(38,0)")
+           * F.lit("18446744073709551616").cast("decimal(38,0)")
+           + F.col("nbr").cast("decimal(38,0)")
+           + F.lit("9223372036854775808").cast("decimal(38,0)"))
+    near = sym.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("af_n_near"),
+        F.min("hamming").cast("int").alias("af_min_ham"),
+        F.sum("hamming").cast("long").alias("af_sum_ham"),
+        F.min_by("nbr", key).alias("af_nearest"))
+    return (af.join(near, ["asset_id"], "left")
+            .select("asset_id", "afp",
+                    F.col("decode_src").alias("af_src"),
+                    "af_n_near", "af_min_ham", "af_sum_ham",
+                    "af_nearest"))
+
+
+# The oracle restates the WHOLE audio-fingerprint pipeline in SQL: the
+# audio assets are all stub rows (payload = UTF-8 text bytes, never
+# RIFF), so samples are the sha256 digest bytes tiled to 1600
+# (s[i] = digest[i mod 32]); the energy grid is 9 frames × lags 1..9 ×
+# 16 strided probes of exact integer squared lag-differences; the 64
+# bits are the Haitsma–Kalker double-difference signs packed
+# little-endian signed (the mm_phash hi/lo pattern); and the pair
+# search is brute-force at radius 8 (the Spark banding is an EXACT
+# decomposition, so brute force is the semantics).
+MM_AFP_SQL = """
+WITH aud AS (
+  SELECT doc_id AS asset_id, sha256(text) AS sha
+  FROM documents WHERE doc_id % 3 = 1
+),
+cells AS (
+  SELECT gf.range::INTEGER AS f, gj.range::INTEGER + 1 AS j,
+         gm.range::INTEGER AS m
+  FROM range(9) gf, range(9) gj, range(16) gm
+),
+pos AS (
+  SELECT asset_id, sha, f, j,
+         ((f * 1600) // 9)
+         + (m * ((((f + 1) * 1600) // 9) - ((f * 1600) // 9) - 10)) // 16
+           AS a
+  FROM aud, cells
+),
+terms AS (
+  SELECT asset_id, f, j,
+         CAST(('0x' || substr(sha, (((a + j) % 32) * 2) + 1, 2)) AS BIGINT)
+       - CAST(('0x' || substr(sha, ((a % 32) * 2) + 1, 2)) AS BIGINT) AS d
+  FROM pos
+),
+energy AS (
+  SELECT asset_id, f, j, CAST(sum(d * d) AS BIGINT) AS e
+  FROM terms GROUP BY asset_id, f, j
+),
+banddiff AS (
+  SELECT a.asset_id, a.f, a.j, a.e - b.e AS bd
+  FROM energy a JOIN energy b
+    ON a.asset_id = b.asset_id AND a.f = b.f AND b.j = a.j + 1
+  WHERE a.j < 9
+),
+bits AS (
+  SELECT cur.asset_id, (cur.f - 1) * 8 + (cur.j - 1) AS k,
+         CASE WHEN cur.bd > prv.bd THEN 1 ELSE 0 END AS bit
+  FROM banddiff cur JOIN banddiff prv
+    ON cur.asset_id = prv.asset_id AND cur.j = prv.j
+   AND prv.f = cur.f - 1
+  WHERE cur.f >= 1
+),
+packed AS (
+  SELECT asset_id,
+         CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                       ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY asset_id
+),
+sig AS (
+  SELECT asset_id,
+         CASE WHEN hi >= 2147483648
+              THEN (hi - 4294967296) * 4294967296 + lo
+              ELSE hi * 4294967296 + lo END AS afp
+  FROM packed
+),
+prs AS (
+  SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         bit_count(xor(a.afp, b.afp)) AS hamming
+  FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.afp, b.afp)) <= 8
+),
+sym AS (
+  SELECT id_a AS asset_id, id_b AS nbr, hamming FROM prs
+  UNION ALL
+  SELECT id_b AS asset_id, id_a AS nbr, hamming FROM prs
+),
+nn AS (
+  SELECT asset_id, CAST(count(*) AS BIGINT) AS af_n_near,
+         CAST(min(hamming) AS INTEGER) AS af_min_ham,
+         CAST(sum(hamming) AS BIGINT) AS af_sum_ham,
+         arg_min(nbr, hamming * 18446744073709551616
+                      + (nbr + 9223372036854775808)) AS af_nearest
+  FROM sym GROUP BY asset_id
+)
+SELECT sig.asset_id, sig.afp, 'stub' AS af_src,
+       nn.af_n_near, nn.af_min_ham, nn.af_sum_ham, nn.af_nearest
+FROM sig LEFT JOIN nn USING (asset_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Connected-components dedup grouping (canonical document selection):
 # near-dup pairs (embedding cosine ≥ threshold) → clusters via hash-min
@@ -3647,6 +3783,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_payload_stats": (mm_payload_stats, MM_STATS_SQL),
     "mm_features": (mm_features, MM_FEATURES_SQL),
     "mm_phash": (mm_phash, MM_PHASH_SQL),
+    "mm_afp": (mm_afp, MM_AFP_SQL),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
     "text_token_count_bpe": (text_token_count_bpe, BPE_COUNT_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),

@@ -218,28 +218,37 @@ FROM ({gmax}) a FULL OUTER JOIN ({gidw}) b
 
 def mm_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-asset multimodal features annotated with the per-kind corpus
-    stats (broadcastable 3-row dimension) and — since round 8 — the
-    perceptual-hash image near-dup columns (mm_phash: 64-bit dHash
-    over the real decode path + banded Hamming-radius pair summary,
-    folded in per the dedup_sig_pack precedent so the new operator is
-    driver-green without a window slot; NULL for audio/video)."""
+    stats (broadcastable 3-row dimension), the perceptual-hash image
+    near-dup columns (mm_phash, round 8: 64-bit dHash over the real
+    decode path + banded Hamming-radius pair summary; NULL for
+    audio/video) and — since round 9 — the audio perceptual near-dup
+    columns (mm_afp: 64-bit lag-energy Haitsma–Kalker fingerprint over
+    the real WAV decode path + the same banded pair search at radius
+    8, folded in per the dedup_sig_pack/mm_phash precedent; NULL for
+    image/video)."""
     feats = _member("mm_features")[0](spark, sf_dir)
     stats = _member("mm_payload_stats")[0](spark, sf_dir)
     ph = _member("mm_phash")[0](spark, sf_dir)
+    af = _member("mm_afp")[0](spark, sf_dir)
     return (feats.join(F.broadcast(stats), "kind")
-            .join(ph, ["asset_id"], "left"))
+            .join(ph, ["asset_id"], "left")
+            .join(af, ["asset_id"], "left"))
 
 
 MM_PACK_SQL = """
-WITH _f AS ({feats}), _s AS ({stats}), _p AS ({phash})
+WITH _f AS ({feats}), _s AS ({stats}), _p AS ({phash}), _a AS ({afp})
 SELECT _f.kind, _f.asset_id, _f.n_bytes, _f.shape, _f.decode_src,
        _s.n_assets, _s.total_bytes, _s.n_distinct_payloads, _s.avg_width,
        _p.phash, _p.ph_src, _p.ph_n_near, _p.ph_min_ham, _p.ph_sum_ham,
-       _p.ph_nearest
+       _p.ph_nearest,
+       _a.afp, _a.af_src, _a.af_n_near, _a.af_min_ham, _a.af_sum_ham,
+       _a.af_nearest
 FROM _f JOIN _s USING (kind) LEFT JOIN _p USING (asset_id)
+LEFT JOIN _a USING (asset_id)
 """.format(feats=_member("mm_features")[1],
            stats=_member("mm_payload_stats")[1],
-           phash=_member("mm_phash")[1])
+           phash=_member("mm_phash")[1],
+           afp=_member("mm_afp")[1])
 
 
 def dedup_sig_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,7 +503,7 @@ _ROSTERS: dict[str, list] = {
                       "text_token_count_bpe", "text_perplexity",
                       "text_dup_ngrams", "text_bpe_encode"],
     "s8_grid_pack": ["s8_grid_max", "s8_grid_idw"],
-    "mm_pack": ["mm_features", "mm_payload_stats", "mm_phash"],
+    "mm_pack": ["mm_features", "mm_payload_stats", "mm_phash", "mm_afp"],
     "dedup_sig_pack": ["dedup_minhash_sigs", "dedup_simhash",
                        "dedup_simhash_pairs"],
     "mixing_pack": ["curation_train_order", "curation_pack_chunks",

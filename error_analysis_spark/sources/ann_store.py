@@ -47,11 +47,16 @@ from error_analysis_spark.extensions.similarity import (
 
 def write_ivf_index(embeddings: DataFrame, path: str, n_lists: int = 16,
                     seed: int = 42, vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> int:
+                    id_col: str = "vec_id", train_mod: int = 1) -> int:
     """Cluster, assign and persist the IVF layout; returns n_lists.
 
     Layout: `{path}/vectors/list_id=*/...parquet` (raw vector + id per
     row) and `{path}/centroids/` (list_id, center array<double>).
+
+    `train_mod` bounds the KMeans TRAINING sample (`id % train_mod ==
+    0`, the pq_train convention): the fit scans its input ~maxIter
+    times, so at corpus scale pass train_mod such that the sample is a
+    few 100k rows; the FULL corpus is still assigned in one map pass.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -66,7 +71,9 @@ def write_ivf_index(embeddings: DataFrame, path: str, n_lists: int = 16,
           .withColumn("features", array_to_vector("_u")))
     km = KMeans(k=n_lists, seed=seed, featuresCol="features",
                 predictionCol="list_id")
-    model = km.fit(ds)
+    fit_ds = ds.where(F.col(id_col).cast("long") % train_mod == 0) \
+        if train_mod > 1 else ds
+    model = km.fit(fit_ds)
     assigned = model.transform(ds).select(id_col, vec_col, "list_id")
     (assigned.repartition("list_id")
      .write.mode("overwrite").partitionBy("list_id")
@@ -146,7 +153,15 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, n_lists: int = 8,
           .withColumn("features", array_to_vector("_u")))
     km = KMeans(k=n_lists, seed=seed, featuresCol="features",
                 predictionCol="list_id")
-    model = km.fit(ds)
+    # Train the coarse quantizer on the SAME train_mod-bounded sample
+    # the PQ codebook uses (VERDICT r08 #7): KMeans iterations scan the
+    # training frame ~maxIter times, so fitting on the full corpus made
+    # the build KMeans-dominated (241 s at 1M rows) while a few-100k
+    # sample recovers the same cell geometry. The FULL corpus is still
+    # assigned below in one map pass (model.transform).
+    fit_ds = ds.where(F.col(id_col).cast("long") % train_mod == 0) \
+        if train_mod > 1 else ds
+    model = km.fit(fit_ds)
     spark = embeddings.sparkSession
     centers = [(i, [float(x) for x in c])
                for i, c in enumerate(model.clusterCenters())]

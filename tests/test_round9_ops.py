@@ -109,3 +109,113 @@ def F_id(name):
 def F_col(name):
     from pyspark.sql import functions as F
     return F.col(name)
+
+
+# --------------------------------------------------------------------------
+# audio perceptual dedup (round-9 new operator, VERDICT r08 #5)
+# --------------------------------------------------------------------------
+
+def _synth_pcm(rng, n=16000):
+    """Speech-shaped synthetic signal: a few sinusoids, PCM16 ints."""
+    tt = np.arange(n)
+    x = sum(a * np.sin(2 * np.pi * f * tt + p) for a, f, p in zip(
+        rng.uniform(0.05, 0.25, 5), rng.uniform(0.001, 0.45, 5),
+        rng.uniform(0, 6, 5)))
+    return x
+
+
+def test_audio_fp64_scale_invariant_and_separating():
+    """Amplitude scaling leaves the fingerprint bit-identical (energies
+    scale uniformly, only signs are kept); unrelated signals sit far
+    apart in Hamming space."""
+    from error_analysis_spark.extensions import multimodal as MM
+    rng = np.random.default_rng(7)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    fps = []
+    for _ in range(20):
+        x = _synth_pcm(rng)
+        pcm = np.clip(x * 32768, -32768, 32767).astype(np.int64)
+        fp = MM.audio_fp64(pcm)
+        fps.append(fp)
+        assert MM.audio_fp64(pcm * 3) == fp          # exact scaling
+        assert MM.audio_fp64(pcm + 1000) == fp       # DC offset
+        pcm_q = np.clip(x * 0.9 * 32768, -32768, 32767).astype(np.int64)
+        assert ham(fp, MM.audio_fp64(pcm_q)) <= 4    # re-quantized 0.9×
+    cross = [ham(fps[i], fps[j]) for i in range(len(fps))
+             for j in range(i + 1, len(fps))]
+    assert min(cross) > 12
+
+
+def test_audio_near_dup_planted_recall(spark):
+    """End-to-end planted-pair recall over the REAL WAV decode path:
+    40 base clips + a noisy near-duplicate of each (SNR ≈ 30 dB, PCM
+    re-quantized) through audio_fingerprint → afp_near_pairs at radius
+    8. Every planted pair must surface (recall 1.0) and no unrelated
+    pair may appear at the radius."""
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import multimodal as MM
+    rng = np.random.default_rng(11)
+    rows = []
+    planted = set()
+    for i in range(40):
+        x = _synth_pcm(rng, n=8000)
+        noisy = x + rng.normal(0, 0.005, len(x))
+        rows.append((2 * i, MM.encode_wav(x, 1600)))
+        rows.append((2 * i + 1, MM.encode_wav(noisy, 1600)))
+        planted.add((2 * i, 2 * i + 1))
+    assets = spark.createDataFrame(
+        [(i, p, 1600) for i, p in rows],
+        "asset_id long, payload binary, sample_rate int") \
+        .withColumn("kind", F.lit("audio"))
+    af = MM.audio_fingerprint(assets)
+    got = af.toPandas()
+    assert set(got.decode_src) == {"real"}          # byte parser, not stub
+    pairs = MM.afp_near_pairs(af, max_hamming=8).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
+    assert planted <= found, f"missed planted pairs: {planted - found}"
+    assert found == planted, f"false pairs at radius: {found - planted}"
+
+
+def test_afp_banding_matches_brute_force(spark):
+    """The banded Hamming search over audio fingerprints is an EXACT
+    decomposition: same pairs as the brute-force quadratic check."""
+    from error_analysis_spark.extensions import multimodal as MM
+    rng = np.random.default_rng(3)
+    sigs = []
+    base = rng.integers(-2 ** 62, 2 ** 62, size=30, dtype=np.int64)
+    for i, b in enumerate(base):
+        sigs.append((i, int(b)))
+        # a few 1-3 bit perturbations
+        if i % 3 == 0:
+            flip = int(b) ^ (1 << int(rng.integers(0, 64)))
+            sigs.append((100 + i, flip))
+    df = spark.createDataFrame(sigs, "asset_id long, afp long")
+    got = MM.afp_near_pairs(df, max_hamming=8).toPandas()
+    got_set = {(int(r.id_a), int(r.id_b), int(r.hamming))
+               for r in got.itertuples()}
+    brute = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, sa = sigs[i]
+            b, sb = sigs[j]
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= 8:
+                lo, hi = min(a, b), max(a, b)
+                brute.add((lo, hi, h))
+    assert got_set == brute
+
+
+def test_wav_intsum_matches_float_decode(spark):
+    """_wav_pcm_intsum is the exact-integer sibling of decode_wav:
+    intsum / (32768 · n_ch) == the float mono mix."""
+    from error_analysis_spark.extensions import multimodal as MM
+    rng = np.random.default_rng(5)
+    x = _synth_pcm(rng, n=2000)
+    w = MM.encode_wav(x, 1600)
+    ints = MM._wav_pcm_intsum(w)
+    flt = MM.decode_wav(w)
+    assert np.allclose(ints / 32768.0, flt, atol=1e-6)
