@@ -64,16 +64,24 @@ def main() -> None:
     for n_codes in (16, 64, 256):
         book = S.pq_train(emb, n_blocks=8, n_codes=n_codes,
                           train_mod=max(1, n // 100_000))
-        hits, t_scan = 0, 0.0
+        hits, hits_rr, t_scan = 0, 0, 0.0
         for q in queries:
             truth = exact_l2_topk(X, q)
             t0 = time.perf_counter()
-            top = S.pq_topk(emb, [float(v) for v in q], book, k=k) \
+            # one k=100 scan serves both measurements: plain ADC top-10
+            # and the exact-reranked shortlist (pq_topk already returns
+            # each row's TRUE distance in `m`, so reranking is free)
+            top = S.pq_topk(emb, [float(v) for v in q], book, k=100) \
                 .where("part = 'topk'").collect()
             t_scan += time.perf_counter() - t0
-            hits += len(truth & {int(r["j"]) for r in top})
+            adc10 = sorted(top, key=lambda r: (r["v"], r["j"]))[:k]
+            hits += len(truth & {int(r["j"]) for r in adc10})
+            rr10 = sorted(top, key=lambda r: (r["m"], r["j"]))[:k]
+            hits_rr += len(truth & {int(r["j"]) for r in rr10})
         pq_curve.append({"n_codes": n_codes,
                          "recall_at_10": round(hits / (k * n_queries), 3),
+                         "recall_at_10_rerank100":
+                         round(hits_rr / (k * n_queries), 3),
                          "scan_sec_per_query": round(t_scan / n_queries, 2)})
         print(json.dumps({"pq": pq_curve[-1]}), flush=True)
     results["pq_recall_vs_n_codes"] = pq_curve
@@ -88,16 +96,23 @@ def main() -> None:
         build = round(time.perf_counter() - t0, 2)
         ivf_curve = []
         for n_probe in (1, 2, 4, 8, 16, 64):
-            hits = 0
+            hits, hits_rr = 0, 0
             for q in queries:
                 truth = exact_l2_topk(
                     U, q / max(np.linalg.norm(q), 1e-300))
                 top = ANN.query_ivfpq(spark, path, [float(v) for v in q],
                                       k=k, n_probe=n_probe).collect()
                 hits += len(truth & {int(r["vec_id"]) for r in top})
+                rr = ANN.query_ivfpq(spark, path, [float(v) for v in q],
+                                     k=k, n_probe=n_probe,
+                                     rerank_source=emb,
+                                     shortlist=100).collect()
+                hits_rr += len(truth & {int(r["vec_id"]) for r in rr})
             ivf_curve.append({"n_probe": n_probe,
                               "recall_at_10":
-                              round(hits / (k * n_queries), 3)})
+                              round(hits / (k * n_queries), 3),
+                              "recall_at_10_rerank100":
+                              round(hits_rr / (k * n_queries), 3)})
             print(json.dumps({"ivfpq": ivf_curve[-1]}), flush=True)
         results["ivfpq_build_sec"] = build
         results["ivfpq_recall_vs_n_probe"] = ivf_curve

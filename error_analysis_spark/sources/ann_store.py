@@ -205,7 +205,10 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, n_lists: int = 8,
 
 def query_ivfpq(spark: SparkSession, path: str, query_vec: list[float],
                 k: int = 10, n_probe: int = 4, quantize: int = 6,
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                rerank_source: DataFrame | None = None,
+                shortlist: int = 100,
+                vec_col: str = "embedding") -> DataFrame:
     """Partition-pruned ADC probe: rank cells by centroid distance to
     the unit query, build one ADC lookup table PER PROBED CELL from the
     cell-residual query (q − centroid, the same residual grid the codes
@@ -260,4 +263,28 @@ def query_ivfpq(spark: SparkSession, path: str, query_vec: list[float],
 
     out = vecs.select(id_col, "list_id", "codes").mapInPandas(
         kernel, schema=f"{id_col} long, list_id int, adc_dist long")
-    return out.orderBy("adc_dist", id_col).limit(k)
+    ranked = out.orderBy("adc_dist", id_col).limit(
+        k if rerank_source is None else max(k, shortlist))
+    if rerank_source is None:
+        return ranked
+    # Exact-rerank tier (round 9, the FAISS IVFPQR idea without extra
+    # stored codes): the ADC shortlist is tiny (100s of ids), so one
+    # column-pruned scan of the SOURCE table filtered to those ids +
+    # an exact unit-vector distance fixes the PQ quantization ceiling
+    # (measured: recall@10 0.2 → ~1.0 on the σ=1 overlapping-mixture
+    # probe). The id filter pushes to the parquet scan; no shuffle,
+    # no join — the shortlist rides the driver like the codebook.
+    ids = [int(r[id_col]) for r in ranked.collect()]
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    src = rerank_source.where(F.col(id_col).isin(ids))
+    varr = _as_double(F.col(vec_col))
+    exact = (src
+             .withColumn("_nrm", F.greatest(l2_norm(varr), F.lit(1e-300)))
+             .withColumn("_u", F.transform(varr,
+                                           lambda x: x / F.col("_nrm")))
+             .select(F.col(id_col),
+                     F.aggregate(
+                         F.zip_with("_u", qcol, lambda x, y: (x - y) ** 2),
+                         F.lit(0.0), lambda acc, v: acc + v)
+                     .alias("exact_dist")))
+    return exact.orderBy("exact_dist", id_col).limit(k)

@@ -263,6 +263,34 @@ def test_cc_numpy_local_string_ids(spark):
                    "x": "x", "y": "x", "zz": "zz"}
 
 
+def test_ivfpq_rerank_tier_beats_plain_adc(spark, tmp_path):
+    """The exact-rerank tier (round 9): an ADC shortlist of 100
+    reranked against the source table must recover most of the exact
+    top-10 that plain 8-block PQ codes lose on unstructured vectors
+    (PQ's worst case), and must never do worse."""
+    from error_analysis_spark.sources import ann_store as ANN
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    X = np.stack(pdf.embedding.values)
+    U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    q = [float(v) for v in X[5]]
+    qU = np.asarray(q) / np.linalg.norm(q)
+    exact = set(pdf.vec_id.values[
+        np.argsort(((U - qU) ** 2).sum(1), kind="stable")][:10])
+    path = str(tmp_path / "ivfpqr")
+    ANN.write_ivfpq_index(emb, path, n_lists=4, seed=7)
+    plain = {int(r["vec_id"]) for r in ANN.query_ivfpq(
+        spark, path, q, k=10, n_probe=4).collect()}
+    rr_rows = ANN.query_ivfpq(spark, path, q, k=10, n_probe=4,
+                              rerank_source=emb, shortlist=100).collect()
+    rr = {int(r["vec_id"]) for r in rr_rows}
+    assert len(rr) == 10
+    assert len(exact & rr) >= max(len(exact & plain), 7)
+    # reranked rows carry the true distance, ascending
+    dists = [r["exact_dist"] for r in rr_rows]
+    assert dists == sorted(dists)
+
+
 def test_wav_intsum_matches_float_decode(spark):
     """_wav_pcm_intsum is the exact-integer sibling of decode_wav:
     intsum / (32768 · n_ch) == the float mono mix."""
