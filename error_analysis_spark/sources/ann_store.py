@@ -169,11 +169,21 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, n_lists: int = 8,
         centers, "list_id int, center array<double>")
     # residual = unit vector − assigned centroid (broadcast tiny dim
     # table; one row-local zip_with)
+    # Pinned for the build's lifetime (round 9): four downstream passes
+    # read this frame (pq_train's dim probe + seed scan + Lloyd
+    # partials, then the encode) and each would otherwise re-run the
+    # normalize + KMeans-assign + centroid join over the full corpus —
+    # measured 111 s of the 192 s 1M-row build was exactly that
+    # recomputation. One narrow (id, list_id, resid) cache turns it
+    # into one compute + three cache reads; released before returning.
+    from pyspark.storagelevel import StorageLevel
     resid = (model.transform(ds)
              .select(id_col, "_u", "list_id")
              .join(F.broadcast(cent_df), "list_id")
              .withColumn("resid", F.zip_with(
-                 "_u", "center", lambda x, y: x - y)))
+                 "_u", "center", lambda x, y: x - y))
+             .select(id_col, "list_id", "resid")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     book = pq_train(resid, n_blocks=n_blocks, n_codes=n_codes,
                     vec_col="resid", id_col=id_col,
                     quantize=quantize, train_mod=train_mod)
@@ -191,6 +201,7 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, n_lists: int = 8,
     (codes.repartition("list_id")
      .write.mode("overwrite").partitionBy("list_id")
      .parquet(os.path.join(path, "vectors")))
+    resid.unpersist()
     cent_df.coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(path, "centroids"))
     book_rows = [(b + 1, c + 1, book[b][c])
