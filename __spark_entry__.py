@@ -47,57 +47,18 @@ _MERGED.update(PACK_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # Round 9: execute the window exactly as planned in round 8
-    # (VERDICT r08 #1) — the 5 changed pins FIRST (each holds an r07
-    # driver green that predates its round-8 rewrite/fold, so their
-    # current code has only local test_oracle greens until this window
-    # runs them):
-    #   dedup_sig_pack       — row-local SimHash rewrite (r08);
-    #   text_line_dedup      — md5-keyed corpus-wide exchanges (r08);
-    #   pipeline_chain_multi — single-valid-run stddev NULL guard;
-    #   emb_pack             — absorbed emb_pq_topk (PQ ANN, r08);
-    #   text_doc_pack        — absorbed text_bpe_encode (r08).
-    "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
-    "emb_pack", "text_doc_pack",
-    # then the full 45-name r08 rotate-out tail (every name carries a
-    # green CORRECTNESS_r07 row; unchanged since), verbatim order.
-    # 5 + 45 = 50 exactly — zero slippage.
-    "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
-    "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
-    "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
-    "curation_pareto", "curation_checksum", "curation_merge_upsert",
-    "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
-    "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
-    "s8_grid_pack",
-    "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
-    "dedup_cluster_pack", "text_sketch_pack",
-    "temporal_pack",
-    "sim_semantic_dedup", "dedup_jaccard", "dedup_containment",
-    "a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
-    "r7_polygonize", "j1_r4_dod", "a13_zone_pixel_counts",
-    "sc16_utm_roundtrip", "r1_geoid_shift",
-    "curation_domain_weights", "curation_weighted_sample",
-    "curation_funnel",
-    "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
-    "ingest_csv_quarantine",
-]
-# Changed this round but OUTSIDE the window (holds an r08 driver
-# green; the window is fully booked by 5 pins + the 45-name tail):
-#   mm_pack — gained the audio perceptual near-dup members (spectral
-#             band fingerprint over the real WAV decode path + banded
-#             Hamming pair search, VERDICT r08 #5), folded in per the
-#             dHash precedent. Local test_oracle green + planted
-#             near-duplicate recall test; leads the r10 window.
-_POST_WINDOW_NEW: list[str] = [
+    # Round 10: execute the window exactly as planned in round 9
+    # (VERDICT r09 #1) — the single changed pin FIRST:
+    #   mm_pack — absorbed the audio perceptual near-dup members
+    #             (spectral band fingerprint over the real WAV decode
+    #             path + banded Hamming pair search) in round 9 AFTER
+    #             its r08 driver green; local test_oracle green +
+    #             planted-recall test; the only declared query whose
+    #             newest driver green predates its current code.
     "mm_pack",
-]
-# The rotate-out tail: the r08-green window queries unchanged this
-# round (49 = the 50 r08 window names minus mm_pack, which changed
-# this round when it absorbed the audio fingerprint members and is
-# pinned above; every name here carries a green CORRECTNESS_r08 row).
-# They are next round's re-verification set, after the pin —
-# 1 + 49 = 50 exactly.
-_ROTATE_OUT = [
+    # then the full 49-name r09 rotate-out tail (every name carries a
+    # green CORRECTNESS_r08 row; unchanged since), verbatim order.
+    # 1 + 49 = 50 exactly — zero slippage.
     "text_bpe_merges", "text_contam_bloom",
     "j11_interval_join", "layout_zorder", "curation_delta_agg",
     "text_domain_topk", "emb_hard_triplets",
@@ -117,6 +78,47 @@ _ROTATE_OUT = [
     "text_bigram_ppl", "emb_covariance", "curation_data_card",
     "w7_funnel", "w8_retention", "text_tfidf_topk",
     "curation_quality_prune",
+]
+# Changed this round but OUTSIDE the window (each holds an r09 driver
+# green; the window is fully booked by 1 pin + the 49-name tail).
+# Every name here leads the r11 window per the mm_pack precedent.
+# Round-10 changes (all re-driven green against their DuckDB oracles
+# in a foreign local[8] session AFTER the change, 100/100 MATCH):
+#   curation_funnel    — minhash_dedup verify extracted to the lazy
+#                        _verify_jaccard helper (plan-shape-testable)
+#                        + connected_components byte-bounded local
+#                        threshold for string ids (ADVICE r09);
+#   sim_pair_pack      — member dedup_minhash_lsh, same refactor;
+#   dedup_cluster_pack — member dedup_components, same CC change.
+# (text_contam_bloom also changed — ndarray bitset literal — but it
+# sits IN the r10 window at slot 3 and gets its green this round.)
+_POST_WINDOW_NEW: list[str] = [
+    "curation_funnel", "sim_pair_pack", "dedup_cluster_pack",
+]
+# The rotate-out tail: the r09 window queries (every name carries a
+# green CORRECTNESS_r09 row). They are next round's re-verification
+# set, after any _POST_WINDOW_NEW pins.
+_ROTATE_OUT = [
+    "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
+    "emb_pack", "text_doc_pack",
+    "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
+    "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
+    "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
+    "curation_pareto", "curation_checksum", "curation_merge_upsert",
+    "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
+    "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
+    "s8_grid_pack",
+    "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
+    "dedup_cluster_pack", "text_sketch_pack",
+    "temporal_pack",
+    "sim_semantic_dedup", "dedup_jaccard", "dedup_containment",
+    "a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
+    "r7_polygonize", "j1_r4_dod", "a13_zone_pixel_counts",
+    "sc16_utm_roundtrip", "r1_geoid_shift",
+    "curation_domain_weights", "curation_weighted_sample",
+    "curation_funnel",
+    "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
+    "ingest_csv_quarantine",
 ]
 
 _ALL: dict[str, tuple] = {}

@@ -351,14 +351,32 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     cands = (a.join(b, ["band", "sig"])
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    # exact verify via per-doc token-SET arrays + row-local
-    # array_intersect: two equi-joins ship one array per side per
-    # candidate, vs the explode form's candidates × tokens
-    # intermediate (which is quadratic-ish when banding is permissive)
     tok_arr = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(text_col)).alias("toks")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    result = (
+        _verify_jaccard(cands, tok_arr, threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    result.count()  # last consumer of the pinned inputs → release them
+    banded.unpersist()
+    tok_arr.unpersist()
+    return _track(result)
+
+
+def _verify_jaccard(cands: DataFrame, tok_arr: DataFrame,
+                    threshold: float) -> DataFrame:
+    """The LSH exact-verify join, LAZY (plan-shape-testable): two
+    equi-joins ship one token-set array per side per candidate (vs the
+    explode form's candidates × tokens intermediate, quadratic-ish
+    when banding is permissive), row-local array_intersect behind the
+    `_compute_once` barrier, then the Jaccard threshold. Returns
+    (id_a, id_b, jaccard ≥ threshold). The barrier guarantees the
+    optimized plan evaluates array_intersect EXACTLY ONCE per
+    candidate and the joins stay pure equi-joins — asserted by
+    tests/test_plan_shapes.py::test_jaccard_verify_single_intersect."""
     ja = tok_arr.select(F.col("id").alias("id_a"),
                         F.col("toks").alias("toks_a"))
     jb = tok_arr.select(F.col("id").alias("id_b"),
@@ -370,18 +388,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      .alias("inter"),
                      F.size("toks_a").alias("sz_a"),
                      F.size("toks_b").alias("sz_b")))
-    result = (
-        inter
-        .withColumn("jaccard", F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    result.count()  # last consumer of the pinned inputs → release them
-    banded.unpersist()
-    tok_arr.unpersist()
-    return _track(result)
+    return (inter
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold))
 
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
@@ -422,11 +432,35 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     # sf0.1 this halved the funnel's near-dup stage. Below threshold
     # the extra cost is one bounded write of ≤ local_threshold rows.
     und = pairs.select("id_a", "id_b").distinct().localCheckpoint()
-    if und.count() <= local_threshold:
+    # `local_threshold` is sized as "64 MB of Arrow int64" — valid only
+    # for fixed-width integral/float ids. String ids (a tested path)
+    # can be arbitrarily long, so byte-bound them: scale the edge cap
+    # by 16B/avg-id-bytes, measured with one cheap aggregate over the
+    # already-checkpointed (materialized) edge list (ADVICE r09). A
+    # 64-char-id graph thus collects at ≤ ~1M edges (same ~64 MB),
+    # never 4M × long strings.
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+    eff_threshold = local_threshold
+    if id_type not in ("tinyint", "smallint", "int", "bigint",
+                       "float", "double"):
+        sample = und.select(
+            F.avg(F.length(F.col("id_a").cast("string"))
+                  + F.length(F.col("id_b").cast("string")))
+            .alias("w")).collect()
+        avg_pair_bytes = float(sample[0]["w"] or 16.0)
+        eff_threshold = max(int(local_threshold * 16.0 / avg_pair_bytes),
+                            65536)
+    if und.count() <= eff_threshold:
         # Arrow-collect the edge list: a foreign session (the driver's)
         # may have Arrow off, and the row-at-a-time fallback on a
         # millions-of-edges list costs minutes; pin the conf for this
-        # one transfer and restore it after.
+        # one transfer and restore it after. NOTE (ADVICE r09): the
+        # flip mutates session-global conf for the duration of this
+        # single toPandas — not safe under CONCURRENT queries on the
+        # same SparkSession. The engine's harness is single-query-at-
+        # a-time (driver loop, bench, tests release caches between
+        # queries); a multi-tenant session should pre-set Arrow on so
+        # the flip is a no-op.
         sess = pairs.sparkSession
         conf_key = "spark.sql.execution.arrow.pyspark.enabled"
         try:

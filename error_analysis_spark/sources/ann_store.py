@@ -184,24 +184,28 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, n_lists: int = 8,
                  "_u", "center", lambda x, y: x - y))
              .select(id_col, "list_id", "resid")
              .persist(StorageLevel.MEMORY_AND_DISK))
-    book = pq_train(resid, n_blocks=n_blocks, n_codes=n_codes,
-                    vec_col="resid", id_col=id_col,
-                    quantize=quantize, train_mod=train_mod)
-    cw = max(n_codes, 32)
-    base = resid.select(F.col(id_col).cast("long").alias("id"),
-                        F.col("list_id"),
-                        _fp_arr(F.col("resid"), quantize).alias("q"))
-    enc = _pq_encode(base.withColumnRenamed("list_id", "lid"),
-                     book, cw, passthrough=["id", "lid"])
-    codes = enc.select(
-        F.col("lid").alias("list_id"),
-        F.col("id").alias(id_col),
-        F.transform("ks", lambda kv: (kv % cw).cast("int"))
-        .alias("codes"))
-    (codes.repartition("list_id")
-     .write.mode("overwrite").partitionBy("list_id")
-     .parquet(os.path.join(path, "vectors")))
-    resid.unpersist()
+    # try/finally so a pq_train / encode / write failure cannot leak
+    # the corpus-scale cache for the session's lifetime (ADVICE r09)
+    try:
+        book = pq_train(resid, n_blocks=n_blocks, n_codes=n_codes,
+                        vec_col="resid", id_col=id_col,
+                        quantize=quantize, train_mod=train_mod)
+        cw = max(n_codes, 32)
+        base = resid.select(F.col(id_col).cast("long").alias("id"),
+                            F.col("list_id"),
+                            _fp_arr(F.col("resid"), quantize).alias("q"))
+        enc = _pq_encode(base.withColumnRenamed("list_id", "lid"),
+                         book, cw, passthrough=["id", "lid"])
+        codes = enc.select(
+            F.col("lid").alias("list_id"),
+            F.col("id").alias(id_col),
+            F.transform("ks", lambda kv: (kv % cw).cast("int"))
+            .alias("codes"))
+        (codes.repartition("list_id")
+         .write.mode("overwrite").partitionBy("list_id")
+         .parquet(os.path.join(path, "vectors")))
+    finally:
+        resid.unpersist()
     cent_df.coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(path, "centroids"))
     book_rows = [(b + 1, c + 1, book[b][c])
@@ -225,12 +229,28 @@ def query_ivfpq(spark: SparkSession, path: str, query_vec: list[float],
     cell-residual query (q − centroid, the same residual grid the codes
     were trained on), scan only the probed directories and rank by
     Σ_b qd[cell][b][code_b] — an Arrow kernel over the code columns;
-    no raw vectors are read because none are stored."""
+    no raw vectors are read because none are stored.
+
+    Returns (ADVICE r09): without `rerank_source`, a LAZY DataFrame
+    `(id_col, list_id, adc_dist)` — the plain ADC top-k. With
+    `rerank_source`, the schema CHANGES to `(id_col, exact_dist)` and
+    the call is EAGER: the whole ADC probe job runs inside this
+    function (`ranked.collect()`) to materialize the shortlist ids
+    before the exact tier's pruned scan. `shortlist` ids inline
+    linearly into the rerank scan's `isin()` plan — values above
+    ~10k would bloat plan compile time for no recall gain (recall
+    saturates far earlier), so they are rejected."""
     import math
 
     import numpy as np
     import pandas as pd
 
+    if rerank_source is not None and shortlist > 10_000:
+        raise ValueError(
+            f"shortlist={shortlist}: the rerank tier inlines every "
+            f"shortlist id into the pruned scan's isin() plan; cap is "
+            f"10000 (recall saturates far below it — see "
+            f"bench_ann_recall.py)")
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-300)
     cents = {int(r["list_id"]): np.asarray(r["center"])

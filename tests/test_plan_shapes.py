@@ -563,3 +563,59 @@ def test_registry_wide_plan_invariants(spark):
     assert cartesian == [], cartesian
     assert row_at_a_time == [], row_at_a_time
     assert undeclared == [], undeclared
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_jaccard_verify_single_intersect(spark):
+    """Regression guard for the `_compute_once` pushdown barrier
+    (ADVICE r09): the barrier's survival depends on the optimizer not
+    constant-folding `floor(rand(42))*0`. If an engine upgrade folds
+    it, Catalyst inlines the Jaccard threshold into the candidate join
+    as a non-equi condition whose expression text evaluates
+    array_intersect per-row THREE times (measured 4,540 vs 620
+    task-CPU-core-s on the funnel's 8.26M-candidate verify) — this
+    test fails loudly instead. Asserted on BOTH verify shapes: the
+    inverted-index path (`_verified_pair_stats`, as jaccard_pairs
+    invokes it) and the LSH path (`_verify_jaccard`, as minhash_dedup
+    invokes it)."""
+    from error_analysis_spark.extensions import dedup as DD
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+
+    # shape 1: inverted-index candidates + verify (jaccard_pairs form)
+    toks = DD.doc_tokens(docs)
+    base = DD._verified_pair_stats(docs, toks, "text", "doc_id", 50)
+    jac = (base.withColumn(
+        "jaccard", F.col("inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= 0.5))
+
+    # shape 2: LSH banded candidates + verify (minhash_dedup form)
+    banded = DD.banded_signatures(docs, "text", "doc_id", 16, 4)
+    a = banded.select(F.col("id").alias("id_a"), "band", "sig")
+    b = banded.select(F.col("id").alias("id_b"), "band", "sig")
+    cands = (a.join(b, ["band", "sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    tok_arr = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(TX.tokens("text")).alias("toks"))
+    lsh = DD._verify_jaccard(cands, tok_arr, 0.5)
+
+    for label, df in (("inverted-index", jac), ("lsh", lsh)):
+        opt = _optimized(df)
+        phys = _plan(df)
+        for name, plan in (("optimized", opt), ("physical", phys)):
+            n = plan.count("array_intersect")
+            assert n == 1, (
+                f"{label}/{name}: array_intersect appears {n}× — the "
+                f"_compute_once barrier was folded away and the "
+                f"threshold was inlined into the join:\n{plan}")
+        # every join condition stays a pure equi join: no Join node's
+        # condition text may carry the intersect (a non-equi residual
+        # would re-evaluate it per candidate inside the join)
+        for line in opt.splitlines():
+            if line.lstrip().startswith(("Join ", ":- Join", "+- Join")):
+                assert "array_intersect" not in line, line
