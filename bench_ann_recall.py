@@ -60,8 +60,10 @@ def main() -> None:
                      "sigma_over_spacing": "~0.7 (σ=1, E‖ci−cj‖≈√(2d))"}
 
     # ---- PQ: recall@10 vs n_codes (full-corpus ADC scan) ----
+    # (grid mode runs ONLY the round-10 n_lists/codebook grid below)
+    grid_only = os.environ.get("SPARK_GRAFT_ANN_GRID") == "1"
     pq_curve = []
-    for n_codes in (16, 64, 256):
+    for n_codes in () if grid_only else (16, 64, 256):
         book = S.pq_train(emb, n_blocks=8, n_codes=n_codes,
                           train_mod=max(1, n // 100_000))
         hits, hits_rr, t_scan = 0, 0, 0.0
@@ -90,6 +92,8 @@ def main() -> None:
     path = tempfile.mkdtemp(prefix="ann_recall_ivfpq_")
     try:
         t0 = time.perf_counter()
+        if grid_only:
+            raise StopIteration  # skip to the grid (finally cleans up)
         ANN.write_ivfpq_index(emb, path, n_lists=n_clusters, n_blocks=8,
                               n_codes=64, seed=7,
                               train_mod=max(1, n // 100_000))
@@ -116,9 +120,88 @@ def main() -> None:
             print(json.dumps({"ivfpq": ivf_curve[-1]}), flush=True)
         results["ivfpq_build_sec"] = build
         results["ivfpq_recall_vs_n_probe"] = ivf_curve
+    except StopIteration:
+        pass
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    print(json.dumps({"metric": "ann_recall_probe", "results": results}))
+    if not grid_only:
+        print(json.dumps({"metric": "ann_recall_probe",
+                          "results": results}))
+
+    # ---- round-10 grid (VERDICT r09 #4): is list count or probe count
+    # the binding knob on σ≈spacing mixtures? Sweep n_lists at a fixed
+    # codebook, then codebook size at a fixed n_lists, recording the
+    # SCANNED FRACTION next to each recall so the recall/IO trade is
+    # explicit. Enabled with SPARK_GRAFT_ANN_GRID=1.
+    if os.environ.get("SPARK_GRAFT_ANN_GRID") == "1":
+        grid = []
+        configs = (
+            # (n_lists, n_blocks, n_codes) — n_lists sweep first
+            (64, 8, 256), (256, 8, 256), (1024, 8, 256),
+            # codebook sweep at the middle n_lists
+            (256, 8, 64), (256, 16, 256),
+        )
+        for n_lists, n_blocks, n_codes in configs:
+            path = tempfile.mkdtemp(prefix="ann_grid_")
+            try:
+                t0 = time.perf_counter()
+                ANN.write_ivfpq_index(
+                    emb, path, n_lists=n_lists, n_blocks=n_blocks,
+                    n_codes=n_codes, seed=7,
+                    train_mod=max(1, n // 100_000))
+                build = round(time.perf_counter() - t0, 2)
+                rows_per_list = {
+                    int(r["list_id"]): int(r["cnt"])
+                    for r in spark.read.parquet(
+                        os.path.join(path, "vectors"))
+                    .groupBy("list_id").count()
+                    .withColumnRenamed("count", "cnt").collect()}
+                cents = {int(r["list_id"]): np.asarray(r["center"])
+                         for r in spark.read.parquet(
+                             os.path.join(path, "centroids")).collect()}
+                for n_probe in (1, 4, 16):
+                    hits, hits_rr, hits_rr1k, scanned = 0, 0, 0, 0
+                    for q in queries:
+                        u = q / max(np.linalg.norm(q), 1e-300)
+                        truth = exact_l2_topk(U, u)
+                        probe = sorted(
+                            cents, key=lambda i: float(
+                                ((cents[i] - u) ** 2).sum()))[:n_probe]
+                        scanned += sum(rows_per_list.get(p, 0)
+                                       for p in probe)
+                        top = ANN.query_ivfpq(
+                            spark, path, [float(v) for v in q], k=k,
+                            n_probe=n_probe).collect()
+                        hits += len(truth & {int(r["vec_id"])
+                                             for r in top})
+                        rr = ANN.query_ivfpq(
+                            spark, path, [float(v) for v in q], k=k,
+                            n_probe=n_probe, rerank_source=emb,
+                            shortlist=100).collect()
+                        hits_rr += len(truth & {int(r["vec_id"])
+                                                for r in rr})
+                        rr1k = ANN.query_ivfpq(
+                            spark, path, [float(v) for v in q], k=k,
+                            n_probe=n_probe, rerank_source=emb,
+                            shortlist=1000).collect()
+                        hits_rr1k += len(truth & {int(r["vec_id"])
+                                                  for r in rr1k})
+                    row = {"n_lists": n_lists, "codebook":
+                           f"{n_blocks}x{n_codes}", "n_probe": n_probe,
+                           "build_sec": build,
+                           "scan_frac": round(
+                               scanned / (n * n_queries), 4),
+                           "recall_at_10":
+                           round(hits / (k * n_queries), 3),
+                           "recall_rr100":
+                           round(hits_rr / (k * n_queries), 3),
+                           "recall_rr1000":
+                           round(hits_rr1k / (k * n_queries), 3)}
+                    grid.append(row)
+                    print(json.dumps({"grid": row}), flush=True)
+            finally:
+                shutil.rmtree(path, ignore_errors=True)
+        print(json.dumps({"metric": "ann_recall_grid", "grid": grid}))
     spark.stop()
 
 
