@@ -64,6 +64,26 @@ def _md5_long(col, hex_chars: int = 15):
     return md5_prefix_long(col, hex_chars)
 
 
+def _hashed_token_set(text_col):
+    """Per-doc distinct-token set as md5-prefix int64 hashes (round 10).
+
+    The exact-verify intersect is THE dominant kernel of near-dup
+    dedup at any scale, and `array_intersect` on string arrays runs
+    through the boxed OpenHashSet[Any] path (per-row string hashing +
+    equals); on bigint arrays it takes the specialized primitive path —
+    measured 2.0× faster at 2M pairs × 200-token sets (6.4 → 3.2 s),
+    with smaller verify-join payloads as a bonus. The hash is the
+    repo-canonical 60-bit md5 prefix (`_md5_long`), computed ONCE per
+    document in the cached token frame, so the cost is amortized over
+    every candidate pair the doc participates in. |A∩B| and |A| on
+    hashed sets equal the string-set values modulo 60-bit md5
+    collisions — the same documented caveat as every md5-derived dedup
+    key in this module (expected collisions ≈ |vocab|²/2⁶¹ ≈ 0 at any
+    realistic vocabulary)."""
+    return F.transform(F.array_distinct(tokens(text_col)),
+                       lambda t: _md5_long(t))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5-hash groupBy, canonical = min id per group."""
@@ -144,13 +164,14 @@ def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
         cand = (pa.join(pb, "token")
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
-        # exact verify via token-SET arrays + row-local array_intersect
-        # (two equi-joins ship one array per side per candidate; the
-        # explode form's candidates × tokens blow-up is exactly what
-        # max_df pruning is fighting)
+        # exact verify via HASHED token-SET arrays + row-local
+        # array_intersect (two equi-joins ship one array per side per
+        # candidate; the explode form's candidates × tokens blow-up is
+        # exactly what max_df pruning is fighting; int64 sets take the
+        # primitive intersect path — see _hashed_token_set)
         tok_arr = df.select(
             F.col(id_col).alias("id"),
-            F.array_distinct(tokens(text_col)).alias("toks"))
+            _hashed_token_set(text_col).alias("toks"))
         ja = tok_arr.select(F.col("id").alias("id_a"),
                             F.col("toks").alias("toks_a"))
         jb = tok_arr.select(F.col("id").alias("id_b"),
@@ -353,7 +374,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              .select("id_a", "id_b").distinct())
     tok_arr = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens(text_col)).alias("toks")) \
+        _hashed_token_set(text_col).alias("toks")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     result = (
         _verify_jaccard(cands, tok_arr, threshold)
@@ -773,8 +794,11 @@ def build_corpus_index(corpus: DataFrame, text_col: str = "text",
     cb = (banded_signatures(corpus, text_col, id_col, num_perm, bands,
                             seed)
           .select(F.col("id").alias("cid"), "band", "sig"))
+    # hashed token sets (round 10): primitive-path intersect in the
+    # verify, and the persisted index table is int64 arrays instead of
+    # strings — smaller on disk and through the probe join
     ctoks = corpus.select(F.col(id_col).alias("cid"),
-                          F.array_distinct(tokens(text_col)).alias("toks_c"))
+                          _hashed_token_set(text_col).alias("toks_c"))
     return {"hash": c_hash, "bands": cb, "toks": ctoks}
 
 
@@ -823,12 +847,20 @@ def incremental_dedup(corpus: DataFrame, delta: DataFrame,
              .select("id", "cid").distinct())
 
     dtoks = surv.select(F.col(id_col).alias("id"),
-                        F.array_distinct(tokens(text_col)).alias("toks_d"))
-    jac = (F.size(F.array_intersect("toks_d", "toks_c")).cast("double")
-           / (F.size("toks_d") + F.size("toks_c")
-              - F.size(F.array_intersect("toks_d", "toks_c"))))
-    near = (cands.join(dtoks, "id").join(index["toks"], "cid")
-            .where(jac >= threshold)
+                        _hashed_token_set(text_col).alias("toks_d"))
+    # compute the intersect ONCE per candidate behind the pushdown
+    # barrier (round 10 — the same 3×-intersect hazard _compute_once
+    # fixes in the batch verify applies to the delta probe)
+    stats = (cands.join(dtoks, "id").join(index["toks"], "cid")
+             .select("id", "cid",
+                     _compute_once(
+                         F.size(F.array_intersect("toks_d", "toks_c")))
+                     .alias("inter"),
+                     F.size("toks_d").alias("sz_d"),
+                     F.size("toks_c").alias("sz_c")))
+    jac = (F.col("inter").cast("double")
+           / (F.col("sz_d") + F.col("sz_c") - F.col("inter")))
+    near = (stats.where(jac >= threshold)
             .groupBy("id").agg(F.min("cid").alias("near_match")))
 
     return (d1.join(near, "id", "left")
