@@ -89,11 +89,15 @@ _FRONT = [
 #                        + connected_components byte-bounded local
 #                        threshold for string ids (ADVICE r09);
 #   sim_pair_pack      — member dedup_minhash_lsh, same refactor;
-#   dedup_cluster_pack — member dedup_components, same CC change.
+#   dedup_cluster_pack — member dedup_components, same CC change +
+#                        incremental probe hashed verify;
+#   dedup_jaccard / dedup_containment — hashed-token exact verify
+#                        (int64 sets, 2× kernel; BASELINE round-10).
 # (text_contam_bloom also changed — ndarray bitset literal — but it
 # sits IN the r10 window at slot 3 and gets its green this round.)
 _POST_WINDOW_NEW: list[str] = [
     "curation_funnel", "sim_pair_pack", "dedup_cluster_pack",
+    "dedup_jaccard", "dedup_containment",
 ]
 # The rotate-out tail: the r09 window queries (every name carries a
 # green CORRECTNESS_r09 row). They are next round's re-verification
