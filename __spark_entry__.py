@@ -95,9 +95,13 @@ _FRONT = [
 #                        (int64 sets, 2× kernel; BASELINE round-10).
 # (text_contam_bloom also changed — ndarray bitset literal — but it
 # sits IN the r10 window at slot 3 and gets its green this round.)
+# NEW this round:
+#   text_gopher_flags — the Gopher/MassiveText quality rule set
+#                       (text.py:gopher_flags; full DuckDB oracle,
+#                       hash-verified locally + planted-rule tests).
 _POST_WINDOW_NEW: list[str] = [
     "curation_funnel", "sim_pair_pack", "dedup_cluster_pack",
-    "dedup_jaccard", "dedup_containment",
+    "dedup_jaccard", "dedup_containment", "text_gopher_flags",
 ]
 # The rotate-out tail: the r09 window queries (every name carries a
 # green CORRECTNESS_r09 row). They are next round's re-verification

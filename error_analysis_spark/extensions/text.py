@@ -934,3 +934,90 @@ def corpus_line_dedup(df: DataFrame, text_col: str = "text",
                  .alias("n_lines_kept"),
                 F.coalesce("n_lines_removed", F.lit(0).cast("long"))
                  .alias("n_lines_removed")))
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (round 10)
+# --------------------------------------------------------------------------
+
+# the 8-word English stop list of the Gopher rule "document contains at
+# least two of ..." (Rae et al. 2021, arXiv:2112.11446 appendix A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The Gopher/MassiveText QUALITY rule set (Rae et al. 2021,
+    arXiv:2112.11446 A1.1) — the document-level heuristics every large
+    pretraining pipeline runs before dedup, complementing the
+    repetition family in `repetition_stats`:
+
+    - `n_words`             — whitespace tokens; rule 50 ≤ n ≤ 100,000
+    - `mean_word_len`       — rule 3 ≤ mean ≤ 10
+    - `symbol_word_ratio`   — (# count + ... count) / words; rule ≤ 0.1
+    - `bullet_line_frac`    — non-blank lines starting with •/-/*;
+                              rule ≤ 0.9
+    - `ellipsis_line_frac`  — non-blank lines ending with ... or …;
+                              rule ≤ 0.3
+    - `alpha_word_frac`     — words containing ≥1 [A-Za-z]; rule ≥ 0.8
+    - `n_stop_hits`         — distinct members of the 8-word stop list
+                              present; rule ≥ 2
+    - `passes_gopher`       — AND of all rules, NULL-safe (a doc with
+                              no words/lines FAILS, never NULLs)
+
+    Pure row-local expressions — no shuffle, no UDF; the plan is a
+    projection over the corpus scan at any scale. Ratios are rounded
+    to 6 decimals and the pass flag derives from the ROUNDED values,
+    so an oracle engine computing the same arithmetic lands on the
+    identical booleans."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    mean_wl = F.when(n_words > 0, F.round(
+        F.aggregate(F.transform(toks, lambda w: F.length(w)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).cast("double") / n_words, 6))
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.expr(
+        f"replace({text_col}, '#', '')"))
+    n_ell = (F.length(txt) - F.length(F.expr(
+        f"replace({text_col}, '...', '')"))) / 3
+    sym_ratio = F.when(n_words > 0,
+                       F.round((n_hash + n_ell) / n_words, 6))
+    lines = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    bullet = F.when(n_lines > 0, F.round(
+        F.size(F.filter(lines, lambda ln: F.substring(
+            F.ltrim(ln), 1, 1).isin("•", "-", "*")))
+        .cast("double") / n_lines, 6))
+    ell_line = F.when(n_lines > 0, F.round(
+        F.size(F.filter(lines, lambda ln:
+                        F.rtrim(ln).endswith("...")
+                        | F.rtrim(ln).endswith("…")))
+        .cast("double") / n_lines, 6))
+    alpha = F.when(n_words > 0, F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        .cast("double") / n_words, 6))
+    stops = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet.alias("bullet_line_frac"),
+        ell_line.alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+        stops.cast("long").alias("n_stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stop_hits") >= 2))
+    return out.withColumn("passes_gopher", F.coalesce(passes,
+                                                      F.lit(False)))

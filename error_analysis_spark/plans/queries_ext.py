@@ -649,6 +649,72 @@ FROM t
 """
 
 
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set
+    (text.py:gopher_flags — Rae et al. 2021 A1.1): word-count bounds,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-list hits, and the combined pass
+    flag. Row-local projection over one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.gopher_flags(docs)
+
+
+GOPHER_FLAGS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+             AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           round(CAST(list_sum(list_transform(toks, w -> length(w)))
+                      AS DOUBLE) / len(toks), 6)
+         END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           round((CAST(length(text) - length(replace(text, '#', ''))
+                       AS DOUBLE)
+                  + (length(text) - length(replace(text, '...', ''))) / 3.0
+                  ) / len(toks), 6)
+         END AS symbol_word_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           round(CAST(len(list_filter(lines,
+                    x -> substr(ltrim(x), 1, 1) IN ('•', '-', '*')))
+                 AS DOUBLE) / len(lines), 6)
+         END AS bullet_line_frac,
+         CASE WHEN len(lines) > 0 THEN
+           round(CAST(len(list_filter(lines,
+                    x -> right(rtrim(x), 3) = '...'
+                         OR right(rtrim(x), 1) = '…'))
+                 AS DOUBLE) / len(lines), 6)
+         END AS ellipsis_line_frac,
+         CASE WHEN len(toks) > 0 THEN
+           round(CAST(len(list_filter(toks,
+                    w -> regexp_matches(w, '[A-Za-z]')))
+                 AS DOUBLE) / len(toks), 6)
+         END AS alpha_word_frac,
+         CAST(len(list_intersect(
+             list_distinct(list_transform(toks, w -> lower(w))),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+             AS BIGINT) AS n_stop_hits
+  FROM t
+)
+SELECT *,
+       coalesce(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_word_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND n_stop_hits >= 2, false) AS passes_gopher
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Exact pairwise k-NN (brute-force baseline for ANN)
 # --------------------------------------------------------------------------
@@ -3778,6 +3844,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
+    "text_gopher_flags": (text_gopher_flags, GOPHER_FLAGS_SQL),
     "sim_pairwise_topk": (sim_pairwise_topk, PAIRWISE_KNN_SQL),
     "dedup_embedding": (dedup_embedding, EMB_DEDUP_SQL),
     "mm_payload_stats": (mm_payload_stats, MM_STATS_SQL),

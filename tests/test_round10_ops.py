@@ -90,3 +90,36 @@ def test_ivfpq_rerank_shortlist_cap(spark):
     with pytest.raises(ValueError, match="shortlist"):
         query_ivfpq(spark, "/nonexistent", [0.0, 1.0], k=10,
                     rerank_source=spark.range(1), shortlist=20_000)
+
+
+def test_gopher_flags_rules_fire_individually(spark):
+    """Planted docs: each Gopher rule trips exactly where designed
+    (Rae et al. 2021 A1.1); the good doc passes all of them."""
+    from error_analysis_spark.extensions.text import gopher_flags
+    good = ("the quick brown fox jumps over that lazy dog have with "
+            "words " * 8).strip()          # 88 words, stopwords, alpha
+    short = "the quick brown fox have"     # < 50 words
+    symbols = " ".join(["###word"] * 60)   # symbol ratio 3.0
+    bullets = "\n".join(["• item " + ("word " * 9).strip()] * 10)
+    ellipses = "\n".join([("word " * 10).strip() + " ..."] * 10)
+    numeric = ("the of " + " ".join(str(i) for i in range(60)))
+    nostops = " ".join(["alpha beta gamma delta"] * 15)
+    rows = [(1, good), (2, short), (3, symbols), (4, bullets),
+            (5, ellipses), (6, numeric), (7, nostops)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_flags(df).collect()}
+    assert got[1]["passes_gopher"] is True
+    assert got[2]["n_words"] < 50 and got[2]["passes_gopher"] is False
+    assert got[3]["symbol_word_ratio"] > 0.1 \
+        and got[3]["passes_gopher"] is False
+    assert got[4]["bullet_line_frac"] == 1.0 \
+        and got[4]["passes_gopher"] is False
+    assert got[5]["ellipsis_line_frac"] == 1.0 \
+        and got[5]["passes_gopher"] is False
+    assert got[6]["alpha_word_frac"] < 0.8 \
+        and got[6]["passes_gopher"] is False
+    assert got[7]["n_stop_hits"] < 2 and got[7]["passes_gopher"] is False
+    # degenerate: empty text fails, never NULLs
+    empty = gopher_flags(spark.createDataFrame(
+        [(9, " ")], "doc_id long, text string")).collect()[0]
+    assert empty["passes_gopher"] is False
