@@ -99,9 +99,12 @@ _FRONT = [
 #   text_gopher_flags — the Gopher/MassiveText quality rule set
 #                       (text.py:gopher_flags; full DuckDB oracle,
 #                       hash-verified locally + planted-rule tests).
+#   text_c4_clean     — the C4 cleaning recipe (text.py:c4_clean;
+#                       full DuckDB oracle + planted-rule tests).
 _POST_WINDOW_NEW: list[str] = [
     "curation_funnel", "sim_pair_pack", "dedup_cluster_pack",
     "dedup_jaccard", "dedup_containment", "text_gopher_flags",
+    "text_c4_clean",
 ]
 # The rotate-out tail: the r09 window queries (every name carries a
 # green CORRECTNESS_r09 row). They are next round's re-verification

@@ -1021,3 +1021,52 @@ def gopher_flags(df: DataFrame, text_col: str = "text",
         & (F.col("n_stop_hits") >= 2))
     return out.withColumn("passes_gopher", F.coalesce(passes,
                                                       F.lit(False)))
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_kept_lines: int = 3,
+             min_words_per_line: int = 5) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2, the other
+    canonical public corpus-cleaning recipe next to Gopher's): line-
+    level filters compose a cleaned document, then document-level
+    drops.
+
+    Line keeps (all must hold): ends in terminal punctuation
+    (. ! ? ") after right-trim; at least `min_words_per_line`
+    whitespace words; does not mention javascript (case-insensitive —
+    the boilerplate-warning line killer).
+
+    Document drops: fewer than `min_kept_lines` surviving lines (the
+    paper's three-sentence minimum, approximated at line grain —
+    terminal-punctuated lines ≈ sentences in web text; documented
+    approximation); contains "lorem ipsum" (lowercased); contains a
+    curly brace (code leakage).
+
+    Returns (doc_id, clean_text = kept lines joined by newline,
+    n_lines_in, n_lines_kept, has_lorem, has_brace, kept). Pure
+    row-local array expressions — one projection over the corpus scan,
+    no shuffle, no UDF; at 100 TB this is a map-only pass whose output
+    feeds the quality/dedup stages."""
+    txt = F.col(text_col)
+    lines = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+
+    def line_ok(ln):
+        r = F.rtrim(ln)
+        terminal = F.substring(r, -1, 1).isin(".", "!", "?", "\"")
+        words = F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+        no_js = ~F.lower(ln).contains("javascript")
+        return terminal & (words >= min_words_per_line) & no_js
+
+    kept_lines = F.filter(lines, line_ok)
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    has_brace = txt.contains("{") | txt.contains("}")
+    n_kept = F.size(kept_lines)
+    kept = (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines_in"),
+        n_kept.cast("long").alias("n_lines_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        F.coalesce(kept, F.lit(False)).alias("kept"))

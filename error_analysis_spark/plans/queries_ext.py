@@ -715,6 +715,47 @@ FROM m
 """
 
 
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (text.py:c4_clean — Raffel et al. 2020
+    §2.2): terminal-punctuation + min-words + no-javascript line
+    filters composing a cleaned document, then the lorem-ipsum /
+    curly-brace / min-kept-lines document drops. One map-only pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.c4_clean(docs)
+
+
+C4_CLEAN_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+             AS lines
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, x ->
+             right(rtrim(x), 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                 w -> w <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept_lines
+  FROM t
+)
+SELECT doc_id,
+       -- DuckDB's array_to_string is NULL on an empty list where
+       -- Spark's array_join is '' — canonicalize to ''
+       coalesce(array_to_string(kept_lines, chr(10)), '') AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines_in,
+       CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       (contains(text, '{') OR contains(text, '}')) AS has_brace,
+       coalesce(len(kept_lines) >= 3
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT (contains(text, '{') OR contains(text, '}')),
+                false) AS kept
+FROM k
+"""
+
+
 # --------------------------------------------------------------------------
 # Exact pairwise k-NN (brute-force baseline for ANN)
 # --------------------------------------------------------------------------
@@ -3845,6 +3886,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_gopher_flags": (text_gopher_flags, GOPHER_FLAGS_SQL),
+    "text_c4_clean": (text_c4_clean, C4_CLEAN_SQL),
     "sim_pairwise_topk": (sim_pairwise_topk, PAIRWISE_KNN_SQL),
     "dedup_embedding": (dedup_embedding, EMB_DEDUP_SQL),
     "mm_payload_stats": (mm_payload_stats, MM_STATS_SQL),

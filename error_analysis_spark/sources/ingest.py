@@ -185,3 +185,27 @@ def write_compacted(df: DataFrame, path: str,
          .parquet(path))
     finally:
         df.unpersist()
+
+
+# --------------------------------------------------------------------------
+# ORC documents source/sink (round 10 — the columnar interchange
+# sibling of parquet; Hive-ecosystem corpora arrive in it)
+# --------------------------------------------------------------------------
+
+def write_documents_orc(df: DataFrame, path: str, mode: str = "overwrite",
+                        compression: str = "zstd") -> None:
+    """ORC sink. Same scale posture as the parquet tables: columnar,
+    splittable stripes, min/max stripe statistics that serve predicate
+    pushdown exactly like parquet row groups. zstd by default (ORC's
+    zlib default trades too much CPU at read time)."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str,
+                       schema: str = DOCUMENTS_SCHEMA) -> DataFrame:
+    """Schema-pinned ORC scan — the explicit schema skips footer-based
+    inference pre-passes on wide corpora and pins column types across
+    heterogeneous shard generations. Filters and column pruning push
+    into the ORC reader the same way they do for parquet
+    (PushedFilters / ReadSchema in the scan node)."""
+    return spark.read.schema(schema).orc(path)

@@ -123,3 +123,60 @@ def test_gopher_flags_rules_fire_individually(spark):
     empty = gopher_flags(spark.createDataFrame(
         [(9, " ")], "doc_id long, text string")).collect()[0]
     assert empty["passes_gopher"] is False
+
+
+def test_c4_clean_rules_fire_individually(spark):
+    """Planted docs per C4 rule (Raffel et al. 2020 §2.2): line filters
+    (terminal punctuation, ≥5 words, no javascript) and document drops
+    (lorem ipsum, curly braces, <3 kept lines)."""
+    from error_analysis_spark.extensions.text import c4_clean
+    rows = [
+        (1, "This is a good sentence with many words here.\n"
+            "Another proper sentence that ends with punctuation too.\n"
+            "And one more full sentence to pass the minimum bar."),
+        (2, "short line\nno punct here\ntiny"),
+        (3, "Lorem ipsum dolor sit amet something longer here.\n"
+            "A second proper sentence for the document body now.\n"
+            "A third proper sentence for the document body now."),
+        (4, "function f() { return 1; } is code in this doc.\n"
+            "A second proper sentence for the document body now.\n"
+            "A third proper sentence for the document body now."),
+        (5, "Enable JavaScript to view this page properly please.\n"
+            "A second proper sentence for the document body now.\n"
+            "A third proper sentence for the document body now.\n"
+            "A fourth proper sentence for the document body now."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert got[1]["kept"] is True and got[1]["n_lines_kept"] == 3
+    assert got[2]["kept"] is False and got[2]["n_lines_kept"] == 0
+    assert got[3]["kept"] is False and got[3]["has_lorem"] is True
+    assert got[4]["kept"] is False and got[4]["has_brace"] is True
+    # the javascript LINE is dropped but the doc survives on the rest
+    assert got[5]["kept"] is True and got[5]["n_lines_kept"] == 3
+    assert "JavaScript" not in got[5]["clean_text"]
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source/sink: schema-pinned round-trip is lossless and both
+    predicate pushdown and column pruning reach the ORC scan node —
+    the same scale contract as the parquet tables."""
+    from error_analysis_spark.sources.ingest import (
+        read_documents_orc, write_documents_orc)
+    from error_analysis_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, path)
+    back = read_documents_orc(spark, path)
+    assert back.count() == docs.count()
+    a = docs.agg(F.expr("bit_xor(xxhash64(doc_id, text))")).first()[0]
+    b = back.agg(F.expr("bit_xor(xxhash64(doc_id, text))")).first()[0]
+    assert a == b
+    plan = (back.where(F.col("doc_id") < 100).select("doc_id", "lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100" in plan, \
+        plan
+    import re
+    rs = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "text" not in rs, rs  # pruned to the projected columns
