@@ -55,14 +55,20 @@ def contamination_report(docs: DataFrame, bench: DataFrame, n: int = 8,
     appear anywhere in `bench`, `contam_frac` their ratio (NULL for
     docs shorter than n tokens), `contaminated` = frac ≥ threshold.
     """
-    doc_grams = docs.select(
+    # Round 11: the per-doc gram total comes straight off the
+    # UN-exploded array (doc_id is unique, so the old
+    # explode_outer → groupBy(max) pass computed the same value the
+    # expression already holds) — one explode pass + one exchange
+    # removed; the exploded stream now exists only for the match
+    # semi-join (explode, not explode_outer: a zero-gram doc's NULL
+    # hash row can never equal-match, so dropping it changes nothing).
+    doc_base = docs.select(
         F.col(id_col).alias("doc_id"),
-        ngram_array(text_col, n).alias("grams"),
-    ).select(
-        "doc_id", F.size("grams").alias("n_grams"),
-        F.explode_outer(F.transform(
-            F.col("grams"), _gram_hash)).alias("gh"),
-    )
+        ngram_array(text_col, n).alias("grams"))
+    doc_grams = doc_base.select(
+        "doc_id",
+        F.explode(F.transform(F.col("grams"), _gram_hash)).alias("gh"))
+    per_doc = doc_base.select("doc_id", F.size("grams").alias("n_grams"))
     bench_grams = (bench
                    .select(F.explode(ngram_array(text_col, n)).alias("g"))
                    .select(_gram_hash(F.col("g")).alias("gh"))
@@ -70,8 +76,6 @@ def contamination_report(docs: DataFrame, bench: DataFrame, n: int = 8,
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
     matched = doc_grams.join(bench_grams, "gh", "left_semi")
-    per_doc = (doc_grams.groupBy("doc_id")
-               .agg(F.max("n_grams").alias("n_grams")))
     n_match = (matched.groupBy("doc_id")
                .agg(F.count("*").alias("n_matched")))
     frac = F.when(F.col("n_grams") > 0,

@@ -464,9 +464,12 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     eff_threshold = local_threshold
     if id_type not in ("tinyint", "smallint", "int", "bigint",
                        "float", "double"):
+        # octet_length, not length: the bound is Arrow-transfer BYTES,
+        # and multibyte UTF-8 ids undercount by up to 4x under
+        # character counting (ADVICE r10)
         sample = und.select(
-            F.avg(F.length(F.col("id_a").cast("string"))
-                  + F.length(F.col("id_b").cast("string")))
+            F.avg(F.octet_length(F.col("id_a").cast("string"))
+                  + F.octet_length(F.col("id_b").cast("string")))
             .alias("w")).collect()
         avg_pair_bytes = float(sample[0]["w"] or 16.0)
         eff_threshold = max(int(local_threshold * 16.0 / avg_pair_bytes),
@@ -834,6 +837,20 @@ def incremental_dedup(corpus: DataFrame, delta: DataFrame,
     if index is None:
         index = build_corpus_index(corpus, text_col, id_col, num_perm,
                                    bands, seed)
+    else:
+        # Probe-time format detection (ADVICE r10): an index saved
+        # BEFORE round 10 carries string-array toks_c; the verify
+        # below intersects against int64-hashed toks_d, so hash the
+        # old format up to the current one here instead of failing
+        # with an array_intersect type mismatch.
+        toks_c_type = index["toks"].schema["toks_c"].dataType
+        elem = getattr(toks_c_type, "elementType", None)
+        if elem is not None and elem.simpleString() == "string":
+            index = dict(index)
+            index["toks"] = index["toks"].select(
+                "cid", F.transform(F.col("toks_c"),
+                                   lambda t: _md5_long(t))
+                .alias("toks_c"))
     d = delta.select(F.col(id_col).alias("id"),
                      F.col(text_col).alias("_text"),
                      F.md5(text_col).alias("_h"))

@@ -244,16 +244,24 @@ def block_cosine_topk(embeddings: DataFrame, k: int = 5,
         out = pd.concat(frames) if frames else pd.DataFrame(
             columns=["id_a", "id_b", "sim"])
         if ba == bb:
-            # symmetric: emit both directions from the one matrix
+            # symmetric: emit both directions from the one matrix, and
+            # dedupe HERE (round 11): a directed pair can only repeat
+            # inside this diagonal block (row i's cut emits (i,j) and
+            # the swap of row j's cut re-emits it; every unordered pair
+            # lives in exactly one (ba, bb) group, and cross blocks
+            # emit each direction once), so the pandas drop_duplicates
+            # replaces a full Spark dropDuplicates exchange over the
+            # candidate stream. Duplicate rows carry the identical
+            # rounded sim, so which copy survives is immaterial.
             out = pd.concat([out, out.rename(
                 columns={"id_a": "id_b", "id_b": "id_a"})])
+            out = out.drop_duplicates(subset=["id_a", "id_b"])
         return out
 
     cand = (fanned.groupBy("ba", "bb")
             .applyInPandas(gemm, "id_a long, id_b long, sim double"))
     w = W.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b").asc())
-    return (cand.dropDuplicates(["id_a", "id_b"])
-            .withColumn("rk", F.row_number().over(w))
+    return (cand.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k))
 
 
@@ -283,6 +291,19 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42
                 "empty DataFrame / NULL first vector — pass dim=...")
         dim = len(head[0])
 
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _hyperplane_bucket_expr(emb, n_planes, seed, dim).alias("bucket"))
+
+
+def _hyperplane_bucket_expr(emb: Column, n_planes: int, seed: int,
+                            dim: int) -> Column:
+    """The bucket COLUMN of `hyperplane_buckets` (factored out in round
+    11 so `lsh_topk` can stack all its tables' buckets in one
+    projection): bit_j = sign(v·h_j) with the literal-folded md5 plane
+    weights."""
+    import hashlib
+
     def weight(j: int, i: int) -> float:
         h = hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()
         return int(h[:8], 16) / float(1 << 32) - 0.5
@@ -292,7 +313,7 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 42
         plane = F.array(*[F.lit(weight(j, i)) for i in range(dim)])
         proj = dot(emb, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(0)
-    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return bucket
 
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -363,16 +384,29 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 10,
     if head is None or head[0] is None:
         raise ValueError("lsh_topk: empty DataFrame / NULL first vector")
     dim = len(head[0])
-    cand = None
-    for t in range(n_tables):
-        bk = hyperplane_buckets(embeddings, n_planes, seed + 1000 * t,
-                                vec_col, id_col, dim=dim)
-        a = bk.select(F.col("id").alias("id_a"), "bucket")
-        b = bk.select(F.col("id").alias("id_b"), "bucket")
-        p = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")) \
-             .select("id_a", "id_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # ONE banded frame + ONE self-join (round 11): all n_tables bucket
+    # keys stack into a (id, t, bucket) explode and the candidate set
+    # is a single self-join on (t, bucket) — identical pairs (a pair
+    # is a candidate iff it shares a bucket in SOME table, exactly the
+    # per-table-join ∪ distinct), but n_tables joins + union + distinct
+    # collapse to one join + distinct and the bucket projection runs
+    # once instead of 2×n_tables times.
+    emb_d = _as_double(F.col(vec_col))
+    banded = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     _hyperplane_bucket_expr(
+                         emb_d, n_planes, seed + 1000 * t, dim)
+                     .alias("bucket"))
+            for t in range(n_tables)])).alias("tb")) \
+        .select("id", F.col("tb.t").alias("t"),
+                F.col("tb.bucket").alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "t", "bucket")
+    cand = (a.join(b, ["t", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
     normed = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("n", l2_norm(F.col("v")))

@@ -495,13 +495,25 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     determinism: per-token ln p is fixed-pointed to 1e-6 before any
     order-sensitive sum.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+
     toks = tokens(text_col)
     base = (df.select(F.col(id_col), toks.alias("toks"))
             .where(F.size("toks") > 0))
-    pairs = (base.select(F.col(id_col),
-                         F.explode(count_by_value("toks")).alias("p"))
-        .select(F.col(id_col), F.col("p.v").alias("token"),
-                F.col("p.c").cast("long").alias("c")))
+    # The compact (doc, token, count) stream is pinned (round 11,
+    # cachereg-tracked lazy persist): it feeds the vocab aggregate AND
+    # the scoring join, and without the pin each consumer re-runs the
+    # scan + tokenize + count_by_value pipeline (the dominant per-row
+    # kernel — count_by_value is O(|distinct|·|toks|) per doc). The
+    # pinned frame is per-doc-distinct longs/strings — far smaller
+    # than the corpus text; MEMORY_AND_DISK spills, never recomputes.
+    pairs = track((base.select(F.col(id_col),
+                               F.explode(count_by_value("toks")).alias("p"))
+                   .select(F.col(id_col), F.col("p.v").alias("token"),
+                           F.col("p.c").cast("long").alias("c")))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
     vocab = pairs.groupBy("token").agg(F.sum("c").alias("ct"))
     totals_row = vocab.agg(F.sum("ct").alias("n_total"),
                            F.count("*").alias("v_size"))
@@ -542,6 +554,10 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     Docs with < 2 tokens carry no bigram and are absent from the
     output (the caller left-joins if it needs them flagged).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+
     toks = tokens(text_col)
     base = (df.select(F.col(id_col), toks.alias("toks"))
             .where(F.size("toks") >= 2))
@@ -552,10 +568,15 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         F.expr("zip_with(slice(toks, 1, size(toks) - 1),"
                " slice(toks, 2, size(toks) - 1),"
                " (a, b) -> concat(a, ' ', b))").alias("grams"))
-    pairs = (grams.select(F.col(id_col),
-                          F.explode(count_by_value("grams")).alias("p"))
-             .select(F.col(id_col), F.col("p.v").alias("bigram"),
-                     F.col("p.c").cast("long").alias("c")))
+    # pinned for the same reason as unigram_logprob's pairs (round
+    # 11): the stream feeds the bigram-count aggregate AND the scoring
+    # join, and each unpinned consumer re-runs scan + tokenize +
+    # zip_with + count_by_value (3 full corpus passes in the plan).
+    pairs = track((grams.select(F.col(id_col),
+                                F.explode(count_by_value("grams")).alias("p"))
+                   .select(F.col(id_col), F.col("p.v").alias("bigram"),
+                           F.col("p.c").cast("long").alias("c")))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
     bi = pairs.groupBy("bigram").agg(F.sum("c").alias("c12"))
     prefix = (bi.withColumn("w1", F.substring_index("bigram", " ", 1))
               .groupBy("w1").agg(F.sum("c12").alias("c1")))
@@ -599,14 +620,20 @@ def tfidf_topk_per_doc(df: DataFrame, k: int = 3,
     corpus-wide funnel.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
 
     toks = tokens(text_col)
     base = (df.select(F.col(id_col), toks.alias("toks"))
             .where(F.size("toks") > 0))
-    pairs = (base.select(F.col(id_col),
-                         F.explode(count_by_value("toks")).alias("p"))
-             .select(F.col(id_col), F.col("p.v").alias("token"),
-                     F.col("p.c").cast("long").alias("tf")))
+    # pinned (round 11): feeds the df aggregate AND the scoring join —
+    # same rationale as unigram_logprob's pinned pairs stream.
+    pairs = track((base.select(F.col(id_col),
+                               F.explode(count_by_value("toks")).alias("p"))
+                   .select(F.col(id_col), F.col("p.v").alias("token"),
+                           F.col("p.c").cast("long").alias("tf")))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
     dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
     n_row = base.agg(F.count("*").alias("n_docs"))
     idf_fp = F.round((F.log((F.col("n_docs") + 1).cast("double")

@@ -27,6 +27,17 @@ def get_spark(app_name: str = "error_analysis_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Round 11 (guide §3.1/§9): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions hold, and let AQE
+        # rewrite SMJ→SHJ at runtime when every post-shuffle partition
+        # is small — skips both sorts of big-big joins (the tpch pack
+        # lineitem⋈orders shapes). Identical join semantics; the 256 MB
+        # per-partition bound keeps the hash build safely in task
+        # memory at any scale (partition sizing, not core count,
+        # governs it — valid on a cluster, not a local[32] trick).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "256m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -23,6 +23,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Session-scoped PLAN memo (round 11): every spark.read.parquet
+    # call runs a 1-task schema-inference job against the file footer
+    # (~0.1-0.4 s of pure fixed cost), and the engine's query registry
+    # calls load_table hundreds of times per session on the same ten
+    # static tables. Memoizing the LAZY DataFrame on the session object
+    # is the catalog-registration a production deployment does once at
+    # startup — the parquet scan itself still executes fresh on every
+    # action (nothing about results or data is cached; kept per-session
+    # so a foreign driver session never sees another session's plans).
+    # Caveat: the memoized plan pins the file listing snapshot —
+    # correct for the driver's immutable testdata tables; paths whose
+    # contents mutate mid-session must not go through this loader.
+    cache = getattr(spark, "_ea_table_plans", None)
+    if cache is None:
+        cache = {}
+        spark._ea_table_plans = cache
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
@@ -31,6 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ~1.6%% of rows land one microsecond off the exact value
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    cache[key] = df
     return df
 
 

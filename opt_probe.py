@@ -60,11 +60,24 @@ def main() -> None:
     # warm the JVM once (same as bench.py)
     qs["a8_rms"](spark, sf_dir).collect()
 
+    def job_stats():
+        """(n_jobs, n_stages) submitted so far — deterministic plan-
+        shape evidence immune to the host's ambient-contention noise."""
+        tracker = spark.sparkContext._jsc.sc().statusTracker()
+        jids = tracker.getJobIdsForGroup(None)
+        n_stages = 0
+        for j in jids:
+            info = tracker.getJobInfo(j)
+            if info.nonEmpty():
+                n_stages += len(info.get().stageIds())
+        return len(jids), n_stages
+
     for name in names:
         if name not in qs:
             print(f"!! unknown query {name}")
             continue
         ts = []
+        j0, s0 = job_stats()
         for r in range(runs):
             spark.sparkContext.setJobDescription(f"probe:{name}:run{r}")
             t0 = time.perf_counter()
@@ -73,13 +86,16 @@ def main() -> None:
                  else len(df.collect()))
             ts.append(round(time.perf_counter() - t0, 3))
             _ = n
+            if r == 0:
+                j1, s1 = job_stats()
         if plans_suffix:
             df = qs[name](spark, sf_dir)
             path = os.path.join(plans_dir, f"{name}_{plans_suffix}.txt")
             with open(path, "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
-        print(f"## {name}: runs={ts} min={min(ts)}")
+        print(f"## {name}: runs={ts} min={min(ts)} "
+              f"jobs={j1 - j0} stages={s1 - s0}")
     spark.stop()
 
 
