@@ -27,17 +27,14 @@ def get_spark(app_name: str = "error_analysis_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Round 11 (guide §3.1/§9): let the planner pick shuffled-hash
-        # over sort-merge when its size conditions hold, and let AQE
-        # rewrite SMJ→SHJ at runtime when every post-shuffle partition
-        # is small — skips both sorts of big-big joins (the tpch pack
-        # lineitem⋈orders shapes). Identical join semantics; the 256 MB
-        # per-partition bound keeps the hash build safely in task
-        # memory at any scale (partition sizing, not core count,
-        # governs it — valid on a cluster, not a local[32] trick).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                "256m")
+        # Round 11 note: preferSortMergeJoin=false +
+        # maxShuffledHashJoinLocalMapThreshold=256m (guide §3.1/§9) was
+        # TRIED and REVERTED — a controlled same-box A/B showed it
+        # consistently 2-3×-ing several join-shaped queries
+        # (so3_full_outer 0.22→0.80 s, sketch_grouped_quantiles
+        # 0.52→1.09 s, a5_mean_variogram 0.98→2.44 s min-of-3 warm)
+        # with no reproducible win on the tpch packs at bench scale.
+        # Measurement over theory (guide §1.2: config comes last).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
