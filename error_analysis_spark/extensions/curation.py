@@ -119,7 +119,13 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     keep = comp.where(F.col("id") == F.col("component")) \
         .select(F.col("id").alias(id_col))
     s4 = s3.join(keep, id_col, "left_semi")
-    n4 = s4.count()
+    # |s4| == |keep| by construction (every component label is an s3
+    # vertex id and keep ids are distinct), so the stage count comes
+    # off the label frame — one job over the labels + the bounded
+    # isolated anti-join instead of a second full semi-join pass over
+    # the s3 cache (round 11). `kept` below still derives from the
+    # lazy s4 for consumers that materialize rows.
+    n4 = keep.count()
 
     # 5. token budget on survivors (lazy — consumers read the s3 cache)
     kept = s4.withColumn(

@@ -311,13 +311,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         (F.max("count").cast("double") / F.sum("count")).alias("top_frac"),
         ((F.sum("count") - F.count("*")).cast("double")
          / F.sum("count")).alias("dup_frac"))
-    two = per.where(F.col("n") == 2).select(
-        "doc_id", F.col("top_frac").alias("top_2gram_frac"))
-    five = per.where(F.col("n") == 5).select(
-        "doc_id", F.col("dup_frac").alias("dup_5gram_frac"))
+    # one conditional rollup + ONE join instead of two filtered joins
+    # (round 11): `per` holds at most one row per (doc, n), so the
+    # max(when(n=..)) pick is exactly the old filter+join value —
+    # NULL when the doc was too short for that n, as before.
+    sig = per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("top_frac")))
+        .alias("top_2gram_frac"),
+        F.max(F.when(F.col("n") == 5, F.col("dup_frac")))
+        .alias("dup_5gram_frac"))
     return (base.select("doc_id", "dup_line_frac")
-            .join(two, "doc_id", "left")
-            .join(five, "doc_id", "left"))
+            .join(sig, "doc_id", "left"))
 
 
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
