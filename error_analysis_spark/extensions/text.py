@@ -429,9 +429,17 @@ def dup_ngram_stats(df: DataFrame, n: int = 8, text_col: str = "text",
         f"transform(sequence(1, size(toks) - {n - 1}),"
         f" i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))")
     g = base.select(F.col(id_col), ghash.alias("gh"))
-    dg = (g.select(id_col, F.explode(count_by_value("gh")).alias("p"))
-        .select(F.col(id_col), F.col("p.v").alias("gram"),
-                F.col("p.c").alias("c")))
+    # pinned (round 11): the (doc, gram_hash, count) stream feeds the
+    # doc-frequency aggregate AND the scoring join — same rationale as
+    # unigram_logprob's pinned pairs (without the pin each consumer
+    # re-runs scan + tokenize + 8-gram hashing + count_by_value).
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+    dg = track((g.select(id_col, F.explode(count_by_value("gh")).alias("p"))
+                .select(F.col(id_col), F.col("p.v").alias("gram"),
+                        F.col("p.c").alias("c")))
+               .persist(StorageLevel.MEMORY_AND_DISK))
     gdf = dg.groupBy("gram").agg(F.count("*").alias("doc_freq"))
     per_doc = (dg.join(gdf, "gram")
                .groupBy(id_col)
