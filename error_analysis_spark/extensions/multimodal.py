@@ -1071,6 +1071,88 @@ def audio_fingerprint(assets: DataFrame, batch_rows: int = 16) -> DataFrame:
     return aud.mapInPandas(run, AFP_SCHEMA)
 
 
+FUSED_MM_SCHEMA = ("asset_id bigint, kind string, n_bytes int, "
+                   "shape array<int>, decode_src string, "
+                   "phash bigint, afp bigint, af_src string")
+
+
+def fused_asset_fingerprints(assets: DataFrame,
+                             batch_rows: int = 16) -> DataFrame:
+    """ONE decode pass serving mm_pack's three Python stages (round-11
+    optimization, guide §4: pay the JVM↔Arrow payload transfer and the
+    byte decode once per asset instead of once per member).
+
+    Emits per asset the `extract_features` columns mm_pack projects
+    (n_bytes / shape / decode_src — mean/std are dropped by the pack
+    projection, so they are not computed), plus `dhash64` for image
+    rows (NULL otherwise) and `audio_fp64` + its own `af_src` for
+    audio rows (NULL otherwise). Each member's per-row semantics are
+    exactly its standalone kernel's:
+
+    - image rows: one `decode_payload_src` call with identical
+      arguments to both `extract_features` and `image_phash` (kind
+      'image', width/height; sample_rate/n_frames are NULL for images
+      in the asset table) — the single decode feeds shape AND dHash,
+      and `decode_src` doubles as `image_phash`'s decode_src.
+    - audio rows: `decode_payload_src` for shape/decode_src (the
+      extract_features call), plus `audio_fingerprint`'s exact
+      int-sample path (`_wav_pcm_intsum`, sha256-tiled int64 stub)
+      for the fingerprint — `af_src` is that path's own try/except
+      verdict, kept separate because the two audio parsers are
+      distinct code paths.
+    - video rows: decode for shape/decode_src only.
+
+    Equivalence with the three standalone kernels is pinned by
+    tests/test_round11_opt.py."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                out = []
+                for r in chunk.itertuples(index=False):
+                    payload = bytes(r.payload)
+                    arr, src = decode_payload_src(
+                        payload, r.kind, _i(r.width), _i(r.height),
+                        _i(r.sample_rate), _i(r.n_frames))
+                    ph = af = af_src = None
+                    if r.kind == "image":
+                        ph = dhash64(arr)
+                    elif r.kind == "audio":
+                        try:
+                            ints = _wav_pcm_intsum(payload)
+                            af_src = "real"
+                        except (ValueError, IndexError, struct.error):
+                            base = np.frombuffer(
+                                hashlib.sha256(payload).digest(),
+                                dtype=np.uint8)
+                            ints = np.resize(
+                                base, _i(r.sample_rate) or 16000
+                            ).astype(np.int64)
+                            af_src = "stub"
+                        af = audio_fp64(ints)
+                    out.append((r.asset_id, r.kind, len(r.payload),
+                                list(arr.shape), src, ph, af, af_src))
+                # phash/afp mix int64 hashes with NULLs: a plain
+                # pd.DataFrame would coerce the column to float64 and
+                # silently truncate 64-bit hashes to 53-bit mantissas
+                # — pandas nullable Int64 keeps them exact
+                yield pd.DataFrame({
+                    "asset_id": [t[0] for t in out],
+                    "kind": [t[1] for t in out],
+                    "n_bytes": [t[2] for t in out],
+                    "shape": [t[3] for t in out],
+                    "decode_src": [t[4] for t in out],
+                    "phash": pd.array([t[5] for t in out],
+                                      dtype="Int64"),
+                    "afp": pd.array([t[6] for t in out],
+                                    dtype="Int64"),
+                    "af_src": [t[7] for t in out],
+                })
+
+    return assets.mapInPandas(run, FUSED_MM_SCHEMA)
+
+
 def afp_near_pairs(afps: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Hamming-radius audio near-dup pairs over `audio_fingerprint`
     output — the SAME exact pigeonhole banding as the SimHash text

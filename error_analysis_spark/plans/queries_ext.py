@@ -930,6 +930,35 @@ FROM assets
 """
 
 
+def _near_summary(sig: DataFrame, sig_col: str, prefix: str,
+                  pairs: DataFrame) -> DataFrame:
+    """Shared tail of mm_phash / mm_afp (and mm_pack's fused path): the
+    symmetric per-asset summary of a banded Hamming-radius pair search
+    — n_near / min_ham / sum_ham / nearest (exact DECIMAL(38,0)
+    tie-break key) left-joined back onto the signature frame. `sig`
+    must carry asset_id, `sig_col` and decode_src; output columns are
+    prefixed (`ph_` / `af_`) exactly as the members emit them."""
+    sym = (pairs.select(F.col("id_a").alias("asset_id"),
+                        F.col("id_b").alias("nbr"), "hamming")
+           .unionByName(pairs.select(F.col("id_b").alias("asset_id"),
+                                     F.col("id_a").alias("nbr"),
+                                     "hamming")))
+    key = (F.col("hamming").cast("decimal(38,0)")
+           * F.lit("18446744073709551616").cast("decimal(38,0)")
+           + F.col("nbr").cast("decimal(38,0)")
+           + F.lit("9223372036854775808").cast("decimal(38,0)"))
+    near = sym.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias(f"{prefix}_n_near"),
+        F.min("hamming").cast("int").alias(f"{prefix}_min_ham"),
+        F.sum("hamming").cast("long").alias(f"{prefix}_sum_ham"),
+        F.min_by("nbr", key).alias(f"{prefix}_nearest"))
+    return (sig.join(near, ["asset_id"], "left")
+            .select("asset_id", sig_col,
+                    F.col("decode_src").alias(f"{prefix}_src"),
+                    f"{prefix}_n_near", f"{prefix}_min_ham",
+                    f"{prefix}_sum_ham", f"{prefix}_nearest"))
+
+
 def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup dedup (VERDICT r07 #5 — the
     modality gap: the dedup stack was text/embedding-only). Every
@@ -956,26 +985,8 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _doc_assets(spark, sf_dir)
     ph = MM.image_phash(assets, batch_rows=32)
     ph = track(ph.persist(StorageLevel.MEMORY_AND_DISK))
-    pairs = MM.phash_near_pairs(ph, max_hamming=6)
-    sym = (pairs.select(F.col("id_a").alias("asset_id"),
-                        F.col("id_b").alias("nbr"), "hamming")
-           .unionByName(pairs.select(F.col("id_b").alias("asset_id"),
-                                     F.col("id_a").alias("nbr"),
-                                     "hamming")))
-    key = (F.col("hamming").cast("decimal(38,0)")
-           * F.lit("18446744073709551616").cast("decimal(38,0)")
-           + F.col("nbr").cast("decimal(38,0)")
-           + F.lit("9223372036854775808").cast("decimal(38,0)"))
-    near = sym.groupBy("asset_id").agg(
-        F.count(F.lit(1)).alias("ph_n_near"),
-        F.min("hamming").cast("int").alias("ph_min_ham"),
-        F.sum("hamming").cast("long").alias("ph_sum_ham"),
-        F.min_by("nbr", key).alias("ph_nearest"))
-    return (ph.join(near, ["asset_id"], "left")
-            .select("asset_id", "phash",
-                    F.col("decode_src").alias("ph_src"),
-                    "ph_n_near", "ph_min_ham", "ph_sum_ham",
-                    "ph_nearest"))
+    return _near_summary(ph, "phash", "ph",
+                         MM.phash_near_pairs(ph, max_hamming=6))
 
 
 # The oracle restates the WHOLE perceptual pipeline in SQL: the PPM
@@ -1093,26 +1104,8 @@ def mm_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _doc_assets(spark, sf_dir)
     af = MM.audio_fingerprint(assets, batch_rows=32)
     af = track(af.persist(StorageLevel.MEMORY_AND_DISK))
-    pairs = MM.afp_near_pairs(af, max_hamming=8)
-    sym = (pairs.select(F.col("id_a").alias("asset_id"),
-                        F.col("id_b").alias("nbr"), "hamming")
-           .unionByName(pairs.select(F.col("id_b").alias("asset_id"),
-                                     F.col("id_a").alias("nbr"),
-                                     "hamming")))
-    key = (F.col("hamming").cast("decimal(38,0)")
-           * F.lit("18446744073709551616").cast("decimal(38,0)")
-           + F.col("nbr").cast("decimal(38,0)")
-           + F.lit("9223372036854775808").cast("decimal(38,0)"))
-    near = sym.groupBy("asset_id").agg(
-        F.count(F.lit(1)).alias("af_n_near"),
-        F.min("hamming").cast("int").alias("af_min_ham"),
-        F.sum("hamming").cast("long").alias("af_sum_ham"),
-        F.min_by("nbr", key).alias("af_nearest"))
-    return (af.join(near, ["asset_id"], "left")
-            .select("asset_id", "afp",
-                    F.col("decode_src").alias("af_src"),
-                    "af_n_near", "af_min_ham", "af_sum_ham",
-                    "af_nearest"))
+    return _near_summary(af, "afp", "af",
+                         MM.afp_near_pairs(af, max_hamming=8))
 
 
 # The oracle restates the WHOLE audio-fingerprint pipeline in SQL: the

@@ -225,14 +225,44 @@ def mm_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (mm_afp: 64-bit lag-energy Haitsma–Kalker fingerprint over
     the real WAV decode path + the same banded pair search at radius
     8, folded in per the dedup_sig_pack/mm_phash precedent; NULL for
-    image/video)."""
-    feats = _member("mm_features")[0](spark, sf_dir)
+    image/video).
+
+    Round 11 (optimization, guide §4): the pack's three member decode
+    passes (extract_features over every asset, image_phash over the
+    image third, audio_fingerprint over the audio third — ~1.67 corpus
+    decodes plus three Arrow payload transfers) are fused into ONE
+    pinned `fused_asset_fingerprints` pass; the feats / phash / afp
+    frames become projections of the shared pin, and the pair searches
+    plus `_near_summary` tails run unchanged on top. Per-row semantics
+    of every member column are exactly the standalone kernels'
+    (tests/test_round11_opt.py pins the equivalence; the standalone
+    member functions are untouched)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+    from error_analysis_spark.extensions import multimodal as MM
+    from error_analysis_spark.plans.queries_ext import (_doc_assets,
+                                                        _near_summary)
+
+    fused = MM.fused_asset_fingerprints(_doc_assets(spark, sf_dir),
+                                        batch_rows=32)
+    fused = track(fused.persist(StorageLevel.MEMORY_AND_DISK))
+    feats = fused.select(
+        "asset_id", "kind", "n_bytes",
+        F.concat_ws("x", F.col("shape").cast("array<string>")).alias("shape"),
+        "decode_src")
     stats = _member("mm_payload_stats")[0](spark, sf_dir)
-    ph = _member("mm_phash")[0](spark, sf_dir)
-    af = _member("mm_afp")[0](spark, sf_dir)
+    ph = fused.where(F.col("kind") == "image").select(
+        "asset_id", "phash", "decode_src")
+    ph_out = _near_summary(ph, "phash", "ph",
+                           MM.phash_near_pairs(ph, max_hamming=6))
+    af = fused.where(F.col("kind") == "audio").select(
+        "asset_id", "afp", F.col("af_src").alias("decode_src"))
+    af_out = _near_summary(af, "afp", "af",
+                           MM.afp_near_pairs(af, max_hamming=8))
     return (feats.join(F.broadcast(stats), "kind")
-            .join(ph, ["asset_id"], "left")
-            .join(af, ["asset_id"], "left"))
+            .join(ph_out, ["asset_id"], "left")
+            .join(af_out, ["asset_id"], "left"))
 
 
 MM_PACK_SQL = """

@@ -39,3 +39,73 @@ def test_bpe_train_distributed_early_stop(spark):
     docs = spark.createDataFrame(pd.DataFrame({
         "doc_id": [0], "text": "a b c a"}, index=[0]))
     assert bpe_train(docs, n_merges=5, local_threshold=0).count() == 0
+
+
+def test_fused_asset_fingerprints_matches_member_kernels(spark):
+    """The round-11 fused mm_pack decode pass produces EXACT int64
+    parity with the three standalone member kernels on real testdata
+    (images incl. real-PPM rows, audio, video). Compared as Python
+    ints, not through pandas — a float64-coerced hash column truncates
+    to 53-bit mantissas and the rounding can mask itself (the bug this
+    pins was invisible to a nullable-column DataFrame compare)."""
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import multimodal as MM
+    from error_analysis_spark.plans.queries_ext import _doc_assets
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assets = _doc_assets(spark, "/root/testdata/sf0.001")
+    fused = MM.fused_asset_fingerprints(assets, batch_rows=7)
+
+    def rows(df, *cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    # image_phash parity: identical ids, hashes (exact ints), srcs
+    assert rows(fused.where(F.col("kind") == "image"),
+                "asset_id", "phash", "decode_src") == \
+        rows(MM.image_phash(assets, batch_rows=32),
+             "asset_id", "phash", "decode_src")
+    # audio_fingerprint parity (af_src is the WAV-parser verdict)
+    assert rows(fused.where(F.col("kind") == "audio"),
+                "asset_id", "afp", "af_src") == \
+        rows(MM.audio_fingerprint(assets, batch_rows=32),
+             "asset_id", "afp", "decode_src")
+    # extract_features parity on the columns mm_pack projects
+    assert rows(fused, "asset_id", "kind", "n_bytes", "shape",
+                "decode_src") == \
+        rows(MM.extract_features(assets, batch_rows=32),
+             "asset_id", "kind", "n_bytes", "shape", "decode_src")
+    # non-members carry NULL hashes (video: both; image: afp; audio: phash)
+    assert fused.where((F.col("kind") != "image")
+                       & F.col("phash").isNotNull()).count() == 0
+    assert fused.where((F.col("kind") != "audio")
+                       & F.col("afp").isNotNull()).count() == 0
+
+
+def test_fused_hashes_survive_pandas_exactly(spark):
+    """64-bit hashes with >53 significant bits cross the fused kernel's
+    Arrow boundary bit-exactly even when their column holds NULLs (the
+    pandas Int64 pin)."""
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import multimodal as MM
+
+    # two image payloads whose dHash has high bit-entropy plus an
+    # audio row forcing NULL phash into the same Arrow batch
+    pdf = pd.DataFrame({
+        "asset_id": [1, 2, 3],
+        "kind": ["image", "image", "audio"],
+        "payload": [b"img-a" * 40, b"img-b" * 40, b"aud" * 50],
+        "width": [33, 65, None], "height": [17, 31, None],
+        "sample_rate": [None, None, 1600], "n_frames": [None] * 3,
+    })
+    assets = spark.createDataFrame(pdf)
+    got = {r.asset_id: r.phash
+           for r in MM.fused_asset_fingerprints(assets).collect()}
+    for aid in (1, 2):
+        a = pdf[pdf.asset_id == aid].iloc[0]
+        arr, _ = MM.decode_payload_src(bytes(a.payload), "image",
+                                       int(a.width), int(a.height),
+                                       None, None)
+        assert got[aid] == MM.dhash64(arr)  # exact int equality
+    assert got[3] is None
