@@ -10,17 +10,21 @@ data pipeline does:
                            components; keep the canonical = min id)
     5. token budgeting    (BPE-ish token counts on the survivors)
 
-Each stage's lineage is computed EXACTLY ONCE: survivors are persisted
-at every stage boundary (MEMORY_AND_DISK — spills, never recomputes)
-and the upstream cache is released as soon as the next boundary is
-materialized, so at most two shrinking stage caches are live at a time.
-The funnel counts are one aggregate per boundary over the cache — the
-naive alternative (five eager `count()`s over an uncached DAG) re-runs
-quality scoring, language ID, and the dedup joins from the scan per
-count, which is catastrophic at 100 TB. Stage shapes: quality is pure
-per-row expressions; exact dedup is a window-min on the md5 hash (one
-shuffle, no self-join); the only remaining wide stages are the LSH
-dedup shuffles, which key on well-distributed hashes.
+Each stage's lineage is computed EXACTLY ONCE. Stages 1-3 are a single
+pass: quality and language are row-local, so their funnel counts ride
+the stage-3 cache fill as Observation metrics (round 11) instead of
+dedicated counting waves over per-stage caches — the naive alternative
+(five eager `count()`s over an uncached DAG) re-runs quality scoring,
+language ID, and the dedup joins from the scan per count, which is
+catastrophic at 100 TB, and the pre-round-11 shape (persist + count
+per boundary) paid two corpus cache fills for counts a CollectMetrics
+node collects for free. Only stage 3's survivors persist
+(MEMORY_AND_DISK — spills, never recomputes); that one cache feeds the
+LSH dedup, the component semi-join and the returned `kept` frame.
+Stage shapes: quality is pure per-row expressions; exact dedup is a
+window-min on the md5 hash (one shuffle, no self-join); the only
+remaining wide stages are the LSH dedup shuffles, which key on
+well-distributed hashes.
 """
 
 from __future__ import annotations
@@ -68,26 +72,31 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     if docs.rdd.getNumPartitions() < max(2, target // 2):
         docs = docs.repartition(target)
 
-    # 1. quality gate — per-row expression, counted together with the
-    # input size in ONE aggregate that also fills the stage cache
-    s1df = docs.withColumn("quality", TX.quality_expr(text_col)) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # 1.+2. quality gate and language filter — both row-local stages,
+    # folded into the stage-3 fill pass (round 11, guide §1.2/§2.6):
+    # their funnel counts ride the SAME job as Observation metrics
+    # (CollectMetrics is a pushdown barrier, so n0 counts the true
+    # input), which removes the two dedicated counting waves AND the
+    # s1/s2 corpus caches those counts existed to amortize — the one
+    # stage-3 fill computes scan → quality regex → lang scores →
+    # dedup window in a single pass instead of three cache-mediated
+    # ones. Values are exactly the old aggregates' (sum of a NULL
+    # predicate stays NULL-skipping, count(lit(1)) counts every row).
+    from pyspark.sql import Observation
+
+    obs12 = Observation("funnel_s1_s2")
     passes_q = F.col("quality") >= cfg.min_quality
-    head = s1df.agg(
-        F.count(F.lit(1)).alias("n0"),
-        F.sum(passes_q.cast("long")).alias("n1"),
-    ).first()
-    n0, n1 = head["n0"], head["n1"]
+    s1df = docs.withColumn("quality", TX.quality_expr(text_col)) \
+        .observe(obs12,
+                 F.count(F.lit(1)).alias("n0"),
+                 F.sum(passes_q.cast("long")).alias("n1"))
     s1 = s1df.where(passes_q)
 
-    # 2. language filter — lang_scores annotates in place (row-local
-    # scoring, no join-back), computed only on stage-1 survivors
+    obs2 = Observation("funnel_s2_out")
     s2 = (TX.lang_scores(s1, text_col, id_col)
           .select(*s1.columns, "pred_lang")
           .where(F.col("pred_lang").isin(*cfg.keep_langs))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    n2 = s2.count()
-    s1df.unpersist()
+          .observe(obs2, F.count(F.lit(1)).alias("n2")))
 
     # 3. exact dedup — keep the canonical (min id) copy per text hash:
     # a window-min instead of groupBy+join-back keeps the plan linear
@@ -104,8 +113,9 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     s3 = track(s2.withColumn("_min_id", F.min(id_col).over(wh))
                .where(F.col(id_col) == F.col("_min_id")).drop("_min_id")
                .persist(StorageLevel.MEMORY_AND_DISK))
-    n3 = s3.count()
-    s2.unpersist()
+    n3 = s3.count()  # the single fill wave for stages 1-3; collects
+    n0, n1 = (obs12.get["n0"], obs12.get["n1"])  # the observed counts
+    n2 = obs2.get["n2"]
 
     # 4. near-dup dedup: MinHash-LSH pairs → components → keep min id
     # (pairs/vertices/final semi-join all read the stage-3 cache)
