@@ -301,8 +301,21 @@ def _hyperplane_bucket_expr(emb: Column, n_planes: int, seed: int,
     """The bucket COLUMN of `hyperplane_buckets` (factored out in round
     11 so `lsh_topk` can stack all its tables' buckets in one
     projection): bit_j = sign(v·h_j) with the literal-folded md5 plane
-    weights."""
+    weights.
+
+    Each plane is ONE ndarray literal (round 11, the
+    text_contam_bloom r10 pattern): `F.array(*[F.lit(w) ...])` built
+    n_planes × dim separate py4j Literal calls plus a CreateArray node
+    per plane that Catalyst must constant-fold on EVERY plan build —
+    at lsh_topk's 4 tables × 10 planes × 64 dims that was 2,560 nodes
+    and a measured ~1.5 s of per-invocation plan cost (interleaved A/B
+    mins 3.7 vs 2.2 s for the banding stage). An ndarray crosses py4j
+    once per plane and lands pre-folded; the float64 values are
+    bit-identical (numpy float64 round-trips Python floats exactly,
+    equivalence asserted over the full embeddings table)."""
     import hashlib
+
+    import numpy as np
 
     def weight(j: int, i: int) -> float:
         h = hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()
@@ -310,7 +323,8 @@ def _hyperplane_bucket_expr(emb: Column, n_planes: int, seed: int,
 
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        plane = F.array(*[F.lit(weight(j, i)) for i in range(dim)])
+        plane = F.lit(np.asarray([weight(j, i) for i in range(dim)],
+                                 dtype=np.float64))
         proj = dot(emb, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(0)
     return bucket

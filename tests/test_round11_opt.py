@@ -109,3 +109,41 @@ def test_fused_hashes_survive_pandas_exactly(spark):
                                        None, None)
         assert got[aid] == MM.dhash64(arr)  # exact int equality
     assert got[3] is None
+
+
+def test_hyperplane_ndarray_planes_bit_parity(spark):
+    """The round-11 ndarray-literal plane fold produces bit-identical
+    buckets to the per-element F.lit construction (numpy float64
+    round-trips Python floats exactly; same HOF fold on top) on the
+    real embeddings table, all four lsh_topk tables."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import similarity as SIM
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    embc = SIM._as_double(F.col("embedding"))
+    dim = len(emb.select("embedding").first()[0])
+
+    def weight(seed, j, i):
+        h = hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32) - 0.5
+
+    def bucket_per_element_lits(n_planes, seed):
+        out = F.lit(0).cast("long")
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(weight(seed, j, i))
+                              for i in range(dim)])
+            proj = SIM.dot(embc, plane)
+            out = out + F.when(proj > 0,
+                               F.lit(1 << j).cast("long")).otherwise(0)
+        return out
+
+    for t in range(4):
+        seed = 42 + 1000 * t
+        n_diff = emb.where(
+            SIM._hyperplane_bucket_expr(embc, 10, seed, dim)
+            != bucket_per_element_lits(10, seed)).count()
+        assert n_diff == 0, f"table {t}: {n_diff} bucket flips"
