@@ -122,7 +122,10 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     pairs = DD.minhash_dedup(s3, text_col, id_col, cfg.num_perm,
                              cfg.bands, cfg.near_dup_threshold)
     vertices = s3.select(F.col(id_col).alias("id"))
-    comp = DD.connected_components(pairs, vertices)
+    # edges_ready: minhash_dedup's pair list is distinct by
+    # construction (candidates are distinct, verify joins are 1:1) and
+    # persisted+counted — CC skips its dedup shuffle + checkpoint copy
+    comp = DD.connected_components(pairs, vertices, edges_ready=True)
     # connected_components checkpoints its labels eagerly, so the
     # (possibly corpus-scale) verified pair cache releases here
     pairs.unpersist()

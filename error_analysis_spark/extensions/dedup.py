@@ -102,28 +102,59 @@ def doc_tokens(df: DataFrame, text_col: str = "text",
     return t.distinct() if distinct else t
 
 
+def _length_guard(sz_a, sz_b, threshold: float):
+    """Provable Jaccard length prefilter (round 11; the classic length
+    filter of the set-similarity-join literature, e.g. AllPairs/PPJoin):
+    |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    J(A,B) ≤ min/max — a pair whose size ratio is below the threshold
+    can NEVER pass the exact jaccard filter, and its O(|A|+|B|)
+    array_intersect is skipped entirely. Exactness under IEEE doubles:
+    J_real ≤ ratio_real, both sides reach the comparison through one
+    correctly-rounded double division each, and correct rounding is
+    monotone — fl(J) ≥ t implies fl(ratio) ≥ t, so the guard keeps a
+    strict superset of the pairs the final filter keeps. At threshold
+    0.9 (the curation funnel) this kills every cross-length-class
+    candidate pair before the dominant intersect kernel runs."""
+    lo, hi = F.least(sz_a, sz_b), F.greatest(sz_a, sz_b)
+    return (lo / hi) >= F.lit(threshold)
+
+
 def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
                          id_col: str,
-                         max_df: int | float | None) -> DataFrame:
+                         max_df: int | float | None,
+                         jaccard_floor: float | None = None
+                         ) -> tuple[DataFrame, list[DataFrame]]:
     """Shared candidate-generation + exact-verify pipeline behind the
     set-overlap near-dup operators (`jaccard_pairs`,
     `containment_pairs`): inverted-index self-join on shared tokens
     (optionally df-capped against hot tokens), exact |A∩B| per
     candidate, per-side set sizes. Returns
-    (id_a, id_b, inter, sz_a, sz_b); the caller applies its metric.
+    ((id_a, id_b, inter, sz_a, sz_b), pins); the caller applies its
+    metric and unpersists `pins` once its result is materialized.
 
-    `toks` is the caller's CACHED (id, token) distinct table — up to
-    four consumers read it (sizes, both join sides, the df-cap), and
-    the caller owns its release.
+    `toks` is the caller's CACHED (id, token) distinct table — its
+    consumers here are the df-cap aggregate and both posting join
+    sides; the caller owns its release.
 
     Unpruned path: the intersection comes straight off the
     shared-token join (one shuffle). Pruned path: postings generate
     CANDIDATES only, and the intersection is recomputed on the full
     token-set arrays row-locally, so every surfaced pair carries its
     exact overlap — pruning may only MISS pairs whose entire overlap
-    is ultra-common tokens (documented caveat in both callers)."""
-    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    is ultra-common tokens (documented caveat in both callers).
+
+    Round 11 (pruned path): the per-side set size is `F.size` of the
+    hashed token-set array (transform preserves the length of
+    array_distinct(tokens), so it equals the old count(*) over the
+    distinct (id, token) table exactly) — the corpus-wide sizes
+    aggregate and the two final size joins are gone, and the token-set
+    array frame is pinned instead of being recomputed for each join
+    side. `jaccard_floor` applies the provable length prefilter
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) BEFORE the intersect (see
+    `_verify_jaccard`) — only valid when the caller keeps exactly the
+    pairs with jaccard ≥ that floor."""
     if max_df is None:
+        sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
         a = toks.select(F.col("id").alias("id_a"), "token")
         b = toks.select(F.col("id").alias("id_b"), "token")
         inter = (
@@ -132,6 +163,11 @@ def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
+        sa = sizes.select(F.col("id").alias("id_a"),
+                          F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("id").alias("id_b"),
+                          F.col("sz").alias("sz_b"))
+        return inter.join(sa, "id_a").join(sb, "id_b"), []
     else:
         tok_df = toks.groupBy("token").agg(F.count("*").alias("df"))
         if isinstance(max_df, float):
@@ -168,22 +204,30 @@ def _verified_pair_stats(df: DataFrame, toks: DataFrame, text_col: str,
         # array_intersect (two equi-joins ship one array per side per
         # candidate; the explode form's candidates × tokens blow-up is
         # exactly what max_df pruning is fighting; int64 sets take the
-        # primitive intersect path — see _hashed_token_set)
+        # primitive intersect path — see _hashed_token_set). The array
+        # frame feeds BOTH join sides, so it is pinned (round 11) —
+        # unpinned, Spark re-scanned + re-tokenized + re-hashed the
+        # corpus once per side.
         tok_arr = df.select(
             F.col(id_col).alias("id"),
-            _hashed_token_set(text_col).alias("toks"))
+            _hashed_token_set(text_col).alias("toks")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         ja = tok_arr.select(F.col("id").alias("id_a"),
                             F.col("toks").alias("toks_a"))
         jb = tok_arr.select(F.col("id").alias("id_b"),
                             F.col("toks").alias("toks_b"))
-        inter = (cand.join(ja, "id_a").join(jb, "id_b")
-                 .select("id_a", "id_b",
-                         _compute_once(
-                             F.size(F.array_intersect("toks_a", "toks_b")))
-                         .alias("inter")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return inter.join(sa, "id_a").join(sb, "id_b")
+        joined = cand.join(ja, "id_a").join(jb, "id_b")
+        if jaccard_floor is not None:
+            joined = joined.where(_length_guard(
+                F.size("toks_a"), F.size("toks_b"), jaccard_floor))
+        out = (joined
+               .select("id_a", "id_b",
+                       _compute_once(
+                           F.size(F.array_intersect("toks_a", "toks_b")))
+                       .alias("inter"),
+                       F.size("toks_a").alias("sz_a"),
+                       F.size("toks_b").alias("sz_b")))
+        return out, [tok_arr]
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -207,7 +251,10 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     standard `result.unpersist()`.
     """
     toks = doc_tokens(df, text_col, id_col).cache()
-    base = _verified_pair_stats(df, toks, text_col, id_col, max_df)
+    # jaccard_floor: every returned pair satisfies jaccard >= threshold,
+    # so the length prefilter may drop sub-ratio candidates pre-verify
+    base, pins = _verified_pair_stats(df, toks, text_col, id_col, max_df,
+                                      jaccard_floor=threshold)
     result = (
         base
         .withColumn("jaccard", F.col("inter")
@@ -217,8 +264,10 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 F.round("jaccard", 6).alias("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    result.count()  # last consumer of toks materialized → release it
+    result.count()  # last consumer of the pins materialized → release
     toks.unpersist()
+    for p in pins:
+        p.unpersist()
     return _track(result)
 
 
@@ -403,6 +452,15 @@ def _verify_jaccard(cands: DataFrame, tok_arr: DataFrame,
     jb = tok_arr.select(F.col("id").alias("id_b"),
                         F.col("toks").alias("toks_b"))
     inter = (cands.join(ja, "id_a").join(jb, "id_b")
+             # round 11: length prefilter — provably cannot drop a
+             # pair the jaccard >= threshold filter keeps (see
+             # _length_guard), and skips the dominant intersect
+             # kernel for every cross-length-class candidate. Sits
+             # BELOW the nondeterministic _compute_once projection
+             # (a filter cannot be pushed past it), so the plan stays
+             # join → guard → single-intersect project → threshold.
+             .where(_length_guard(F.size("toks_a"), F.size("toks_b"),
+                                  threshold))
              .select("id_a", "id_b",
                      _compute_once(
                          F.size(F.array_intersect("toks_a", "toks_b")))
@@ -417,7 +475,8 @@ def _verify_jaccard(cands: DataFrame, tok_arr: DataFrame,
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
                          max_iter: int = 25,
-                         local_threshold: int = 4_000_000) -> DataFrame:
+                         local_threshold: int = 4_000_000,
+                         edges_ready: bool = False) -> DataFrame:
     """Near-dup clusters via hash-min label propagation: every vertex
     starts labeled with its own id; each iteration pushes the min label
     across edges until fixpoint. Output: (id, component) with component
@@ -452,7 +511,15 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     # that pipeline TWICE on every above-threshold graph — measured at
     # sf0.1 this halved the funnel's near-dup stage. Below threshold
     # the extra cost is one bounded write of ≤ local_threshold rows.
-    und = pairs.select("id_a", "id_b").distinct().localCheckpoint()
+    # `edges_ready` (round 11): the caller asserts `pairs` is ALREADY a
+    # distinct (id_a, id_b) edge list backed by a materialized store
+    # (persisted AND computed, or checkpointed — minhash_dedup's
+    # verified pair list is both) — the dedup shuffle and the extra
+    # checkpoint copy are skipped and every consumer reads the caller's
+    # materialization directly. Do NOT pass it for lazy pipelines: the
+    # probe + collect would re-execute them per consumer.
+    und = (pairs.select("id_a", "id_b") if edges_ready
+           else pairs.select("id_a", "id_b").distinct().localCheckpoint())
     # `local_threshold` is sized as "64 MB of Arrow int64" — valid only
     # for fixed-width integral/float ids. String ids (a tested path)
     # can be arbitrarily long, so byte-bound them: scale the edge cap
@@ -912,8 +979,12 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     with max(cont_a, cont_b) >= threshold.
     """
     toks = doc_tokens(df, text_col, id_col).cache()
+    pins: list[DataFrame] = []
     try:
-        base = _verified_pair_stats(df, toks, text_col, id_col, max_df)
+        # no jaccard_floor: containment has no size-ratio upper bound
+        # (inter can equal min(sz), so cont_max can be 1 at ANY ratio)
+        base, pins = _verified_pair_stats(df, toks, text_col, id_col,
+                                          max_df)
         cont_a = F.col("inter") / F.col("sz_a")
         cont_b = F.col("inter") / F.col("sz_b")
         result = (base
@@ -925,4 +996,6 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         result.count()  # materialize before the token cache drops
     finally:
         toks.unpersist()
+        for p in pins:
+            p.unpersist()
     return _track(result)

@@ -431,9 +431,18 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 10,
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = (cand.join(va, "id_a").join(vb, "id_b")
               .select("id_a", "id_b", F.round(sim, 6).alias("sim")))
-    both = scored.unionByName(
-        scored.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
-                      "sim"))
+    # Round 11: the per-id top-k window needs BOTH directions of every
+    # scored pair. `scored ∪ swap(scored)` duplicated the whole
+    # candidate+verify join subtree in the physical plan — only the
+    # exchanges get reused, the joins execute twice. A row-local
+    # explode of the (a→b, b→a) mirror emits the identical row multiset
+    # from ONE execution of the joins.
+    both = (scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("id_a"),
+                 F.col("id_b").alias("id_b"), F.col("sim").alias("sim")),
+        F.struct(F.col("id_b").alias("id_a"),
+                 F.col("id_a").alias("id_b"), F.col("sim").alias("sim")),
+    )).alias("e")).select("e.id_a", "e.id_b", "e.sim"))
     w = W.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b").asc())
     return both.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 

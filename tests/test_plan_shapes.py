@@ -584,9 +584,11 @@ def test_jaccard_verify_single_intersect(spark):
     from error_analysis_spark.extensions import dedup as DD
     docs = load_table(spark, SF_DIR, "documents").limit(300)
 
-    # shape 1: inverted-index candidates + verify (jaccard_pairs form)
+    # shape 1: inverted-index candidates + verify (jaccard_pairs form,
+    # incl. the round-11 jaccard_floor length guard below the barrier)
     toks = DD.doc_tokens(docs)
-    base = DD._verified_pair_stats(docs, toks, "text", "doc_id", 50)
+    base, pins = DD._verified_pair_stats(docs, toks, "text", "doc_id", 50,
+                                         jaccard_floor=0.5)
     jac = (base.withColumn(
         "jaccard", F.col("inter")
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
@@ -619,3 +621,5 @@ def test_jaccard_verify_single_intersect(spark):
         for line in opt.splitlines():
             if line.lstrip().startswith(("Join ", ":- Join", "+- Join")):
                 assert "array_intersect" not in line, line
+    for p in pins:
+        p.unpersist()

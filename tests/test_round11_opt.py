@@ -111,6 +111,123 @@ def test_fused_hashes_survive_pandas_exactly(spark):
     assert got[3] is None
 
 
+def test_length_guard_exact_equivalence(spark):
+    """The round-11 Jaccard length prefilter (J ≤ min/max) never drops
+    a pair the exact-verify threshold keeps: guarded and unguarded
+    verify produce the identical pair set on real data at the funnel's
+    0.9 AND a permissive 0.35 threshold, including boundary pairs whose
+    size ratio lands exactly ON the threshold."""
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import dedup as DD
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").limit(400)
+
+    def pair_set(threshold, guarded):
+        banded = DD.banded_signatures(docs, "text", "doc_id", 16, 4)
+        a = banded.select(F.col("id").alias("id_a"), "band", "sig")
+        b = banded.select(F.col("id").alias("id_b"), "band", "sig")
+        cands = (a.join(b, ["band", "sig"])
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+        tok_arr = docs.select(F.col("doc_id").alias("id"),
+                              DD._hashed_token_set("text").alias("toks"))
+        if guarded:
+            out = DD._verify_jaccard(cands, tok_arr, threshold)
+        else:  # the pre-round-11 form: no length prefilter
+            ja = tok_arr.select(F.col("id").alias("id_a"),
+                                F.col("toks").alias("toks_a"))
+            jb = tok_arr.select(F.col("id").alias("id_b"),
+                                F.col("toks").alias("toks_b"))
+            inter = (cands.join(ja, "id_a").join(jb, "id_b")
+                     .select("id_a", "id_b",
+                             F.size(F.array_intersect(
+                                 "toks_a", "toks_b")).alias("inter"),
+                             F.size("toks_a").alias("sz_a"),
+                             F.size("toks_b").alias("sz_b")))
+            out = (inter.withColumn(
+                "jaccard", F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                .where(F.col("jaccard") >= threshold))
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in out.collect())
+
+    for t in (0.9, 0.35):
+        assert pair_set(t, True) == pair_set(t, False)
+
+    # constructed boundary: |A|=9,|B|=10, A ⊂ B → J = 9/10 = ratio =
+    # exactly 0.9 — the guard must keep it at threshold 0.9
+    import pandas as pd
+    toks_b = [f"w{i}" for i in range(10)]
+    bdocs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [" ".join(toks_b[:9]), " ".join(toks_b)]}))
+    cands = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    tok_arr = bdocs.select(F.col("doc_id").alias("id"),
+                           DD._hashed_token_set("text").alias("toks"))
+    kept = DD._verify_jaccard(cands, tok_arr, 0.9).collect()
+    assert len(kept) == 1 and abs(kept[0].jaccard - 0.9) < 1e-12
+
+
+def test_verified_pair_stats_rowlocal_sizes(spark):
+    """The round-11 pruned-path restructure (sz from F.size of the
+    hashed token-set array, sizes aggregate + final joins removed, the
+    array frame pinned) returns exactly the old per-pair stats —
+    including docs with repeated tokens, where |array| must be the
+    DISTINCT token count."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import dedup as DD
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c a a b",            # 3 distinct of 6 raw
+                 "a b c d",                # 4 distinct
+                 "x y z a"]}))             # overlap {a} with 1, 2
+    toks = DD.doc_tokens(docs).cache()
+    base, pins = DD._verified_pair_stats(docs, toks, "text", "doc_id", 3)
+    rows = sorted((r.id_a, r.id_b, r.inter, r.sz_a, r.sz_b)
+                  for r in base.collect())
+    toks.unpersist()
+    for p in pins:
+        p.unpersist()
+    # reference values by hand: tokens in ≤3 docs all survive the cap
+    assert rows == [(1, 2, 3, 3, 4), (1, 3, 1, 3, 4), (2, 3, 1, 4, 4)]
+
+
+def test_connected_components_edges_ready_parity(spark):
+    """edges_ready=True (skip the dedup shuffle + checkpoint copy for
+    caller-asserted distinct, materialized edge lists) produces the
+    identical labeling as the default path — chain + blob + isolated
+    vertices, both below and above the local threshold."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from error_analysis_spark.extensions import dedup as DD
+
+    edges = spark.createDataFrame(pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 11, 10],
+        "id_b": [2, 3, 4, 11, 12, 12]})).persist()
+    edges.count()
+    verts = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3, 4, 10, 11, 12, 99]}))
+
+    def labels(**kw):
+        return sorted((r.id, r.component)
+                      for r in DD.connected_components(
+                          edges, verts, **kw).collect())
+
+    expect = [(1, 1), (2, 1), (3, 1), (4, 1),
+              (10, 10), (11, 10), (12, 10), (99, 99)]
+    assert labels() == expect
+    assert labels(edges_ready=True) == expect
+    # distributed path (threshold 0 forces it) with edges_ready
+    assert labels(edges_ready=True, local_threshold=0) == expect
+    edges.unpersist()
+
+
 def test_hyperplane_ndarray_planes_bit_parity(spark):
     """The round-11 ndarray-literal plane fold produces bit-identical
     buckets to the per-element F.lit construction (numpy float64
