@@ -310,19 +310,27 @@ def sig_mins_over(th_col, num_perm: int = 32, seed: int = 42) -> list:
 
 def minhash_wide(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", num_perm: int = 32,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, with_set_size: bool = False) -> DataFrame:
     """K-permutation MinHash as PURE row-local expressions: signature_i
     = array_min over (a_i·h(t)+b_i) mod M of the token-hash array — no
     explode, no shuffle, streaming-safe (a stateless select). Output:
     (id, m0..m{k-1}); docs with no tokens are dropped (they have no
-    signature, matching the grouped form's absent rows)."""
+    signature, matching the grouped form's absent rows).
+
+    `with_set_size` (round 11) additionally carries `sz` = the distinct
+    RAW-token count — exactly `F.size` of `_hashed_token_set` (the
+    transform preserves array_distinct's length), so a downstream
+    length guard on banded candidates agrees bit-for-bit with the
+    verify-side guard."""
     th = token_hashes(text_col)
     cols = [m.alias(f"m{p}")
             for p, m in enumerate(sig_mins_over(F.col("_th"),
                                                 num_perm, seed))]
-    return (df.select(F.col(id_col).alias("id"), th.alias("_th"))
+    extra = ([F.size(F.array_distinct(tokens(text_col))).alias("sz")]
+             if with_set_size else [])
+    return (df.select(F.col(id_col).alias("id"), th.alias("_th"), *extra)
             .where(F.size("_th") > 0)
-            .select("id", *cols))
+            .select("id", *(["sz"] if with_set_size else []), *cols))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -346,19 +354,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def banded_signatures(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 32,
-                      bands: int = 8, seed: int = 42) -> DataFrame:
+                      bands: int = 8, seed: int = 42,
+                      with_set_size: bool = False) -> DataFrame:
     """Row-local LSH banding over `minhash_wide`: band sig = md5 of the
     band's sorted "perm:minhash" strings (byte-identical to the format
     `lsh_candidate_pairs` aggregates from the long form). Output:
     (id, band, sig) with bands exploded — still no shuffle before the
-    candidate self-join."""
+    candidate self-join. With `with_set_size`, `sz` (distinct raw-token
+    count, see minhash_wide) rides along for candidate-time length
+    guards."""
     if num_perm % bands:
         raise ValueError(
             f"num_perm={num_perm} must divide evenly into bands={bands} "
             f"— a trailing partial band would silently change candidate "
             f"semantics between the row-local and long-format forms")
     rows_per_band = num_perm // bands
-    wide = minhash_wide(df, text_col, id_col, num_perm, seed)
+    wide = minhash_wide(df, text_col, id_col, num_perm, seed,
+                        with_set_size=with_set_size)
     band_cols = []
     for b in range(bands):
         perms = range(b * rows_per_band, (b + 1) * rows_per_band)
@@ -366,8 +378,10 @@ def banded_signatures(df: DataFrame, text_col: str = "text",
             F.concat_ws(":", F.lit(str(p)), F.col(f"m{p}").cast("string"))
             for p in perms]))))
         band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    return (wide.select("id", F.explode(F.array(*band_cols)).alias("bs"))
-            .select("id", F.col("bs.band").alias("band"),
+    extra = ["sz"] if with_set_size else []
+    return (wide.select("id", *extra,
+                        F.explode(F.array(*band_cols)).alias("bs"))
+            .select("id", *extra, F.col("bs.band").alias("band"),
                     F.col("bs.sig").alias("sig")))
 
 
@@ -414,12 +428,27 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     pinned, the verified pair list materializes eagerly into its own
     persisted DataFrame, the inputs release HERE, and the caller owns
     the result's release via the standard `result.unpersist()`."""
-    banded = banded_signatures(df, text_col, id_col, num_perm, bands) \
+    # with_set_size (round 11): the banded frame carries each doc's
+    # distinct-token count so the provable length guard prunes
+    # candidates AT THE BAND JOIN, before the candidate-dedup exchange
+    # — at the funnel's 0.9 threshold that shrinks the distinct's
+    # input (band collisions × surviving pairs) by the same ~59% the
+    # verify-side guard measures, and the pruned pairs never ship
+    # token arrays at all. sz here = F.size of the verify side's
+    # hashed set (transform preserves array_distinct's length), so
+    # both guards agree bit-for-bit and the verified output is
+    # unchanged.
+    banded = banded_signatures(df, text_col, id_col, num_perm, bands,
+                               with_set_size=True) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.select(F.col("id").alias("id_a"), "band", "sig")
-    b = banded.select(F.col("id").alias("id_b"), "band", "sig")
+    a = banded.select(F.col("id").alias("id_a"), "band", "sig",
+                      F.col("sz").alias("sz_a"))
+    b = banded.select(F.col("id").alias("id_b"), "band", "sig",
+                      F.col("sz").alias("sz_b"))
     cands = (a.join(b, ["band", "sig"])
-             .where(F.col("id_a") < F.col("id_b"))
+             .where((F.col("id_a") < F.col("id_b"))
+                    & _length_guard(F.col("sz_a"), F.col("sz_b"),
+                                    threshold))
              .select("id_a", "id_b").distinct())
     tok_arr = df.select(
         F.col(id_col).alias("id"),

@@ -197,6 +197,50 @@ def test_verified_pair_stats_rowlocal_sizes(spark):
     assert rows == [(1, 2, 3, 3, 4), (1, 3, 1, 3, 4), (2, 3, 1, 4, 4)]
 
 
+def test_minhash_dedup_candidate_guard_equivalence(spark):
+    """The candidate-time length guard (sz carried on the banded frame,
+    pruning before the candidate-dedup exchange) leaves minhash_dedup's
+    verified pair set exactly equal to the fully unguarded
+    band-join → distinct → verify → threshold pipeline."""
+    from pyspark.sql import functions as F
+
+    from error_analysis_spark.extensions import dedup as DD
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").limit(350)
+
+    got = DD.minhash_dedup(docs, num_perm=16, bands=4, threshold=0.6)
+    got_rows = sorted((r.id_a, r.id_b, r.jaccard) for r in got.collect())
+    got.unpersist()
+
+    banded = DD.banded_signatures(docs, "text", "doc_id", 16, 4)
+    a = banded.select(F.col("id").alias("id_a"), "band", "sig")
+    b = banded.select(F.col("id").alias("id_b"), "band", "sig")
+    cands = (a.join(b, ["band", "sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    tok_arr = docs.select(F.col("doc_id").alias("id"),
+                          DD._hashed_token_set("text").alias("toks"))
+    ja = tok_arr.select(F.col("id").alias("id_a"),
+                        F.col("toks").alias("toks_a"))
+    jb = tok_arr.select(F.col("id").alias("id_b"),
+                        F.col("toks").alias("toks_b"))
+    inter = (cands.join(ja, "id_a").join(jb, "id_b")
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("toks_a", "toks_b"))
+                     .alias("inter"),
+                     F.size("toks_a").alias("sz_a"),
+                     F.size("toks_b").alias("sz_b")))
+    ref = (inter.withColumn(
+        "jaccard", F.col("inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    ref_rows = sorted((r.id_a, r.id_b, r.jaccard) for r in ref.collect())
+    assert got_rows == ref_rows and len(got_rows) > 0
+
+
 def test_connected_components_edges_ready_parity(spark):
     """edges_ready=True (skip the dedup shuffle + checkpoint copy for
     caller-asserted distinct, materialized edge lists) produces the
