@@ -47,19 +47,33 @@ _MERGED.update(PACK_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # Round 10: execute the window exactly as planned in round 9
-    # (VERDICT r09 #1) — the single changed pin FIRST:
-    #   mm_pack — absorbed the audio perceptual near-dup members
-    #             (spectral band fingerprint over the real WAV decode
-    #             path + banded Hamming pair search) in round 9 AFTER
-    #             its r08 driver green; local test_oracle green +
-    #             planted-recall test; the only declared query whose
-    #             newest driver green predates its current code.
-    "mm_pack",
-    # then the full 49-name r09 rotate-out tail (every name carries a
-    # green CORRECTNESS_r08 row; unchanged since), verbatim order.
-    # 1 + 49 = 50 exactly — zero slippage.
-    "text_bpe_merges", "text_contam_bloom",
+    # Round 11 (optimization round): every query whose operator
+    # internals changed this round leads the verification window, so
+    # the driver's next CORRECTNESS artifact re-blesses exactly the
+    # changed code (the mm_pack r10 precedent). Changes behind each:
+    #   curation_funnel / sim_pair_pack — LSH length guard at the band
+    #     join + verify, edges_ready CC, lsh_topk explode mirror,
+    #     ndarray plane literals, Observation stage counts;
+    #   dedup_jaccard / dedup_containment — pair-verify restructure
+    #     (row-local sizes, pinned token arrays, jaccard length guard);
+    #   dedup_cluster_pack — shares the CC/verify operators;
+    #   mm_pack — fused single decode pass;
+    #   text_doc_pack / text_bigram_ppl / text_tfidf_topk /
+    #   text_bpe_merges — pinned pair streams, repetition rollup fuse,
+    #     bounded driver-local BPE trainer;
+    #   contam_chunk_pack — per-doc totals off the un-exploded array;
+    #   text_contam_bloom — bit_or-packed Bloom bitset build.
+    # All hold local foreign-session DuckDB greens (102/102 sweeps run
+    # before every round-11 commit).
+    "curation_funnel", "sim_pair_pack", "dedup_jaccard",
+    "dedup_containment", "dedup_cluster_pack", "mm_pack",
+    "text_doc_pack", "contam_chunk_pack", "text_contam_bloom",
+    "text_bpe_merges", "text_bigram_ppl", "text_tfidf_topk",
+    # then unchanged r10 greens from the previous window, verbatim
+    # order (12 + 38 = 50 exactly); the five displaced names
+    # (curation_snapshot_diff, w6_outlier_mad, emb_covariance,
+    # curation_data_card, w7_funnel, w8_retention,
+    # curation_quality_prune) keep their r10 greens in the body.
     "j11_interval_join", "layout_zorder", "curation_delta_agg",
     "text_domain_topk", "emb_hard_triplets",
     "pipeline_chain", "ingest_compaction",
@@ -74,10 +88,7 @@ _FRONT = [
     "curation_domain_cap", "w5_rolling_stats",
     "sketch_grouped_quantiles", "curation_split",
     "curation_length_buckets", "sketch_cms_err",
-    "emb_random_projection", "curation_snapshot_diff", "w6_outlier_mad",
-    "text_bigram_ppl", "emb_covariance", "curation_data_card",
-    "w7_funnel", "w8_retention", "text_tfidf_topk",
-    "curation_quality_prune",
+    "emb_random_projection",
 ]
 # Changed this round but OUTSIDE the window (each holds an r09 driver
 # green; the window is fully booked by 1 pin + the 49-name tail).
@@ -102,16 +113,16 @@ _FRONT = [
 #   text_c4_clean     — the C4 cleaning recipe (text.py:c4_clean;
 #                       full DuckDB oracle + planted-rule tests).
 _POST_WINDOW_NEW: list[str] = [
-    "curation_funnel", "sim_pair_pack", "dedup_cluster_pack",
-    "dedup_jaccard", "dedup_containment", "text_gopher_flags",
-    "text_c4_clean",
+    # round 11 moved every changed query INTO the window (see _FRONT);
+    # text_gopher_flags / text_c4_clean (new in r10, r10-green,
+    # unchanged in r11) stay in the body awaiting their next rotation.
+    "text_gopher_flags", "text_c4_clean",
 ]
-# The rotate-out tail: the r09 window queries (every name carries a
-# green CORRECTNESS_r09 row). They are next round's re-verification
-# set, after any _POST_WINDOW_NEW pins.
+# The rotate-out tail: r09/r10 greens NOT changed in round 11 — next
+# round's re-verification set after the r11-changed pins clear.
 _ROTATE_OUT = [
     "dedup_sig_pack", "text_line_dedup", "pipeline_chain_multi",
-    "emb_pack", "text_doc_pack",
+    "emb_pack",
     "curation_drift_psi", "sketch_hll_distinct", "curation_argmax_doc",
     "olap_cube_counts", "w9_anomaly_days", "emb_centroid_eval",
     "text_pmi_pairs", "w10_trend_slope", "w11_transitions",
@@ -119,15 +130,14 @@ _ROTATE_OUT = [
     "w12_transition_matrix", "curation_profile", "skew_salted_distinct",
     "tpch_agg_pack", "tpch_join_pack", "tpch_subq_pack",
     "s8_grid_pack",
-    "mixing_pack", "contam_chunk_pack", "sigma_a_pack", "sim_pair_pack",
-    "dedup_cluster_pack", "text_sketch_pack",
+    "mixing_pack", "sigma_a_pack",
+    "text_sketch_pack",
     "temporal_pack",
-    "sim_semantic_dedup", "dedup_jaccard", "dedup_containment",
+    "sim_semantic_dedup",
     "a2_zonal_stats", "w2_positional_pick", "j4_variogram_bins",
     "r7_polygonize", "j1_r4_dod", "a13_zone_pixel_counts",
     "sc16_utm_roundtrip", "r1_geoid_shift",
     "curation_domain_weights", "curation_weighted_sample",
-    "curation_funnel",
     "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
     "ingest_csv_quarantine",
 ]
