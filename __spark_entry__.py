@@ -140,6 +140,11 @@ _ROTATE_OUT = [
     "curation_domain_weights", "curation_weighted_sample",
     "text_bm25_topk", "so_mask_algebra", "r2_focal_all", "r3_fill_all",
     "ingest_csv_quarantine",
+    # displaced from the r10 window by the round-11 changed-query pins
+    # (each unchanged since its r10 green):
+    "curation_snapshot_diff", "w6_outlier_mad", "emb_covariance",
+    "curation_data_card", "w7_funnel", "w8_retention",
+    "curation_quality_prune",
 ]
 
 _ALL: dict[str, tuple] = {}
