@@ -57,9 +57,25 @@ def bench_streaming_dedup(spark, sf_dir: str) -> float:
         F.timestamp_seconds(F.lit(1_700_000_000) + docs.doc_id % 3600)
         .alias("ingest_time")))
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    # Round 12 (VERDICT r11 #5, guide §2.2 "fewer, larger partitions"):
+    # the stream's dedup state is a few thousand hashes, but the state
+    # store inherited the session's core-count-derived shuffle default
+    # (32) — 4 triggers × 32 state-store commits of ~150 rows each,
+    # pure per-commit overhead, and the reason this extra read FASTER
+    # at 8 cores (8 state partitions) than at 32. State partitions are
+    # sized to STATE VOLUME, not core count — a production dedup state
+    # of billions of hashes sets this high via the env override. A/B
+    # (same files, same 2-file triggers, same watermark — ingest
+    # semantics identical, every duplicate still crosses trigger
+    # boundaries through the state store): warm 4.3-4.4 s at 32 state
+    # partitions → 2.0-2.5 s at 8. Documented as an explicit bench
+    # measurement change in OPTIMIZATION_r12.md.
+    state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         src.repartition(8).write.mode("overwrite").parquet(tmp + "/in")
         t0 = time.perf_counter()
+        spark.conf.set("spark.sql.shuffle.partitions", state_parts)
         stream = SD.stream_documents(spark, tmp + "/in",
                                      max_files_per_trigger=2)
         kept = SD.stream_dedup_exact(stream)
@@ -69,6 +85,7 @@ def bench_streaming_dedup(spark, sf_dir: str) -> float:
         q.awaitTermination()
         return round(time.perf_counter() - t0, 3)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -177,8 +194,17 @@ def main() -> None:
                    # BASELINE.md round-10 adjudication
                    "host_sys_steal_s": host_sys_steal}, fh,
                   indent=1, sort_keys=True)
-    # final machine line LAST and SHORT (driver tail-captures stdout):
-    # total + count + sf + only the 5 slowest queries inline
+    # final machine line LAST (driver tail-captures stdout): total +
+    # count + sf + the 5 slowest queries in `queries` (unchanged shape,
+    # round-over-round comparable) PLUS — round 12, VERDICT r11 #2 —
+    # `detail_inline`, the COMPLETE per-query map at 2-decimal
+    # precision, so the PERF comparator sees all ~102 names instead of
+    # 4 common ones and never mislabels a top-5 dropout as
+    # "dropped_from_bench". Additions-only; the whole line measures
+    # ~3.0 KB (round 4's overflow line carried full-precision floats —
+    # the r11 driver tail held 3.6 KB, so this stays inside the
+    # capture window, and `queries`/3-decimal detail stay available in
+    # BENCH_DETAIL*.json).
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "headline_total_sec",
@@ -190,6 +216,7 @@ def main() -> None:
         "extras": extras,
         "ambient_sys_steal_s": ambient_total,
         "detail": detail_name,
+        "detail_inline": {k: round(v, 2) for k, v in timings.items()},
     }))
     spark.stop()
 

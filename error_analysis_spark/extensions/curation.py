@@ -12,8 +12,9 @@ data pipeline does:
 
 Each stage's lineage is computed EXACTLY ONCE. Stages 1-3 are a single
 pass: quality and language are row-local, so their funnel counts ride
-the stage-3 cache fill as Observation metrics (round 11) instead of
-dedicated counting waves over per-stage caches — the naive alternative
+the stage-3 cache fill as Observation metrics (round 11) — and since
+round 12 the stage-3 fill itself has no dedicated wave either: n3 is a
+third Observation collected by the first LSH job — the naive alternative
 (five eager `count()`s over an uncached DAG) re-runs quality scoring,
 language ID, and the dedup joins from the scan per count, which is
 catastrophic at 100 TB, and the pre-round-11 shape (persist + count
@@ -110,17 +111,28 @@ def curate_documents(docs: DataFrame, cfg: CurationConfig | None = None,
     # harness boundary (the next query's release_tracked), keeping
     # `kept` readable for this invocation's consumers.
     from error_analysis_spark.cachereg import track
+    obs3 = Observation("funnel_s3_out")
     s3 = track(s2.withColumn("_min_id", F.min(id_col).over(wh))
                .where(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+               .observe(obs3, F.count(F.lit(1)).alias("n3"))
                .persist(StorageLevel.MEMORY_AND_DISK))
-    n3 = s3.count()  # the single fill wave for stages 1-3; collects
-    n0, n1 = (obs12.get["n0"], obs12.get["n1"])  # the observed counts
-    n2 = obs2.get["n2"]
 
     # 4. near-dup dedup: MinHash-LSH pairs → components → keep min id
-    # (pairs/vertices/final semi-join all read the stage-3 cache)
+    # (pairs/vertices/final semi-join all read the stage-3 cache).
+    # Round 12 (VERDICT r11 #1): the dedicated `s3.count()` fill wave is
+    # gone — n3 rides the FIRST LSH pass as a third Observation. The
+    # first action over s3 is minhash_dedup's verified-pair count (its
+    # banded and token-array subtrees both read s3); the cache fills
+    # once under that job (block-level locking computes each partition
+    # exactly once, so CollectMetrics cannot double-count) and all
+    # three observations collect there. minhash_dedup's eager count —
+    # the pinned-input release barrier of rounds 8-10 — is untouched;
+    # only the funnel's own counting wave is removed.
     pairs = DD.minhash_dedup(s3, text_col, id_col, cfg.num_perm,
                              cfg.bands, cfg.near_dup_threshold)
+    n0, n1 = (obs12.get["n0"], obs12.get["n1"])  # the observed counts
+    n2 = obs2.get["n2"]
+    n3 = obs3.get["n3"]
     vertices = s3.select(F.col(id_col).alias("id"))
     # edges_ready: minhash_dedup's pair list is distinct by
     # construction (candidates are distinct, verify joins are 1:1) and

@@ -459,9 +459,13 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    result.count()  # last consumer of the pinned inputs → release them
+    n_pairs = result.count()  # last consumer of the pins → release them
     banded.unpersist()
     tok_arr.unpersist()
+    # round 12: the eager count above already materialized the pair
+    # list; stash it so connected_components(edges_ready=True) callers
+    # skip their own edge-count job over the cache (one fewer wave).
+    result._graft_materialized_count = n_pairs
     return _track(result)
 
 
@@ -549,6 +553,13 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     # probe + collect would re-execute them per consumer.
     und = (pairs.select("id_a", "id_b") if edges_ready
            else pairs.select("id_a", "id_b").distinct().localCheckpoint())
+    # round 12: an edges_ready caller whose pair list was materialized
+    # by an eager count can hand that count over (the
+    # `_graft_materialized_count` stash minhash_dedup and the
+    # dedup_components query set) — the threshold probe then runs zero
+    # jobs instead of re-counting the cached list.
+    known_count = (getattr(pairs, "_graft_materialized_count", None)
+                   if edges_ready else None)
     # `local_threshold` is sized as "64 MB of Arrow int64" — valid only
     # for fixed-width integral/float ids. String ids (a tested path)
     # can be arbitrarily long, so byte-bound them: scale the edge cap
@@ -570,7 +581,8 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
         avg_pair_bytes = float(sample[0]["w"] or 16.0)
         eff_threshold = max(int(local_threshold * 16.0 / avg_pair_bytes),
                             65536)
-    if und.count() <= eff_threshold:
+    if (known_count if known_count is not None
+            else und.count()) <= eff_threshold:
         # Arrow-collect the edge list: a foreign session (the driver's)
         # may have Arrow off, and the row-at-a-time fallback on a
         # millions-of-edges list costs minutes; pin the conf for this

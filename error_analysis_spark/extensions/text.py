@@ -260,7 +260,9 @@ def normalize_stats(df: DataFrame, text_col: str = "text",
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     extra_cols: dict[str, "Column"] | None = None
+                     ) -> DataFrame:
     """Repetition signals for training-data curation (the
     Gopher/MassiveText repetition-filter family):
 
@@ -279,7 +281,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     unguarded sequence(0, size-n) counts DOWN for short docs and the
     t[i+k] index either kills the job under ANSI mode or fabricates
     grams from null-dropping concat_ws).
+
+    `extra_cols` (round 12): additional ROW-LOCAL columns (name →
+    expression over `df`'s columns) carried through the projection
+    side of the plan and returned alongside the repetition signals —
+    the text_doc_pack fuses its row-local members (PII scrub, BPE
+    token counts) here so they share this function's scan instead of
+    each re-scanning the corpus and joining back on doc_id. The n-gram
+    aggregate side prunes them (column pruning through the explode),
+    so the repetition signals are computed exactly as before.
     """
+    extra_cols = extra_cols or {}
     doc = F.col(id_col)
     lines = F.filter(F.split(F.col(text_col), "\n"),
                      lambda t: F.trim(t) != "")
@@ -288,7 +300,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         n_lines > 0,
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines)
     base = df.select(doc.alias("doc_id"), tokens(text_col).alias("t"),
-                     dup_line.alias("dup_line_frac"))
+                     dup_line.alias("dup_line_frac"),
+                     *[c.alias(n) for n, c in extra_cols.items()])
 
     def grams(n: int):
         parts = ", ".join(f"t[i+{k}]" for k in range(n))
@@ -320,7 +333,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         .alias("top_2gram_frac"),
         F.max(F.when(F.col("n") == 5, F.col("dup_frac")))
         .alias("dup_5gram_frac"))
-    return (base.select("doc_id", "dup_line_frac")
+    return (base.select("doc_id", "dup_line_frac", *extra_cols)
             .join(sig, "doc_id", "left"))
 
 
@@ -374,21 +387,28 @@ PII_PATTERNS = {
 PII_TOKENS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
 
 
-def pii_scrub(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """PII redaction stage for training-data curation: count and
-    replace emails / IPv4 addresses / phone-like numbers with typed
-    placeholder tokens. Pure JVM regexp expressions — one projection,
-    no shuffle, no Python. Counts are taken on the ORIGINAL text;
-    replacements apply in a fixed order (email → ip → phone) so the
-    scrubbed output is deterministic."""
-    text = F.col(text_col)
+def pii_cols(text: Column) -> list[Column]:
+    """The PII columns as pure expressions over a text column (round
+    12, factored out of `pii_scrub` so the text_doc_pack can fuse them
+    into a shared projection without duplicating the rule set):
+    [n_email, n_ipv4, n_phone, scrubbed]. Counts are taken on the
+    input text; replacements apply in a fixed order (email → ip →
+    phone) so the scrubbed output is deterministic."""
     counts = [F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
               .alias(f"n_{name}") for name, p in PII_PATTERNS.items()]
     scrubbed = text
     for name, p in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, p, PII_TOKENS[name])
-    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+    return [*counts, scrubbed.alias("scrubbed")]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction stage for training-data curation: count and
+    replace emails / IPv4 addresses / phone-like numbers with typed
+    placeholder tokens. Pure JVM regexp expressions — one projection,
+    no shuffle, no Python (the expressions live in `pii_cols`)."""
+    return df.select(F.col(id_col), *pii_cols(F.col(text_col)))
 
 
 

@@ -207,19 +207,26 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction (extensions/text.py:pii_scrub) over documents with
-    deterministic synthetic PII injected into every 7th doc (both
-    engines build the identical augmented text); md5 of the scrubbed
-    text proves byte-identical redaction."""
-    docs = load_table(spark, sf_dir, "documents")
+def _pii_aug_text():
+    """The augmented-text expression shared by the text_pii_scrub
+    member and the text_doc_pack fused projection (round 12):
+    deterministic synthetic PII injected into every 7th doc."""
     suffix = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
                  F.lit("@example.com at 10.0."),
                  (F.col("doc_id") % 256).cast("string"),
                  F.lit(".7 or +12 345 678 901 now"))).otherwise(F.lit(""))
-    aug = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return F.concat(F.col("text"), suffix)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (extensions/text.py:pii_scrub) over documents with
+    deterministic synthetic PII injected into every 7th doc (both
+    engines build the identical augmented text); md5 of the scrubbed
+    text proves byte-identical redaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_aug_text().alias("text"))
     out = TX.pii_scrub(aug)
     return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
                       F.md5("scrubbed").alias("scrub_md5"))
@@ -1205,10 +1212,26 @@ FROM sig LEFT JOIN nn USING (asset_id)
 # --------------------------------------------------------------------------
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 (VERDICT r11 #6): `block_cosine_pairs` emits each
+    unordered pair exactly once by construction (every {x, y} lives in
+    the single block-pair group (min(b), max(b)); diagonal groups emit
+    the strict upper triangle, cross groups each matrix cell once), so
+    the pair list is DISTINCT already — persist+count materializes it
+    and `edges_ready=True` skips connected_components' edge-dedup
+    shuffle and localCheckpoint copy; the stashed count also skips the
+    threshold-probe count job. Same fixpoint labeling either way
+    (parity pinned in tests/test_round12_opt.py)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from error_analysis_spark.cachereg import track
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH, n_blocks=4)
+    pairs = track(
+        SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH, n_blocks=4)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs._graft_materialized_count = pairs.count()
     vertices = emb.select(F.col("vec_id").alias("id"))
-    comp = DD.connected_components(pairs, vertices)
+    comp = DD.connected_components(pairs, vertices, edges_ready=True)
     return comp.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
         F.max("id").alias("max_id"),

@@ -163,10 +163,41 @@ def text_doc_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the full corpus), plus — since round 8 — the trained-BPE
     encode columns (text_bpe_encode: the full Sennrich trainer's rules
     applied row-locally; LEFT join because docs whose every word
-    contains a sentinel byte are unencodable and carry NULLs)."""
-    out = _member("text_repetition")[0](spark, sf_dir)
-    for m in ("text_pii_scrub", "text_token_count_bpe",
-              "text_perplexity", "text_dup_ngrams"):
+    contains a sentinel byte are unencodable and carry NULLs).
+
+    Round 12 (VERDICT r11 #4, guide §1.2 fewer passes): the ROW-LOCAL
+    member trio (repetition's per-doc line signal, the PII scrub, the
+    BPE token counts) fuses into repetition_stats' projection side via
+    `extra_cols` — one documents scan computes all three members'
+    columns instead of three scans joined back on doc_id. Every fused
+    expression is the member's own operator expression (TX.pii_cols,
+    TX.bpe_ish_tokens/TX.tokens, queries_ext._pii_aug_text), so member
+    and pack cannot drift; tests/test_round12_opt.py pins the fused
+    columns against the standalone member frames, and the members'
+    standalone functions are untouched."""
+    from error_analysis_spark.extensions import text as TX
+    from error_analysis_spark.plans.queries_ext import _pii_aug_text
+    from error_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_email, n_ipv4, n_phone, scrubbed = TX.pii_cols(_pii_aug_text())
+    bpe = TX.bpe_ish_tokens(F.col("text"))
+    ws = TX.tokens(F.col("text"))
+    extra = {
+        "n_email": n_email, "n_ipv4": n_ipv4, "n_phone": n_phone,
+        "scrub_md5": F.md5(scrubbed),
+        "n_bpe_tokens": F.size(bpe), "n_ws_tokens": F.size(ws),
+        "fertility": F.round(F.size(bpe) / F.size(ws), 6),
+    }
+    s = TX.repetition_stats(docs, extra_cols=extra)
+    out = s.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+        "n_email", "n_ipv4", "n_phone", "scrub_md5",
+        "n_bpe_tokens", "n_ws_tokens", "fertility")
+    for m in ("text_perplexity", "text_dup_ngrams"):
         out = out.join(_member(m)[0](spark, sf_dir), "doc_id")
     enc = _member("text_bpe_encode")[0](spark, sf_dir).select(
         "doc_id", F.col("n_words").alias("bpe_enc_words"),

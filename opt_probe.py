@@ -1,15 +1,16 @@
-"""Round-11 optimization probe: time declared queries in isolation and
+"""Optimization probe: time declared queries in isolation and
 capture their formatted plans.
 
 Usage:
-    python opt_probe.py [--plans DIR_SUFFIX] [--runs N] [query ...]
+    python opt_probe.py [--plans DIR_SUFFIX] [--round rNN] [--runs N] [query ...]
 
 Times each named query (default: all declared) with the SAME evaluate()
 methodology as bench.py (count(xxhash64(*)) — forces every output
 column), in THIS session, `--runs` times, printing each run plus the
 min. With `--plans before` also writes `.explain("formatted")` output
-to plans/r11/<query>_<suffix>.txt. A fresh session per invocation, so
-first-run numbers include codegen warmup exactly like a driver run.
+to plans/<round>/<query>_<suffix>.txt (round defaults to r12). A fresh
+session per invocation, so first-run numbers include codegen warmup
+exactly like a driver run.
 """
 
 from __future__ import annotations
@@ -24,12 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     args = sys.argv[1:]
     plans_suffix = None
+    round_dir = "r12"
     runs = 3
     names = []
     i = 0
     while i < len(args):
         if args[i] == "--plans":
             plans_suffix = args[i + 1]
+            i += 2
+        elif args[i] == "--round":
+            round_dir = args[i + 1]
             i += 2
         elif args[i] == "--runs":
             runs = int(args[i + 1])
@@ -54,7 +59,7 @@ def main() -> None:
             F.col(c) for c in df.columns]))).first()[0]
 
     plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "plans", "r11")
+                             "plans", round_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     # warm the JVM once (same as bench.py)
