@@ -47,27 +47,30 @@ _MERGED.update(PACK_QUERIES)
 # body; the explicit _ROTATE_OUT tail (only long-stable greens) is named
 # in COVERAGE.md as next round's re-verification set.
 _FRONT = [
-    # Round 11 (optimization round): every query whose operator
+    # Round 12 (optimization round 2): every query whose operator
     # internals changed this round leads the verification window, so
     # the driver's next CORRECTNESS artifact re-blesses exactly the
-    # changed code (the mm_pack r10 precedent). Changes behind each:
-    #   curation_funnel / sim_pair_pack — LSH length guard at the band
-    #     join + verify, edges_ready CC, lsh_topk explode mirror,
-    #     ndarray plane literals, Observation stage counts;
-    #   dedup_jaccard / dedup_containment — pair-verify restructure
-    #     (row-local sizes, pinned token arrays, jaccard length guard);
-    #   dedup_cluster_pack — shares the CC/verify operators;
-    #   mm_pack — fused single decode pass;
-    #   text_doc_pack / text_bigram_ppl / text_tfidf_topk /
-    #   text_bpe_merges — pinned pair streams, repetition rollup fuse,
-    #     bounded driver-local BPE trainer;
-    #   contam_chunk_pack — per-doc totals off the un-exploded array;
-    #   text_contam_bloom — bit_or-packed Bloom bitset build.
-    # All hold local foreign-session DuckDB greens (102/102 sweeps run
-    # before every round-11 commit).
-    "curation_funnel", "sim_pair_pack", "dedup_jaccard",
-    "dedup_containment", "dedup_cluster_pack", "mm_pack",
-    "text_doc_pack", "contam_chunk_pack", "text_contam_bloom",
+    # changed code (the r10/r11 precedent). Changes behind each:
+    #   curation_funnel — stage-3 count folded into the first LSH job
+    #     as an Observation (no dedicated fill wave); CC threshold
+    #     probe reuses minhash_dedup's eager pair count;
+    #   sim_pair_pack — lsh_topk pins the banded + normed frames that
+    #     feed both sides of its self-joins (each executed twice
+    #     before); the mhlsh member carries the pair-count stash;
+    #   text_doc_pack — the row-local member trio (repetition line
+    #     signal, PII scrub, BPE token counts) fused into ONE
+    #     projection via repetition_stats extra_cols;
+    #   dedup_cluster_pack — dedup_components persists+counts its
+    #     (provably distinct) blocked-GEMM pair list and runs CC with
+    #     edges_ready=True (edge-dedup shuffle + checkpoint copy gone).
+    # All hold local foreign-session DuckDB greens (102/102 sweep run
+    # before the round-12 commit).
+    "curation_funnel", "sim_pair_pack", "text_doc_pack",
+    "dedup_cluster_pack",
+    # then the round-11-changed queries, re-blessed by the r11 driver
+    # (50/50 green), kept in-window one more round:
+    "dedup_jaccard", "dedup_containment", "mm_pack",
+    "contam_chunk_pack", "text_contam_bloom",
     "text_bpe_merges", "text_bigram_ppl", "text_tfidf_topk",
     # then unchanged r10 greens from the previous window, verbatim
     # order (12 + 38 = 50 exactly); the five displaced names

@@ -105,6 +105,17 @@ def main() -> None:
     # + steal=1228 s). Per-query host deltas let the reader of a bench
     # artifact tell a real regression from a contended window.
     host_sys_steal: dict[str, float] = {}
+    # Per-query executor TASK-TIME totals (round 12, VERDICT r11 #7):
+    # wall-clock core-scaling is unmeasurable on this host (every
+    # 32-vCPU run accrues thousands of core-s of hypervisor steal
+    # while 8-vCPU runs see ~one tenth of it — ledgers in SCALE_r12.md)
+    # — task-seconds are the steal-robust record of how much parallel
+    # work a query actually schedules, and a task-time reduction is the
+    # scale-relevant effect of an optimization even when wall-clock is
+    # fixed-cost-bound at sf0.1. Recorded in BENCH_DETAIL only
+    # (additions-only contract).
+    task_time: dict[str, float] = {}
+    task_cpu: dict[str, float] = {}
 
     def host_stat() -> dict:
         try:
@@ -114,6 +125,32 @@ def main() -> None:
                     "steal": int(p[8])}
         except Exception:
             return {}
+
+    _store = spark._jsparkSession.sparkContext().statusStore()
+    _gw = spark.sparkContext._gateway
+    _empty = spark._jvm.java.util.Collections.emptyList()
+    _darr = _gw.new_array(_gw.jvm.double, 0)
+
+    def task_time_ms() -> int:
+        # sum of task RUN times across stages (includes steal/GC —
+        # pair with task_cpu_s below to separate work from contention)
+        try:
+            stages = _store.stageList(_empty, False, False, _darr, _empty)
+            return sum(stages.apply(i).executorRunTime()
+                       for i in range(stages.size()))
+        except Exception:
+            return 0
+
+    def task_cpu_ns() -> int:
+        # executor CPU nanoseconds across all stages: unlike task
+        # DURATION this excludes hypervisor steal / GC / fetch wait,
+        # so it is the steal-robust per-query work record
+        try:
+            stages = _store.stageList(_empty, False, False, _darr, _empty)
+            return sum(stages.apply(i).executorCpuTime()
+                       for i in range(stages.size()))
+        except Exception:
+            return 0
 
     def evaluate(df) -> int:
         """Force evaluation of EVERY output column: count(xxhash64(all
@@ -137,6 +174,8 @@ def main() -> None:
             if name not in qs:
                 continue
             h0 = host_stat()
+            tt0 = task_time_ms()
+            tc0 = task_cpu_ns()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = (evaluate(df) if name not in ("sim_cosine_topk",)
@@ -150,6 +189,10 @@ def main() -> None:
                 # produced the reported (min) timing
                 if name not in timings or dt <= timings[name]:
                     host_sys_steal[name] = ss
+                    task_time[name] = round(
+                        (task_time_ms() - tt0) / 1000.0, 1)
+                    task_cpu[name] = round(
+                        (task_cpu_ns() - tc0) / 1e9, 1)
             timings[name] = min(timings.get(name, dt), dt)
             _ = n
     # one-shot streaming micro-bench (its own checkpoint each run, so
@@ -192,7 +235,13 @@ def main() -> None:
                    # host system+steal CPU-seconds during each query's
                    # reported pass — ambient-contention evidence, see
                    # BASELINE.md round-10 adjudication
-                   "host_sys_steal_s": host_sys_steal}, fh,
+                   "host_sys_steal_s": host_sys_steal,
+                   # executor task-seconds (duration) and executor
+                   # CPU-seconds during the reported (min) pass — the
+                   # CPU figure excludes steal/GC/fetch-wait and is
+                   # the steal-robust per-query work record
+                   "task_time_s": task_time,
+                   "task_cpu_s": task_cpu}, fh,
                   indent=1, sort_keys=True)
     # final machine line LAST (driver tail-captures stdout): total +
     # count + sf + the 5 slowest queries in `queries` (unchanged shape,

@@ -52,14 +52,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OFFSET = 1_000_000
 
+# dedup_jaccard is deliberately NOT in the scale set: its fractional
+# max_df prune is corpus-relative (tokens in > 50% of docs leave the
+# inverted index), and the synthetic sf0.1 vocabulary is 31 tokens ALL
+# at ~78% df — every copy-salting scheme halves each df FRACTION per
+# corpus doubling, un-prunes the entire stopword set, and the posting
+# self-join goes quadratic in the DATA (measured 245 s at scale 2),
+# which measures the degenerate vocabulary, not the engine. Its
+# candidate+verify kernels are covered at scale by curation_funnel and
+# sim_pair_pack's dedup_minhash_lsh member (MinHash banding carries no
+# df prune, and salted copies keep its pair volume linear).
 SCALE_QUERIES = [
     "curation_funnel", "sim_pair_pack", "text_doc_pack", "mm_pack",
-    "dedup_jaccard", "text_bigram_ppl", "dedup_cluster_pack",
+    "contam_chunk_pack", "text_bigram_ppl", "dedup_cluster_pack",
     "text_contam_bloom",
 ]
 
 
-def build_corpus(scale: int, out_dir: str) -> int:
+def build_corpus(scale: int, out_dir: str, emb_scale: int | None = None
+                 ) -> int:
     """Deterministic ×scale documents/embeddings under out_dir; other
     tables symlinked. Returns the scaled document count."""
     import numpy as np
@@ -95,7 +106,10 @@ def build_corpus(scale: int, out_dir: str) -> int:
                      for v in emb["embedding"].to_pylist()])
     dim = vecs.shape[1]
     emb_chunks = []
-    for k in range(scale):
+    # embeddings may scale separately: the exact all-pairs GEMM members
+    # are quadratic in rows BY DESIGN, so doc-side scaling can go much
+    # further than vector-side scaling in one bounded run
+    for k in range(emb_scale if emb_scale is not None else scale):
         if k == 0:
             m = vecs
         else:
@@ -125,10 +139,13 @@ def build_corpus(scale: int, out_dir: str) -> int:
 def main() -> None:
     args = sys.argv[1:]
     scale, runs = 8, 2
+    emb_scale: int | None = None
     i = 0
     while i < len(args):
         if args[i] == "--scale":
             scale = int(args[i + 1]); i += 2
+        elif args[i] == "--emb-scale":
+            emb_scale = int(args[i + 1]); i += 2
         elif args[i] == "--runs":
             runs = int(args[i + 1]); i += 2
         else:
@@ -136,7 +153,7 @@ def main() -> None:
 
     out_dir = f"/tmp/spark_graft_scale{scale}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    n_docs = build_corpus(scale, out_dir)
+    n_docs = build_corpus(scale, out_dir, emb_scale)
 
     from pyspark.sql import functions as F
 
@@ -153,24 +170,56 @@ def main() -> None:
             p = f.readline().split()
         return int(p[3]) + int(p[8])
 
+    _store = spark._jsparkSession.sparkContext().statusStore()
+    _gw = spark.sparkContext._gateway
+    _empty = spark._jvm.java.util.Collections.emptyList()
+    _darr = _gw.new_array(_gw.jvm.double, 0)
+
+    def task_time_ms() -> int:
+        # sum of task RUN times across stages (includes steal/GC —
+        # pair with task_cpu_s to separate work from contention)
+        stages = _store.stageList(_empty, False, False, _darr, _empty)
+        return sum(stages.apply(i).executorRunTime()
+                   for i in range(stages.size()))
+
+    def task_cpu_ns() -> int:
+        # executor CPU ns across stages — excludes steal/GC/fetch wait
+        stages = _store.stageList(_empty, False, False, _darr, _empty)
+        return sum(stages.apply(i).executorCpuTime()
+                   for i in range(stages.size()))
+
     def evaluate(df) -> int:
         return df.agg(F.count(F.xxhash64(*[
             F.col(c) for c in df.columns]))).first()[0]
 
     timings: dict[str, float] = {}
+    # executor task-seconds per query (min pass): the steal-robust
+    # record of parallel work — wall-clock core ratios are meaningless
+    # on a host whose hypervisor steals ~half the vCPUs of every wide
+    # run (ledgers in SCALE_r12.md), but task-seconds measure the work
+    # the engine actually schedules regardless of steal
+    task_time: dict[str, float] = {}
+    task_cpu: dict[str, float] = {}
     ss0 = host_stat()
     for name in SCALE_QUERIES:
         for r in range(runs):
             spark.sparkContext.setJobDescription(f"scale:{name}:run{r}")
+            tt0 = task_time_ms()
+            tc0 = task_cpu_ns()
             t0 = time.perf_counter()
             evaluate(qs[name](spark, out_dir))
             dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt <= timings[name]:
+                task_time[name] = round((task_time_ms() - tt0) / 1000.0, 1)
+                task_cpu[name] = round((task_cpu_ns() - tc0) / 1e9, 1)
             timings[name] = min(timings.get(name, dt), dt)
             print(f"# {name} run{r}: {dt}", flush=True)
     ambient = round((host_stat() - ss0) / 100.0, 1)
-    print(json.dumps({"cpus": cpus, "scale": scale, "n_docs": n_docs,
+    print(json.dumps({"cpus": cpus, "scale": scale,
+                      "emb_scale": emb_scale or scale, "n_docs": n_docs,
                       "total_min_sec": round(sum(timings.values()), 3),
-                      "queries": timings,
+                      "queries": timings, "task_time_s": task_time,
+                      "task_cpu_s": task_cpu,
                       "ambient_sys_steal_s": ambient}))
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)

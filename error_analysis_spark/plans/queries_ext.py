@@ -775,7 +775,9 @@ def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window prune); oracle = naive all-pairs SQL, so a MATCH proves the
     block decomposition returns the identical neighbor lists."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
-    return SIM.block_cosine_topk(emb, k=_KNN_K, n_blocks=4)
+    # n_blocks omitted (round 12): scale-adaptive block count —
+    # see similarity._adaptive_blocks; decomposition exact for any b
+    return SIM.block_cosine_topk(emb, k=_KNN_K)
 
 
 PAIRWISE_KNN_SQL = f"""
@@ -812,7 +814,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive all-pairs SQL — a MATCH proves the block decomposition
     exact (same pairs, same rounded sims)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH, n_blocks=4)
+    # n_blocks omitted (round 12): scale-adaptive block count
+    return SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH)
 
 
 EMB_DEDUP_SQL = f"""
@@ -1227,7 +1230,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = track(
-        SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH, n_blocks=4)
+        SIM.block_cosine_pairs(emb, threshold=_EMB_THRESH)
         .persist(StorageLevel.MEMORY_AND_DISK))
     pairs._graft_materialized_count = pairs.count()
     vertices = emb.select(F.col("vec_id").alias("id"))

@@ -62,6 +62,11 @@ def test_block_cosine_pairs_distinct_and_cc_parity(spark):
     n = pairs.count()
     assert n == pairs.select("id_a", "id_b").distinct().count()
     assert n > 0
+    # round 12: the adaptive block count (n_blocks=None) is a pure
+    # performance parameter — identical pair list at any block count
+    adaptive = SIM.block_cosine_pairs(emb, threshold=0.35)
+    assert (sorted(map(tuple, adaptive.collect()))
+            == sorted(map(tuple, pairs.collect())))
 
     verts = emb.select(F.col("vec_id").alias("id"))
     ready = pairs.persist()
